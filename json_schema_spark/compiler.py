@@ -1,0 +1,716 @@
+"""Constraint-spec -> Spark ``Column`` predicate compiler.
+
+This is the engine analogue of the reference's validator dispatch
+(/root/reference/src/validators.lisp:79-138): instead of recursively
+interpreting a schema per document, we compile every keyword ONCE on
+the driver into a boolean Column (TRUE = pass) and let Catalyst fold,
+push down, and whole-stage-codegen the result. Two cross-cutting
+semantics preserved (SURVEY.md §2):
+
+1. **Type-gating** (``require-type``, src/validators.lisp:35-37): a
+   keyword inapplicable to the column's type passes vacuously. With
+   typed columns the gate is *static* — inapplicable keywords compile
+   to nothing at all (cheaper than a runtime branch).
+2. **Error accumulation** (src/validators.lisp:105-108): every keyword
+   compiles to its OWN predicate; violation rows are collected per
+   keyword via an array of structs, never one fused boolean.
+
+NULL handling: a SQL NULL is treated as *absent* (SURVEY.md §1.1
+caveat). Every keyword except ``required`` passes vacuously on NULL;
+``required`` is the presence check (src/validators.lisp:594-603).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_schema_spark.functions.formats import format_check
+from json_schema_spark.spec import ConstraintSpec, SpecError
+
+PredFn = Callable[[Column], Column]
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+@dataclass
+class KeywordCheck:
+    """One compiled keyword: TRUE-pass predicate + provenance.
+
+    Mirrors a ``validation-failed-error``'s identity fields
+    (src/validators.lisp:15-22): keyword + property path + message.
+    """
+
+    column: str
+    keyword: str
+    predicate: Column
+    message: str
+    path: str = ""
+
+
+@dataclass
+class CompiledSpec:
+    spec: ConstraintSpec
+    checks: list[KeywordCheck] = field(default_factory=list)
+
+    def check_names(self) -> list[tuple[str, str]]:
+        return [(c.column, c.keyword) for c in self.checks]
+
+
+# ---------------------------------------------------------------------------
+# type gates (src/types.lisp:54-102)
+# ---------------------------------------------------------------------------
+
+def _is_string(dt: T.DataType) -> bool:
+    return isinstance(dt, T.StringType)
+
+
+def _is_sized(dt: T.DataType) -> bool:
+    """Types with a length for min/maxLength: string chars (Lisp
+    ``length`` on strings, src/validators.lisp:432-437) and — an engine
+    extension for web tables — binary byte length."""
+    return isinstance(dt, (T.StringType, T.BinaryType))
+
+
+def _is_number(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC_TYPES)
+
+
+def _length(col: Column, dt: T.DataType) -> Column:
+    return F.char_length(col) if _is_string(dt) else F.length(col)
+
+
+def _type_matches(type_name: str, dt: T.DataType, col: Column) -> Column | bool:
+    """JSON type name vs physical Spark type (src/types.lisp:54-102).
+
+    Returns a static bool when decidable at compile time, else a
+    Column. ``integer`` on a float column is the runtime case:
+    "anything without a fractional part is an integer" — 1.0 IS an
+    integer (src/types.lisp:41-44).
+    """
+    if type_name == "string":
+        return _is_string(dt)
+    if type_name == "number":
+        return _is_number(dt)
+    if type_name == "integer":
+        if isinstance(dt, _INTEGRAL_TYPES):
+            return True
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return col == F.floor(col).cast(dt)
+        return False
+    if type_name == "boolean":
+        return isinstance(dt, T.BooleanType)
+    if type_name == "array":
+        return isinstance(dt, T.ArrayType)
+    if type_name == "object":
+        return isinstance(dt, (T.StructType, T.MapType))
+    if type_name == "null":
+        # typed columns conflate null/absent; a present NULL satisfies
+        # type:"null" vacuously under our absence convention.
+        return col.isNull()
+    return False
+
+
+# ---------------------------------------------------------------------------
+# literal construction for enum/const deep equality (src/utils.lisp:69-112)
+# ---------------------------------------------------------------------------
+
+def _lit_value(value: Any, dt: T.DataType) -> Column:
+    if isinstance(value, list):
+        if isinstance(dt, T.ArrayType):
+            return F.array(*[_lit_value(v, dt.elementType) for v in value])
+        return F.array(*[F.lit(v) for v in value])
+    if isinstance(value, dict):
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                v = value.get(f.name)
+                fields.append(_lit_value(v, f.dataType).alias(f.name))
+            return F.struct(*fields)
+        raise SpecError("object const/enum member requires a struct column")
+    if value is None:
+        return F.lit(None).cast(dt)
+    return F.lit(value)
+
+
+# ---------------------------------------------------------------------------
+# keyword compilers — each returns PredFn (Column -> TRUE-pass Column)
+# or None when statically inapplicable (type-gate folded at compile time)
+# ---------------------------------------------------------------------------
+
+def _compile_keyword(
+    keyword: str, val: Any, schema: dict, dt: T.DataType, draft: str,
+    spec: ConstraintSpec,
+) -> PredFn | None:
+    """Dispatch one keyword (dispatch tables src/validators.lisp:657-808)."""
+
+    # ---- universal keywords -------------------------------------------
+    if keyword == "type":
+        names = val if isinstance(val, list) else [val]
+
+        def type_pred(c: Column) -> Column:
+            acc: Column | None = None
+            for name in names:
+                m = _type_matches(name, dt, c)
+                if m is True:
+                    return F.lit(True)
+                if m is False:
+                    continue
+                acc = m if acc is None else (acc | m)
+            return acc if acc is not None else F.lit(False)
+
+        return type_pred
+
+    if keyword == "enum":  # deep equality, src/validators.lisp:339-341
+        def enum_pred(c: Column) -> Column:
+            if all(isinstance(v, (str, int, float, bool)) or v is None for v in val):
+                members = [v for v in val if v is not None]
+                p = c.isin(members) if members else F.lit(False)
+                if any(v is None for v in val):
+                    p = p | c.isNull()
+                return p
+            return F.exists(
+                F.array(*[_lit_value(v, dt) for v in val]), lambda m: m.eqNullSafe(c)
+            )
+        return enum_pred
+
+    if keyword == "const":  # src/validators.lisp:293-296
+        return lambda c: c.eqNullSafe(_lit_value(val, dt))
+
+    # ---- string keywords (type-gated: src/validators.lisp:35-37) ------
+    if keyword == "pattern":
+        if not _is_string(dt):
+            return None
+        java_pattern = translate_regex(val)
+        return lambda c: c.rlike(java_pattern)  # unanchored search, :586-591
+
+    if keyword == "minLength":
+        if not _is_sized(dt):
+            return None
+        return lambda c: _length(c, dt) >= F.lit(int(val))
+
+    if keyword == "maxLength":
+        if not _is_sized(dt):
+            return None
+        return lambda c: _length(c, dt) <= F.lit(int(val))
+
+    if keyword == "format":
+        if not _is_string(dt):
+            return None
+        return lambda c: format_check(val, c, draft)
+
+    # ---- numeric keywords ---------------------------------------------
+    if keyword in ("minimum", "maximum"):
+        if not _is_number(dt):
+            return None
+        if draft == "draft4":
+            # boolean-modifier form (src/validators.lisp:419-429,457-467).
+            # NB: the reference has a bug — minimum-draft4 reads
+            # "exclusiveMaximum" (:460); we implement the spec-correct
+            # sibling ("exclusiveMinimum") and document the divergence.
+            excl = bool(schema.get(
+                "exclusiveMinimum" if keyword == "minimum" else "exclusiveMaximum",
+                False,
+            ))
+            if keyword == "minimum":
+                return (lambda c: c > F.lit(val)) if excl else (lambda c: c >= F.lit(val))
+            return (lambda c: c < F.lit(val)) if excl else (lambda c: c <= F.lit(val))
+        if keyword == "minimum":
+            return lambda c: c >= F.lit(val)  # :449-454
+        return lambda c: c <= F.lit(val)  # :411-416
+
+    if keyword == "exclusiveMinimum":
+        if draft == "draft4" or not _is_number(dt) or isinstance(val, bool):
+            return None  # draft4 handles it inside minimum
+        return lambda c: c > F.lit(val)  # :353-358
+
+    if keyword == "exclusiveMaximum":
+        if draft == "draft4" or not _is_number(dt) or isinstance(val, bool):
+            return None
+        return lambda c: c < F.lit(val)  # :345-350
+
+    if keyword == "multipleOf":  # src/validators.lisp:501-516
+        if not _is_number(dt):
+            return None
+        if isinstance(val, int) and not isinstance(val, bool):
+            if isinstance(dt, _INTEGRAL_TYPES):
+                return lambda c: F.pmod(c, F.lit(val)) == F.lit(0)
+            # float data, int divisor: exact via decimal cast
+            return lambda c: (
+                c.cast(T.DecimalType(38, 12)) % F.lit(val) == F.lit(0).cast("decimal(38,12)")
+            )
+        # real divisor: the reference uses exact rationals and its own
+        # suite skips "4.5 multiple of 1.5" for doubles
+        # (t/draft7.lisp:54-55); Decimal gives exactness it punts on.
+        dval = F.lit(str(val)).cast(T.DecimalType(38, 12))
+        return lambda c: (c.cast(T.DecimalType(38, 12)) % dval) == F.lit(0).cast(
+            T.DecimalType(38, 12)
+        )
+
+    # ---- array keywords ------------------------------------------------
+    if keyword == "items":
+        if not isinstance(dt, T.ArrayType):
+            return None
+        if isinstance(val, list):  # tuple form (:389-394)
+            preds = [
+                _schema_pred(s, dt.elementType, draft, spec) for s in val
+            ]
+
+            def tuple_pred(c: Column) -> Column:
+                acc = F.lit(True)
+                for i, p in enumerate(preds):
+                    acc = acc & F.when(F.size(c) > i, p(F.element_at(c, i + 1))).otherwise(True)
+                return acc
+
+            return tuple_pred
+        inner = _schema_pred(val, dt.elementType, draft, spec)  # :395-399
+        return lambda c: F.forall(c, inner)
+
+    if keyword == "additionalItems":  # src/validators.lisp:205-218
+        if not isinstance(dt, T.ArrayType):
+            return None
+        items = schema.get("items")
+        if not isinstance(items, list):
+            return None  # no-op unless items is the tuple form
+        n = len(items)
+        inner = _schema_pred(val, dt.elementType, draft, spec)
+        return lambda c: F.forall(
+            F.slice(c, n + 1, F.greatest(F.size(c) - n, F.lit(0))), inner
+        )
+
+    if keyword == "contains":  # :299-304
+        if not isinstance(dt, T.ArrayType):
+            return None
+        inner = _schema_pred(val, dt.elementType, draft, spec)
+        return lambda c: F.exists(c, inner)
+
+    if keyword == "minItems":
+        if not isinstance(dt, T.ArrayType):
+            return None
+        return lambda c: F.size(c) >= F.lit(int(val))
+
+    if keyword == "maxItems":
+        if not isinstance(dt, T.ArrayType):
+            return None
+        return lambda c: F.size(c) <= F.lit(int(val))
+
+    if keyword == "uniqueItems":  # deep-distinct, :632-639
+        if not isinstance(dt, T.ArrayType) or not val:
+            return None
+        return lambda c: F.size(c) == F.size(F.array_distinct(c))
+
+    # ---- object keywords (struct / map columns) -----------------------
+    if keyword == "required":  # :594-603 — presence = non-null (§1.1)
+        if isinstance(dt, T.StructType):
+            names = set(f.name for f in dt.fields)
+
+            def req_struct(c: Column) -> Column:
+                acc = F.lit(True)
+                for k in val:
+                    acc = acc & (c.getField(k).isNotNull() if k in names else F.lit(False))
+                return acc
+
+            return req_struct
+        if isinstance(dt, T.MapType):
+            return lambda c: F.forall(
+                F.array(*[F.lit(k) for k in val]), lambda k: F.map_contains_key(c, k)
+            )
+        return None
+
+    if keyword == "properties":  # :564-575, presence-gated recursion
+        if isinstance(dt, T.StructType):
+            field_types = {f.name: f.dataType for f in dt.fields}
+
+            def props_struct(c: Column) -> Column:
+                acc = F.lit(True)
+                for k, sub in val.items():
+                    if k not in field_types:
+                        continue  # absent key -> vacuous (found-p gate :569-571)
+                    p = _schema_pred(sub, field_types[k], draft, spec)
+                    fld = c.getField(k)
+                    acc = acc & F.when(fld.isNotNull(), p(fld)).otherwise(True)
+                return acc
+
+            return props_struct
+        if isinstance(dt, T.MapType):
+            def props_map(c: Column) -> Column:
+                acc = F.lit(True)
+                for k, sub in val.items():
+                    p = _schema_pred(sub, dt.valueType, draft, spec)
+                    acc = acc & F.when(
+                        F.map_contains_key(c, F.lit(k)), p(F.element_at(c, F.lit(k)))
+                    ).otherwise(True)
+                return acc
+
+            return props_map
+        return None
+
+    if keyword == "patternProperties":  # :544-561
+        if not isinstance(dt, T.MapType):
+            return None
+
+        def pat_props(c: Column) -> Column:
+            acc = F.lit(True)
+            for pat, sub in val.items():
+                p = _schema_pred(sub, dt.valueType, draft, spec)
+                jpat = translate_regex(pat)
+                acc = acc & F.forall(
+                    F.filter(F.map_keys(c), lambda k: k.rlike(jpat)),
+                    lambda k: p(F.element_at(c, k)),
+                )
+            return acc
+
+        return pat_props
+
+    if keyword == "additionalProperties":  # :221-264
+        if not isinstance(dt, T.MapType):
+            return None  # struct columns have a closed key set -> vacuous
+        known = list(schema.get("properties", {}).keys())
+        pats = [translate_regex(p) for p in schema.get("patternProperties", {}).keys()]
+
+        def extra_keys(c: Column) -> Column:
+            ks = F.array_except(F.map_keys(c), F.array(*[F.lit(k) for k in known])) \
+                if known else F.map_keys(c)
+            for jp in pats:
+                ks = F.filter(ks, lambda k: ~k.rlike(jp))
+            return ks
+
+        if val is False:  # false form :233-248
+            return lambda c: F.size(extra_keys(c)) == F.lit(0)
+        if val is True:
+            return None
+        p = _schema_pred(val, dt.valueType, draft, spec)  # schema form :250-264
+        return lambda c: F.forall(extra_keys(c), lambda k: p(F.element_at(c, k)))
+
+    if keyword == "propertyNames":  # :578-583
+        if not isinstance(dt, T.MapType):
+            return None
+        p = _schema_pred(val, T.StringType(), draft, spec)
+        return lambda c: F.forall(F.map_keys(c), p)
+
+    if keyword in ("minProperties", "maxProperties"):  # :485-498
+        if isinstance(dt, T.MapType):
+            n = F.lit(int(val))
+            if keyword == "minProperties":
+                return lambda c: F.size(F.map_keys(c)) >= n
+            return lambda c: F.size(F.map_keys(c)) <= n
+        if isinstance(dt, T.StructType):
+            # count present (non-null) fields
+            n = int(val)
+
+            def count_pred(c: Column) -> Column:
+                cnt = sum(
+                    (f.dataType, c.getField(f.name).isNotNull().cast("int"))[1]
+                    for f in dt.fields
+                )
+                return (cnt >= F.lit(n)) if keyword == "minProperties" else (cnt <= F.lit(n))
+
+            return count_pred
+        return None
+
+    if keyword in ("dependencies", "dependentRequired", "dependentSchemas"):
+        # :313-337 + check-dependencies :142-186
+        if not isinstance(dt, (T.StructType, T.MapType)):
+            return None
+
+        def present(c: Column, k: str) -> Column:
+            if isinstance(dt, T.StructType):
+                names = set(f.name for f in dt.fields)
+                return c.getField(k).isNotNull() if k in names else F.lit(False)
+            return F.map_contains_key(c, F.lit(k))
+
+        def dep_pred(c: Column) -> Column:
+            acc = F.lit(True)
+            for key, dep in val.items():
+                if isinstance(dep, list):  # array form
+                    need = F.lit(True)
+                    for d in dep:
+                        need = need & present(c, d)
+                    acc = acc & F.when(present(c, key), need).otherwise(True)
+                else:  # schema form: whole object must satisfy subschema
+                    p = _schema_pred(dep, dt, draft, spec)
+                    acc = acc & F.when(present(c, key), p(c)).otherwise(True)
+            return acc
+
+        return dep_pred
+
+    if keyword == "unevaluatedProperties":
+        # 2019-09, PARTIAL in the reference — only diffs against direct
+        # `properties` (src/validators.lisp:606-629; suite skipped
+        # t/draft2019-09.lisp:83-87). We match that partial behavior.
+        if not isinstance(dt, T.MapType):
+            return None
+        known = list(schema.get("properties", {}).keys())
+
+        def unev(c: Column) -> Column:
+            ks = F.array_except(F.map_keys(c), F.array(*[F.lit(k) for k in known]))
+            if val is False:
+                return F.size(ks) == F.lit(0)
+            p = _schema_pred(val, dt.valueType, draft, spec)
+            return F.forall(ks, lambda k: p(F.element_at(c, k)))
+
+        return unev
+
+    # ---- combinators ---------------------------------------------------
+    if keyword == "allOf":  # :267-273
+        preds = [_schema_pred(s, dt, draft, spec) for s in val]
+        return lambda c: _fold_and([p(c) for p in preds])
+
+    if keyword == "anyOf":  # :276-290 (OR short-circuits in codegen)
+        preds = [_schema_pred(s, dt, draft, spec) for s in val]
+        return lambda c: _fold_or([p(c) for p in preds])
+
+    if keyword == "oneOf":  # exactly one, :525-541
+        preds = [_schema_pred(s, dt, draft, spec) for s in val]
+        return lambda c: sum(
+            (p(c).cast("int") for p in preds), F.lit(0)
+        ) == F.lit(1)
+
+    if keyword == "not":  # :519-522
+        p = _schema_pred(val, dt, draft, spec)
+        return lambda c: ~p(c)
+
+    if keyword == "if":  # :376-383; then/else driven from here
+        then_s = schema.get("then")
+        else_s = schema.get("else")
+        ip = _schema_pred(val, dt, draft, spec)
+        tp = _schema_pred(then_s, dt, draft, spec) if then_s is not None else None
+        ep = _schema_pred(else_s, dt, draft, spec) if else_s is not None else None
+        return lambda c: F.when(
+            ip(c), tp(c) if tp else F.lit(True)
+        ).otherwise(ep(c) if ep else F.lit(True))
+
+    if keyword == "$ref":  # compile-time resolution (§2.3)
+        target = spec.registry.resolve(val)
+        return _schema_pred(target, dt, draft, spec)
+
+    # annotations / structural no-ops (src/validators.lisp:192-195 +
+    # table entries) and then/else (handled under "if")
+    return None
+
+
+_NOOP_KEYWORDS = frozenset({
+    "$anchor", "$comment", "$defs", "$id", "$schema", "$vocabulary",
+    "default", "definitions", "description", "title", "examples",
+    "then", "else", "contentMediaType", "contentEncoding", "deprecated",
+    "readOnly", "writeOnly", "id", "draft", "exclusiveMinimum_draft4",
+})
+
+
+def _fold_and(cols: list[Column]) -> Column:
+    acc = F.lit(True)
+    for c in cols:
+        acc = acc & c
+    return acc
+
+
+def _fold_or(cols: list[Column]) -> Column:
+    if not cols:
+        return F.lit(False)
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = acc | c
+    return acc
+
+
+def _schema_pred(schema: Any, dt: T.DataType, draft: str, spec: ConstraintSpec) -> PredFn:
+    """Compile a whole (sub)schema to one fused TRUE-pass PredFn.
+
+    Boolean-schema short circuit (src/validators.lisp:86-91) and
+    empty-schema-is-valid (:93-94) included.
+    """
+    if schema is True or schema == {}:
+        return lambda c: F.lit(True)
+    if schema is False:
+        return lambda c: F.lit(False)
+    if not isinstance(schema, dict):
+        raise SpecError(f"schema must be object or boolean, got {schema!r}")
+    parts: list[PredFn] = []
+    for kw, val in schema.items():
+        if kw in _NOOP_KEYWORDS:
+            continue
+        fn = _compile_keyword(kw, val, schema, dt, draft, spec)
+        if fn is not None:
+            parts.append(fn)
+    if not parts:
+        return lambda c: F.lit(True)
+
+    def fused(c: Column) -> Column:
+        # NULL = absent: all keywords vacuous on NULL at this level
+        inner = _fold_and([p(c) for p in parts])
+        return F.when(c.isNull(), F.lit(True)).otherwise(inner)
+
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# regex dialect shim: PCRE (ppcre) -> Java regex
+# ---------------------------------------------------------------------------
+
+def translate_regex(pattern: str) -> str:
+    """Translate the common PCRE constructs the reference's `pattern`
+    keyword sees into Java-regex-safe equivalents.
+
+    ppcre and java.util.regex agree on the core syntax; the gaps that
+    matter for web-page constraints are ``\\Z``/``\\z`` anchors and
+    possessive quantifier differences. We validate the pattern compiles
+    under Python's `re` (a PCRE-alike) at compile time so bad specs
+    fail on the driver, not in an executor task
+    (cf. precompiled-regex posture, src/formats.lisp:11-12).
+    """
+    re.compile(pattern)  # driver-side validation; raises on bad spec
+    return pattern.replace(r"\Z", r"\z")
+
+
+# ---------------------------------------------------------------------------
+# top-level spec compilation
+# ---------------------------------------------------------------------------
+
+def compile_spec(spec: ConstraintSpec | dict, df: DataFrame) -> CompiledSpec:
+    """Compile a constraint spec against a DataFrame's schema.
+
+    Produces one KeywordCheck per (column, top-level keyword) so error
+    accumulation matches the reference (src/validators.lisp:105-108):
+    all keywords evaluated, failures collected individually.
+    """
+    if isinstance(spec, dict):
+        spec = ConstraintSpec(spec)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    out = CompiledSpec(spec=spec)
+
+    for colname, schema in spec.columns.items():
+        if colname not in dtypes:
+            raise SpecError(f"spec references unknown column {colname!r}")
+        dt = dtypes[colname]
+        schema = spec.deref(schema) if isinstance(schema, dict) and "$ref" in schema else schema
+        if schema is True:
+            continue
+        if schema is False:
+            out.checks.append(KeywordCheck(
+                colname, "false-schema", F.col(colname).isNull(),
+                f"{colname}: schema is false",
+            ))
+            continue
+        for kw, val in schema.items():
+            if kw in _NOOP_KEYWORDS:
+                continue
+            fn = _compile_keyword(kw, val, schema, dt, spec.draft, spec)
+            if fn is None:
+                continue
+            col = F.col(colname)
+            pred = F.when(col.isNull(), F.lit(True)).otherwise(fn(col))
+            out.checks.append(KeywordCheck(
+                colname, kw, pred,
+                _message(colname, kw, val),
+                path=f"/columns/{colname}/{kw}",
+            ))
+
+    # top-level required: presence across the row (src/validators.lisp:594-603)
+    for colname in spec.required:
+        if colname not in dtypes:
+            raise SpecError(f"required references unknown column {colname!r}")
+        out.checks.append(KeywordCheck(
+            colname, "required", F.col(colname).isNotNull(),
+            f"required column {colname} is missing (NULL)",
+            path=f"/required/{colname}",
+        ))
+    return out
+
+
+def _message(column: str, keyword: str, val: Any) -> str:
+    """Human-readable message in the reference's error style
+    (README.rst:70-79)."""
+    if isinstance(val, (dict, list)) and keyword not in ("enum",):
+        return f"{column!r} failed keyword {keyword}"
+    return f"{column!r} failed keyword {keyword} ({val!r})"
+
+
+# ---------------------------------------------------------------------------
+# violation / verdict materialization (error model, SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+def violations_df(
+    df: DataFrame,
+    compiled: CompiledSpec,
+    id_cols: list[str],
+    partition_col: Column | None = None,
+    run_id: str = "",
+) -> DataFrame:
+    """Violation rows: one row per (document, failed keyword).
+
+    Schema mirrors FIXTURES.md §5 / the reference's error objects
+    (src/validators.lisp:15-22): identity + keyword + column + path +
+    message. Implemented as an array of violation structs collected in
+    a single projection (error ACCUMULATION: all keywords evaluated,
+    src/validators.lisp:105-108) then exploded — one narrow stage, no
+    shuffle, fully codegen'd.
+    """
+    struct_type = (
+        "struct<keyword:string,column:string,path:string,message:string>"
+    )
+    entries = [
+        F.when(
+            ~c.predicate,
+            F.struct(
+                F.lit(c.keyword).alias("keyword"),
+                F.lit(c.column).alias("column"),
+                F.lit(c.path).alias("path"),
+                F.lit(c.message).alias("message"),
+            ),
+        ).otherwise(F.lit(None).cast(struct_type))
+        for c in compiled.checks
+    ]
+    arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    keep = [F.col(k) for k in id_cols]
+    if partition_col is not None:
+        keep.append(partition_col.alias("partition"))
+    out = df.select(*keep, F.explode(arr).alias("v"))
+    return out.select(
+        *[F.col(k) for k in id_cols],
+        *([F.col("partition")] if partition_col is not None else []),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.column").alias("column"),
+        F.col("v.path").alias("path"),
+        F.col("v.message").alias("message"),
+        F.lit(run_id).alias("run_id"),
+    )
+
+
+def verdict_df(df: DataFrame, compiled: CompiledSpec) -> DataFrame:
+    """Per-check verdict summary in ONE aggregation pass (no explode,
+    no shuffle beyond the final singleton agg): for every check, the
+    violation count; pass == zero violations ("valid iff errors nil",
+    src/json-schema.lisp:33-38).
+    """
+    aggs = [
+        F.sum((~c.predicate).cast("long")).alias(f"{c.column}\x00{c.keyword}")
+        for c in compiled.checks
+    ] + [F.count(F.lit(1)).alias("\x00rows")]
+    row = df.agg(*aggs)
+    # unpivot to (column, keyword, n_violations, n_rows, pass)
+    pairs = []
+    for c in compiled.checks:
+        pairs.append(F.struct(
+            F.lit(c.column).alias("column"),
+            F.lit(c.keyword).alias("keyword"),
+            F.col(f"`{c.column}\x00{c.keyword}`").alias("n_violations"),
+        ))
+    return row.select(
+        F.col("`\x00rows`").alias("n_rows"), F.explode(F.array(*pairs)).alias("s")
+    ).select(
+        F.col("s.column").alias("column"),
+        F.col("s.keyword").alias("keyword"),
+        F.col("s.n_violations").alias("n_violations"),
+        F.col("n_rows").alias("n_rows"),
+        (F.col("s.n_violations") == 0).alias("pass"),
+    )

@@ -1,0 +1,205 @@
+"""``format`` keyword checkers as Spark Column expressions.
+
+Reference: /root/reference/src/formats.lisp (dispatcher
+src/validators.lisp:360-373; per-draft tables src/formats.lisp:137-204).
+
+Each checker takes a string Column and returns a boolean Column that is
+TRUE when the value conforms. Reference parity notes:
+
+* ``email`` is deliberately loose — "contains @" only
+  (src/formats.lisp:43-45); we keep that, NOT RFC 5322.
+* ``hostname`` = precompiled regex + per-label length < 64 + no
+  trailing '-' (src/formats.lisp:11-12,48-53).
+* idn-email / idn-hostname / iri / iri-reference / uri-template are NOT
+  implemented, matching the reference's skip list
+  (t/draft7.lisp:92-96,103-106,121-122) — unknown formats pass
+  vacuously, mirroring the dispatcher's behavior for missing table
+  entries (src/validators.lisp:364-366: only formats present in the
+  table are checked).
+
+All of these are pure ``pyspark.sql.functions`` expressions: they run
+JVM-side under whole-stage codegen; regexes are compiled once per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# RFC-3339-ish component regexes (anchored; rlike is search, so anchor
+# explicitly — the *pattern* keyword stays unanchored, formats do not).
+_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+_TIME_RE = r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+_DATETIME_RE = (
+    r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+)
+# ISO-8601 duration (src/formats.lisp:35-40): P…(T…)?, at least one part
+_DURATION_RE = (
+    r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$"
+)
+_HOSTNAME_RE = r"^[A-Za-z0-9][A-Za-z0-9.\-]{0,254}$"  # src/formats.lisp:11-12
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IPV4_RE = rf"^({_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}$"
+_IPV6_RE = (
+    r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:))$"
+)
+# unreserved + reserved + pct-escapes (src/formats.lisp:15-16,116-125)
+_URI_REF_RE = r"^[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=%]*$"
+
+
+def fmt_date(col: Column) -> Column:
+    """RFC-3339 full-date (src/formats.lisp:19-24). Regex guard + real
+    calendar parse (rejects 2020-02-31)."""
+    return col.rlike(_DATE_RE) & F.try_to_timestamp(col, F.lit("yyyy-MM-dd")).isNotNull()
+
+
+def fmt_date_time(col: Column) -> Column:
+    """RFC-3339 date-time (src/formats.lisp:27-32)."""
+    norm = F.upper(col)
+    parsed = F.coalesce(
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd HH:mm:ssXXX")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSSXXX")),
+    )
+    return col.rlike(_DATETIME_RE) & parsed.isNotNull()
+
+
+def fmt_time(col: Column) -> Column:
+    """RFC-3339 time-of-day; fractional separator '.' only
+    (src/formats.lisp:75-84)."""
+    in_range = (
+        (F.substring(col, 1, 2).cast("int") <= 23)
+        & (F.substring(col, 4, 2).cast("int") <= 59)
+        & (F.substring(col, 7, 2).cast("int") <= 60)  # leap second
+    )
+    return col.rlike(_TIME_RE) & in_range
+
+
+def fmt_duration(col: Column) -> Column:
+    """ISO-8601 duration (src/formats.lisp:35-40). Pure regex — Spark's
+    INTERVAL cast is laxer than ISO-8601, so do not use it."""
+    return col.rlike(_DURATION_RE)
+
+
+def fmt_email(col: Column) -> Column:
+    """Deliberately loose: merely contains '@' (src/formats.lisp:43-45)."""
+    return col.contains("@")
+
+
+def fmt_hostname(col: Column) -> Column:
+    """Regex + every dot-label < 64 chars + no trailing '-'
+    (src/formats.lisp:48-53)."""
+    labels_ok = F.forall(
+        F.split(col, r"\."), lambda s: F.char_length(s) < F.lit(64)
+    )
+    return col.rlike(_HOSTNAME_RE) & labels_ok & ~col.endswith("-")
+
+
+def fmt_ipv4(col: Column) -> Column:
+    """Dotted-quad with 0-255 octets (src/formats.lisp:56-58)."""
+    return col.rlike(_IPV4_RE)
+
+
+def fmt_ipv6(col: Column) -> Column:
+    """IPv6 plus the reference's <=8 colon-group guard
+    (src/formats.lisp:61-65)."""
+    return col.rlike(_IPV6_RE) & (F.size(F.split(col, ":")) <= F.lit(9))
+
+
+def fmt_json_pointer(col: Column) -> Column:
+    """No dangling/invalid '~' escape; empty or starts with '/'
+    (src/formats.lisp:68-72)."""
+    bad_escape = col.rlike(r"~(?![01])")
+    return ~bad_escape & ((col == F.lit("")) | col.startswith("/"))
+
+
+def fmt_uri(col: Column) -> Column:
+    """Parses as URI with a non-empty scheme (src/formats.lisp:108-113)."""
+    return F.try_parse_url(col, F.lit("PROTOCOL")).isNotNull()
+
+
+def fmt_uri_reference(col: Column) -> Column:
+    """Characters restricted to the reference's allowed set
+    (src/formats.lisp:15-16,116-125)."""
+    return col.rlike(_URI_REF_RE) & ~col.rlike(r"\\")
+
+
+def fmt_regex(col: Column) -> Column:
+    """Value compiles as a regex (src/formats.lisp:101-105).
+
+    No SQL builtin exists; ``try(rlike)`` is not expressible, so this
+    is the one format that needs a vectorized fallback. For *literal*
+    spec values the compiler checks at compile time and this column
+    path is never hit; for data-driven checks we use an Arrow-batched
+    pandas UDF (see pyvalidator.format_regex_udf) — never per-row
+    Python in the JVM pipeline.
+    """
+    from json_schema_spark.pyvalidator import regex_compiles_udf
+
+    return regex_compiles_udf(col)
+
+
+# format name -> checker, per draft (src/formats.lisp:137-204).
+_COMMON = {
+    "date-time": fmt_date_time,
+    "email": fmt_email,
+    "hostname": fmt_hostname,
+    "ipv4": fmt_ipv4,
+    "ipv6": fmt_ipv6,
+    "uri": fmt_uri,
+    "regex": fmt_regex,
+}
+
+FORMAT_TABLES: dict[str, dict] = {
+    "draft2019-09": {
+        **_COMMON,
+        "date": fmt_date,
+        "time": fmt_time,
+        "duration": fmt_duration,
+        "json-pointer": fmt_json_pointer,
+        "uri-reference": fmt_uri_reference,
+    },
+    "draft7": {
+        **_COMMON,
+        "date": fmt_date,
+        "time": fmt_time,
+        "json-pointer": fmt_json_pointer,
+        "uri-reference": fmt_uri_reference,
+    },
+    "draft6": {
+        **_COMMON,
+        "json-pointer": fmt_json_pointer,
+        "uri-reference": fmt_uri_reference,
+    },
+    "draft4": {**_COMMON},
+    "draft3": {
+        "date-time": fmt_date_time,
+        "date": fmt_date,
+        "email": fmt_email,
+        "host-name": fmt_hostname,
+        "ip-address": fmt_ipv4,
+        "ipv6": fmt_ipv6,
+        "regex": fmt_regex,
+        "uri": fmt_uri,
+    },
+}
+
+
+def format_check(name: str, col: Column, draft: str = "draft7") -> Column:
+    """Return the pass/fail Column for a format, or vacuous TRUE for
+    formats absent from the draft's table (dispatcher behavior,
+    src/validators.lisp:360-373)."""
+    table = FORMAT_TABLES.get(draft, FORMAT_TABLES["draft7"])
+    checker = table.get(name)
+    if checker is None:
+        return F.lit(True)
+    return checker(col)

@@ -1,0 +1,134 @@
+"""Distribution-drift detection across partitions (SURVEY.md §2.4).
+
+Generalizes ``enum``/``type`` distribution expectations
+(/root/reference/src/validators.lisp:339-341,402-408) over time: does
+partition P's distribution of a column differ from the rest of the
+table?
+
+Two tests, both expressed in pure DataFrame ops (no UDF, no driver
+loop):
+
+* **chi-square** for categoricals (e.g. ``lang``): contingency counts
+  via ONE ``groupBy(partition, category)`` pass, expected counts from
+  the pooled marginals via two small joins (both sides are
+  aggregate-sized — broadcast), statistic = sum((obs-exp)^2/exp).
+* **KS** for numerics (e.g. ``char_length(text)``): exact two-sample
+  Kolmogorov-Smirnov computed on the *distinct-value CDF*:
+  ``groupBy(value)`` counts per group, window cumsum in value order,
+  max |F_a - F_b|. For bounded discrete domains (lengths, scores) this
+  is exact AND scalable: the window runs over distinct values, not
+  rows. For unbounded continuous columns use ``ks_stat_binned`` which
+  first buckets values (histogram CDF — the t-digest/KLL-style sketch
+  path; cf. PAPERS.md quantile-sketch surveys) so the final window
+  stays tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chi2_by_partition(df: DataFrame, category: str, partition: str | Column) -> DataFrame:
+    """Per-partition chi-square statistic of ``category`` distribution
+    vs the pooled (all-partitions) distribution.
+
+    Returns (partition, chi2, dof, n_rows). One wide shuffle
+    (groupBy(partition, category)); everything downstream is
+    aggregate-sized and broadcast.
+    """
+    part = F.col(partition) if isinstance(partition, str) else partition
+    cells = (
+        df.where(F.col(category).isNotNull() & part.isNotNull())
+        .groupBy(part.alias("partition"), F.col(category).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    part_totals = cells.groupBy("partition").agg(F.sum("obs").alias("n_part"))
+    cat_totals = cells.groupBy("cat").agg(F.sum("obs").alias("n_cat"))
+    grand = cells.agg(F.sum("obs").alias("n_total"))
+
+    with_exp = (
+        cells.join(F.broadcast(part_totals), "partition")
+        .join(F.broadcast(cat_totals), "cat")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("exp", F.col("n_part") * F.col("n_cat") / F.col("n_total"))
+    )
+    return (
+        with_exp.groupBy("partition")
+        .agg(
+            F.round(F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")), 4).alias("chi2"),
+            (F.count(F.lit(1)) - 1).alias("dof"),
+            F.max("n_part").alias("n_rows"),
+        )
+    )
+
+
+def ks_stat(
+    df: DataFrame, value: str | Column, group: str | Column,
+    group_a, group_b,
+) -> DataFrame:
+    """Exact two-sample KS statistic between groups a and b.
+
+    Returns a single row (n_a, n_b, ks). The cumulative window is
+    ordered over DISTINCT values (post-aggregation), so its single-task
+    sort touches |domain| rows, not |table| rows — fine for discrete
+    domains; use :func:`ks_stat_binned` for continuous ones.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    grp = F.col(group) if isinstance(group, str) else group
+    tagged = (
+        df.where(grp.isin([group_a, group_b]) & val.isNotNull())
+        .select(val.alias("v"), (grp == group_a).cast("int").alias("is_a"))
+    )
+    per_value = tagged.groupBy("v").agg(
+        F.sum("is_a").alias("cnt_a"),
+        F.sum(1 - F.col("is_a")).alias("cnt_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = per_value.select(
+        (F.sum("cnt_a").over(w)).alias("cum_a"),
+        (F.sum("cnt_b").over(w)).alias("cum_b"),
+    )
+    totals = cdf.agg(F.max("cum_a").alias("na"), F.max("cum_b").alias("nb"))
+    return cdf.crossJoin(F.broadcast(totals)).agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))), 6
+        ).alias("ks"),
+    )
+
+
+def ks_stat_binned(
+    df: DataFrame, value: str | Column, group: str | Column,
+    group_a, group_b, n_bins: int = 256,
+) -> DataFrame:
+    """Histogram-CDF KS for continuous/unbounded columns: bucket first
+    (sketch path — bounded error 1/n_bins on the CDF), then the same
+    tiny cumulative window. Scales to any row count: one groupBy over
+    at most n_bins x 2 cells."""
+    val = F.col(value) if isinstance(value, str) else value
+    grp = F.col(group) if isinstance(group, str) else group
+    base = df.where(grp.isin([group_a, group_b]) & val.isNotNull())
+    bounds = base.agg(F.min(val).alias("lo"), F.max(val).alias("hi"))
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((val - F.col("lo")) / ((F.col("hi") - F.col("lo")) / n_bins + 1e-12)),
+        ).alias("v"),
+        (grp == group_a).cast("int").alias("is_a"),
+    )
+    per_bin = binned.groupBy("v").agg(
+        F.sum("is_a").alias("cnt_a"), F.sum(1 - F.col("is_a")).alias("cnt_b")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = per_bin.select(
+        F.sum("cnt_a").over(w).alias("cum_a"), F.sum("cnt_b").over(w).alias("cum_b")
+    )
+    return cdf.crossJoin(
+        cdf.agg(F.max("cum_a").alias("na"), F.max("cum_b").alias("nb"))
+    ).agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))), 6).alias("ks"),
+    )

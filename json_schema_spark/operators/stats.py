@@ -1,0 +1,107 @@
+"""Single-pass column statistics (SURVEY.md §2.4 "stats pass").
+
+Generalizes the reference's per-document keyword checks to table-level
+metrics: ``required`` -> null rate (src/validators.lisp:594-603),
+``minimum``/``maximum`` -> min/max (:449-454, :411-416),
+``minLength``/``maxLength`` -> length histogram (:477-482, :432-437).
+
+Scale posture: ALL stats for ALL columns are fused into ONE
+``groupBy(...).agg(...)`` so Catalyst plans exactly one shuffle with
+map-side partial aggregation (north_star: "single groupBy-rollup
+pass"). The length histogram is a fixed-width bucket count built with
+``floor(char_length/width)`` + pivot-free map aggregation — no second
+shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    by: list[str] | None = None,
+    rollup: bool = False,
+    hist_width: int = 100,
+    hist_col: str | None = None,
+) -> DataFrame:
+    """One-shuffle stats pass.
+
+    Per group (or globally): row count; per column: null count, and for
+    numeric columns min/max/avg, for string columns min/max/avg char
+    length plus a bucketed length histogram for ``hist_col``.
+
+    Output is wide (one row per group) — callers melt as needed; wide
+    keeps it a single partial-aggregable pass.
+    """
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    columns = columns or [f.name for f in df.schema.fields]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+
+    for c in columns:
+        dt = dtypes[c]
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}_nulls"))
+        if isinstance(dt, _NUMERIC):
+            aggs += [
+                F.min(col).alias(f"{c}_min"),
+                F.max(col).alias(f"{c}_max"),
+                F.avg(col).alias(f"{c}_avg"),
+            ]
+        elif isinstance(dt, T.StringType):
+            ln = F.char_length(col)
+            aggs += [
+                F.min(ln).alias(f"{c}_len_min"),
+                F.max(ln).alias(f"{c}_len_max"),
+                F.avg(ln).alias(f"{c}_len_avg"),
+            ]
+        elif isinstance(dt, T.BinaryType):
+            ln = F.length(col)
+            aggs += [F.min(ln).alias(f"{c}_len_min"), F.max(ln).alias(f"{c}_len_max")]
+
+    if hist_col is not None:
+        bucket = F.floor(F.char_length(F.col(hist_col)) / hist_width)
+        # histogram as sorted map bucket -> count, still one pass:
+        # map_from_entries(sort(collect of (bucket,count))) needs a
+        # groupBy per bucket — instead aggregate counts per fixed bucket
+        # id via conditional sums up to a cap (bounded, codegen-able).
+        n_buckets = 32
+        for b in range(n_buckets):
+            aggs.append(
+                F.sum((bucket == b).cast("long")).alias(f"{hist_col}_len_hist_{b}")
+            )
+        aggs.append(F.sum((bucket >= n_buckets).cast("long"))
+                    .alias(f"{hist_col}_len_hist_overflow"))
+
+    if by:
+        grouped = df.rollup(*by) if rollup else df.groupBy(*by)
+        return grouped.agg(*aggs)
+    return df.agg(*aggs)
+
+
+def stats_long(df: DataFrame, columns: list[str], by: str) -> DataFrame:
+    """Long-format per-group per-column stats (easier to assert /
+    oracle-check): (group, column, n_rows, n_nulls, null_rate)."""
+    wide = column_stats(df, columns=columns, by=[by])
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}_nulls").alias("n_nulls"),
+        )
+        for c in columns
+    ]
+    return wide.select(
+        F.col(by), F.col("n_rows"), F.explode(F.array(*entries)).alias("s")
+    ).select(
+        F.col(by),
+        F.col("s.column").alias("column"),
+        F.col("n_rows"),
+        F.col("s.n_nulls").alias("n_nulls"),
+        F.round(F.col("s.n_nulls") / F.col("n_rows"), 6).alias("null_rate"),
+    )

@@ -1,0 +1,74 @@
+"""Dataset-level uniqueness: salted two-stage aggregation (SURVEY.md §2.4).
+
+Generalizes per-row ``uniqueItems`` deep-distinct
+(/root/reference/src/validators.lisp:632-639) to a table-level key
+uniqueness check.
+
+Scale posture: a single ``groupBy(key).count()`` already does map-side
+partial aggregation, but when one key is pathologically hot (the
+north-rule skew axis: one domain/url holding a large fraction of rows)
+the single reducer owning that key still receives every partial. The
+two-stage salted form bounds any reducer's share of a hot key to
+1/salt_width of its partials:
+
+    stage 1: groupBy(key, salt) -> partial counts   (salt = hash % w)
+    stage 2: groupBy(key)       -> sum(partials)
+
+Stage-2 input is at most ``salt_width`` rows per key — tiny. The salt
+is derived deterministically from a secondary column so retries are
+stable (never ``rand()``/``monotonically_increasing_id`` — both break
+task retry determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_width: int = 16,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Keys that violate uniqueness: (key..., dup_count) for count > 1.
+
+    ``salt_source``: a column whose hash spreads a hot key's rows across
+    ``salt_width`` stage-1 groups. Defaults to all non-key columns'
+    hash. ``salt_width`` should come from the stats pass at scale
+    (adaptive salting: wider for hotter keys); 16 is a sane default —
+    stage-2 fan-in is bounded by it.
+    """
+    if salt_source is None:
+        others = [c for c in df.columns if c not in key_cols]
+        salt_source = F.xxhash64(*[F.col(c) for c in others]) if others \
+            else F.xxhash64(*[F.col(c) for c in key_cols])
+    elif isinstance(salt_source, str):
+        salt_source = F.xxhash64(F.col(salt_source))
+
+    salt = F.pmod(salt_source, F.lit(salt_width)).alias("__salt")
+    stage1 = (
+        df.select(*key_cols, salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    stage2 = (
+        stage1.groupBy(*key_cols)
+        .agg(F.sum("__partial").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+    return stage2
+
+
+def uniqueness_verdict(df: DataFrame, key_cols: list[str], **kw) -> DataFrame:
+    """Aggregate verdict row: (check, pass, n_violating_keys,
+    n_violating_rows) — a partition passes iff zero duplicate keys
+    ("valid iff errors nil", src/json-schema.lisp:33-38)."""
+    dups = duplicate_keys(df, key_cols, **kw)
+    return dups.agg(
+        F.lit("unique(" + ",".join(key_cols) + ")").alias("check"),
+        (F.count(F.lit(1)) == 0).alias("pass"),
+        F.count(F.lit(1)).alias("n_violating_keys"),
+        F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n_violating_rows"),
+    )

@@ -1,0 +1,99 @@
+"""Dataset-level operator tests on the synthetic webpage table:
+uniqueness (salted), referential (anti-join), drift (chi2/KS), stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json_schema_spark.operators.drift import chi2_by_partition, ks_stat, ks_stat_binned
+from json_schema_spark.operators.referential import (
+    referential_verdict,
+    referential_violations,
+)
+from json_schema_spark.operators.stats import column_stats, stats_long
+from json_schema_spark.operators.unique import duplicate_keys, uniqueness_verdict
+from json_schema_spark.sources import tables as tb
+
+N = 5000
+
+
+def test_salted_unique_matches_plain_groupby(webpages):
+    salted = {
+        tuple(r) for r in duplicate_keys(webpages, ["url"], salt_width=16).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in webpages.groupBy("url").count().where("count > 1")
+        .withColumnRenamed("count", "dup_count").collect()
+    }
+    assert salted == plain
+    assert len(salted) > 0  # planted DUP_URL_MOD duplicates exist
+
+
+def test_uniqueness_verdict(webpages):
+    v = uniqueness_verdict(webpages, ["url"]).collect()[0]
+    assert v["pass"] is False
+    # planted: (N-1)//DUP_URL_MOD copied-url pairs, plus ONE hot key —
+    # every malformed url is the same literal (the skew case salting
+    # exists for).
+    n_pairs = (N - 1) // tb.DUP_URL_MOD
+    n_bad = (N - 1) // tb.BAD_URL_MOD
+    assert v["n_violating_keys"] == n_pairs + 1
+    assert v["n_violating_rows"] == 2 * n_pairs + n_bad
+
+
+def test_referential_anti_join(spark, webpages):
+    dim = tb.lang_dim(spark)
+    miss = referential_violations(webpages, dim, "lang", "lang_code")
+    assert miss.count() == webpages.where(F.col("lang") == "xx").count()
+    verdict = referential_verdict(webpages, dim, "lang", "lang_code").collect()[0]
+    assert verdict["pass"] is False
+    # broadcast hint visible in plan (dim side must not shuffle)
+    plan = miss._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_chi2_flags_drift_day(webpages):
+    res = chi2_by_partition(webpages, "lang", "warc_day")
+    rows = res.collect()
+    assert len(rows) == tb.N_DAYS
+    drifted = max(rows, key=lambda r: r["chi2"])
+    assert str(drifted["partition"]) == "2024-03-08"  # DRIFT_DAY = 7
+    others = [r["chi2"] for r in rows if r is not drifted]
+    assert drifted["chi2"] > 10 * max(others)
+
+
+def test_ks_exact_and_binned_agree(webpages):
+    df = webpages.withColumn("tlen", F.char_length("text"))
+    exact = ks_stat(df, "tlen", "lang", "en", "de").collect()[0]
+    binned = ks_stat_binned(df, "tlen", "lang", "en", "de", n_bins=512).collect()[0]
+    assert exact["n_a"] == binned["n_a"]
+    assert abs(exact["ks"] - binned["ks"]) < 0.02
+    # same distribution generator for both langs -> small KS
+    assert exact["ks"] < 0.1
+
+
+def test_single_pass_stats(webpages):
+    wide = column_stats(
+        webpages, columns=["url", "text", "lang"], by=["warc_day"],
+        hist_col="text",
+    )
+    rows = wide.collect()
+    assert len(rows) == tb.N_DAYS
+    total_nulls = sum(r["text_nulls"] for r in rows)
+    assert total_nulls == (N - 1) // tb.NULL_TEXT_MOD
+    # histogram buckets sum to non-null text rows
+    r0 = rows[0]
+    hist_sum = sum(r0[f"text_len_hist_{b}"] for b in range(32)) + r0["text_len_hist_overflow"]
+    assert hist_sum == r0["n_rows"] - r0["text_nulls"]
+    # ONE shuffle: physical plan has exactly one Exchange
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # partial+final agg pair
+
+
+def test_stats_long_null_rates(webpages):
+    res = stats_long(webpages, ["text", "warc_ts"], by="lang")
+    rows = res.collect()
+    assert all(0.0 <= r["null_rate"] <= 1.0 for r in rows)
+    total = sum(r["n_nulls"] for r in rows if r["column"] == "text")
+    assert total == (N - 1) // tb.NULL_TEXT_MOD
