@@ -148,11 +148,37 @@ def _lit_value(value: Any, dt: T.DataType) -> Column:
 # or None when statically inapplicable (type-gate folded at compile time)
 # ---------------------------------------------------------------------------
 
+# per-draft keyword availability (dispatch tables,
+# src/validators.lisp:657-808): a keyword absent from a draft's table
+# is UNKNOWN there and skipped (:132-135) — e.g. `const` predates
+# draft6, `if` predates draft7.
+_CORE_KEYWORDS = frozenset({
+    "type", "enum", "pattern", "minLength", "maxLength", "multipleOf",
+    "format", "required", "properties", "patternProperties",
+    "additionalProperties", "minProperties", "maxProperties", "items",
+    "additionalItems", "minItems", "maxItems", "uniqueItems", "allOf",
+    "anyOf", "oneOf", "not", "$ref", "dependencies", "minimum", "maximum",
+    "exclusiveMinimum", "exclusiveMaximum",
+})
+_DRAFT6_PLUS = frozenset({"const", "contains", "propertyNames"})
+DRAFT_KEYWORDS: dict[str, frozenset] = {
+    "draft4": _CORE_KEYWORDS,
+    "draft6": _CORE_KEYWORDS | _DRAFT6_PLUS,
+    "draft7": _CORE_KEYWORDS | _DRAFT6_PLUS | {"if"},
+    "draft2019-09": _CORE_KEYWORDS | _DRAFT6_PLUS | {
+        "if", "dependentRequired", "dependentSchemas", "unevaluatedProperties",
+    },
+}
+DRAFT_KEYWORDS["draft3"] = _CORE_KEYWORDS
+
+
 def _compile_keyword(
     keyword: str, val: Any, schema: dict, dt: T.DataType, draft: str,
     spec: ConstraintSpec,
 ) -> PredFn | None:
     """Dispatch one keyword (dispatch tables src/validators.lisp:657-808)."""
+    if keyword not in DRAFT_KEYWORDS.get(draft, DRAFT_KEYWORDS["draft7"]):
+        return None  # unknown in this draft: warn-skip (:132-135)
 
     # ---- universal keywords -------------------------------------------
     if keyword == "type":
