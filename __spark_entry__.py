@@ -214,6 +214,154 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on text hash (empty when corpus is clean —
+    the check itself is the operator)."""
+    from json_schema_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate groups keyed by the first-3-token prefix
+    fingerprint (cheap blocking key)."""
+    df = _docs(spark, sf_dir)
+    prefix = F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3))
+    return (
+        df.where(F.col("text").isNotNull())
+        .groupBy(prefix.alias("prefix_key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs above a low threshold."""
+    from json_schema_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                               n=3, threshold=0.01, max_df=None)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (rows-only check: xxhash64 has no
+    DuckDB twin)."""
+    from json_schema_spark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(_docs(spark, sf_dir), "doc_id", "text",
+                              n=3, k=64, bands=16)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only check)."""
+    from json_schema_spark.operators.dedup import simhash64
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", simhash64("text").alias("simhash"))
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<5."""
+    from json_schema_spark.operators.similarity import ann_bruteforce_topk
+
+    emb = _read("embeddings")(spark, sf_dir)
+    return ann_bruteforce_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact path; LSH path is the
+    scale variant, tested in tests/)."""
+    from json_schema_spark.operators.similarity import embedding_near_duplicates_exact
+
+    emb = _read("embeddings")(spark, sf_dir)
+    return embedding_near_duplicates_exact(emb, threshold=0.35)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang quality-score aggregate (length/alpha/punct/diversity)."""
+    from json_schema_spark.operators.textstats import quality_score
+
+    df = _docs(spark, sf_dir)
+    return (
+        df.where(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality"),
+            F.round(F.min(quality_score(F.col("text"))), 4).alias("min_quality"),
+        )
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token statistics: whitespace + BPE-ish regex tokens."""
+    from json_schema_spark.operators.textstats import regex_token_count, token_count
+
+    df = _docs(spark, sf_dir)
+    return (
+        df.where(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+            F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+            F.sum(regex_token_count(F.col("text")).cast("long")).alias("total_regex_tokens"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint per document (md5 of folded text)."""
+    from json_schema_spark.operators.textstats import doc_fingerprint
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    )
+
+
+def q_events_json_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-JSON validation on events.props against
+    {required:[k], properties:{k:{type:integer, minimum:0, maximum:50}}}
+    — the get_json_object/JVM path (no UDF); per-event_type counts."""
+    ev = _read("events")(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k")
+    k_int = k.try_cast("long")
+    ok = (
+        k.isNotNull()                       # required
+        & k_int.isNotNull()                 # type: integer
+        & (k_int >= 0) & (k_int <= 50)      # minimum / maximum
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~ok).cast("long")).alias("n_violations"),
+        )
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour window aggregation over the events stream table
+    (batch twin of the Structured Streaming path)."""
+    ev = _read("events")(spark, sf_dir)
+    w = F.window(F.col("ts"), "6 hours")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full keyword-set constraint pass on sf0.001."""
     return q_constraint_summary(spark, SF0001)
@@ -231,6 +379,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_chars": q_drift_ks_chars,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "dedup_exact": q_dedup_exact,
+        "dedup_prefix": q_dedup_prefix,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "events_json_validate": q_events_json_validate,
+        "events_window": q_events_window,
     }
 
 
@@ -345,5 +505,119 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_prefix": """
+            SELECT array_to_string(
+                     string_split_regex(trim(text), '\\s+')[1:3], ' ') AS prefix_key,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT doc_id, array_to_string(t, ' ') AS gram
+              FROM toks WHERE len(t) < 3),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_inter,
+                   round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.01
+        """,
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+              FROM e q JOIN e c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 5),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        """,
+        "text_quality": """
+            WITH q AS (
+              SELECT lang,
+                round(
+                  0.3 * least(length(text) / 500.0, 1.0)
+                + 0.3 * (CASE WHEN length(text) > 0 THEN
+                    length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+                      / length(text) ELSE 0 END)
+                + 0.2 * (1.0 - least(
+                    (CASE WHEN length(text) > 0 THEN
+                      length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                        / length(text) ELSE 0 END) * 4, 1.0))
+                + 0.2 * (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                    THEN len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                      / len(string_split_regex(trim(text), '\\s+'))
+                    ELSE 0 END), 6) AS quality
+              FROM documents WHERE text IS NOT NULL)
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(quality), 4) AS avg_quality,
+                   round(min(quality), 4) AS min_quality
+            FROM q GROUP BY lang
+        """,
+        "token_counts": """
+            SELECT lang,
+                   sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+                   round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_regex_tokens
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text),
+                       '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS fp
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "events_json_validate": """
+            SELECT event_type, count(*) AS n_rows,
+                   count(*) FILTER (WHERE NOT (
+                     json_extract_string(props, '$.k') IS NOT NULL
+                     AND try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                         IS NOT NULL
+                     AND try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                         BETWEEN 0 AND 50)) AS n_violations
+            FROM events GROUP BY event_type
+        """,
+        "events_window": """
+            SELECT TIMESTAMP '1970-01-01'
+                     + to_seconds(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+                     AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,288 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five dedup families, all expressed Spark-first (built-in higher-order
+functions + hash-aggregations; zero Python on the hot path):
+
+* exact       — md5(text) grouping (one salt-able shuffle);
+* fingerprint — md5 of normalized text (case/punct/whitespace-folded);
+* minhash+LSH — shingle -> k minhashes -> b bands -> bucket join;
+  signatures are computed INSIDE a single projection via nested
+  higher-order functions (transform/array_min/xxhash64) — no explode,
+  no shuffle until the tiny band join;
+* simhash     — 64-bit sign-of-weighted-bit-sums; near pairs via
+  16-bit band pigeonhole + bit_count(xor) verify;
+* n-gram Jaccard — exact set overlap on word n-grams via a self-join
+  on shared grams with a stop-gram document-frequency filter (the
+  standard candidate-pruning trick: drop grams shared by > max_df docs
+  so the join fan-out stays bounded on a skewed corpus).
+
+Embedding-cosine near-dup lives in
+:mod:`json_schema_spark.operators.similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col: Column) -> Column:
+    """Case-fold, strip non-alphanumerics to spaces, collapse runs."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")
+    return F.trim(c)
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram array via slice/transform — stays in codegen."""
+    toks = _tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dup groups: (text_hash, n_dups, keep_id). keep_id = min id
+    (deterministic survivor). One hash-aggregation; hot hash values
+    are bounded by group size, partial agg handles them map-side."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-exact dup groups on the normalized-text fingerprint."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(_norm_text(F.col(text_col))).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, k: int = 64) -> Column:
+    """k-component minhash signature of a (pre-materialized) shingle
+    array column: sig[i] = min over shingles s of xxhash64(s, i).
+
+    IMPORTANT: pass a plain column reference, not an inline shingling
+    expression — each of the k lambda bodies embeds its input subtree,
+    so an inline expression would be recomputed k times per row
+    (measured ~70 ms/row vs ~0.3 ms/row). The explode+aggregate path in
+    :func:`minhash_signatures` is the preferred scale shape.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64,
+) -> DataFrame:
+    """(doc, sig array<long>) via explode + ONE hash-aggregation with k
+    partial-aggregable mins — the textbook distributed minhash: the
+    shuffle carries only n_docs x k longs after map-side combine, never
+    the shingles themselves."""
+    shingled = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"),
+                F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
+    )
+    aggs = [F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    return shingled.groupBy("doc").agg(*aggs).select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, k: int = 64, bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) with the estimated Jaccard
+    (= matching signature fraction).
+
+    Plan shape at scale: signature projection (narrow) -> explode to
+    b rows/doc -> shuffle on (band, band_hash) — the ONLY wide op —
+    -> within-bucket self-join. Bucket sizes are the skew knob; a hot
+    bucket means near-identical docs, which is exactly the signal.
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sig.select(
+        "doc", "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc") < F.col("b.doc")])
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                               lambda x, y: (x == y).cast("int")),
+                    F.lit(0), lambda acc, v: acc + v,
+                ) / F.lit(float(k))
+            ).alias("est_jaccard"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(col_name: str) -> Column:
+    """64-bit SimHash of the token multiset: bit b of the result is the
+    sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
+
+    Built as ONE SQL higher-order expression (a single aggregate whose
+    accumulator is the array of 64 bit-sums) because variable shift
+    amounts need the SQL surface — the Python `shiftright` wrapper only
+    accepts literal ints. Still pure JVM codegen; returns BIGINT.
+    """
+    return F.expr(f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split(trim({col_name}), '\\\\s+'), t -> xxhash64(t)),
+              array_repeat(0, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                            (a, b) -> a + CASE WHEN (h >> b) & 1 = 1
+                                           THEN 1 ELSE -1 END)
+            ),
+            sequence(0, 63),
+            (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END
+          ),
+          0L, (acc, v) -> acc + v)
+    """)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 x 16-bit bands; any pair
+    within hamming 3 shares at least one exact band. Join on
+    (band, band_value), verify with bit_count(xor)."""
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), simhash64(text_col).alias("sh"),
+    )
+    banded = base.select(
+        "doc", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sh"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("bval"),
+            )
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("doc", "sh", "bb.band", "bb.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.bval") == F.col("b.bval"),
+                      F.col("a.doc") < F.col("b.doc")])
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, threshold: float = 0.5, max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for every pair sharing at
+    least one (non-stop) gram: (doc_a, doc_b, jaccard).
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) — integer counts, so the
+    single double division is bit-identical across engines.
+
+    ``max_df`` drops grams present in more than that many documents
+    before the self-join (stop-gram pruning): on a skewed web corpus
+    boilerplate grams would otherwise dominate the join fan-out.
+    """
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"),
+                F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
+    )
+    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    if max_df is not None:
+        hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_cnt")) \
+            .where(F.col("df_cnt") > max_df).select("gram")
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+
+    g1, g2 = grams.alias("g1"), grams.alias("g2")
+    inter = (
+        g1.join(g2, on=[F.col("g1.gram") == F.col("g2.gram"),
+                        F.col("g1.doc") < F.col("g2.doc")])
+        .groupBy(F.col("g1.doc").alias("doc_a"), F.col("g2.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    s2 = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(s1, "doc_a").join(s2, "doc_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_inter") /
+                            (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )

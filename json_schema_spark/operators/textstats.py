@@ -1,0 +1,147 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` — regex counts, array
+intersections, hash built-ins — so the whole module rides whole-stage
+codegen. No Python touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword
+# heuristic. Deliberately small: the operator's value is its Spark
+# shape (profile broadcast as literals, one pass), not lexicography.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "un", "una"],
+    "ru": ["и", "в", "не", "на", "что", "с", "это"],
+    "zh": ["的", "是", "了", "在", "和", "有"],
+}
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words/nums/punct
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array."""
+    return F.when(
+        F.trim(col) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count via regexp_count (words, number runs, and
+    individual punctuation marks counted separately)."""
+    return F.regexp_count(col, F.lit(TOKEN_RE))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = ws_tokens(F.lower(col))
+    profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.char_length(col)
+    stripped = F.char_length(F.regexp_replace(col, r"[\p{L}\p{N}\s]", ""))
+    return F.when(n > 0, stripped / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column) -> Column:
+    n = F.char_length(col)
+    alpha = F.char_length(F.regexp_replace(col, r"[^\p{L}]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def word_diversity(col: Column) -> Column:
+    toks = ws_tokens(col)
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length saturation, alpha
+    ratio, low punctuation, lexical diversity — the standard cheap
+    pre-filter stack for web-text pipelines."""
+    length_score = F.least(F.char_length(col) / F.lit(500.0), F.lit(1.0))
+    score = (
+        0.3 * length_score
+        + 0.3 * alpha_ratio(col)
+        + 0.2 * (1.0 - F.least(punct_ratio(col) * 4, F.lit(1.0)))
+        + 0.2 * word_diversity(col)
+    )
+    return F.round(score, 6)
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    toks = ws_tokens(F.lower(col))
+    out = []
+    for lang, words in LANG_PROFILES.items():
+        profile = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+        score = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+        out.append((lang, score))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-profile language ID: argmax over per-language hit
+    ratios; 'und' (undetermined) when nothing matches. Ties resolved
+    by profile order (stable)."""
+    scores = lang_scores(col)
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Normalization fingerprint: md5 of case-folded, punct-stripped,
+    whitespace-collapsed text — the cheap canonical-form dedup key."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " "))
+    return F.md5(norm)
+
+
+def shingle_fingerprint(col: Column, shingle_len: int = 8) -> Column:
+    """Rolling-hash-style fingerprint: min xxhash64 over all
+    character shingles of length ``shingle_len`` (computed via
+    substring transform — one projection, no explode)."""
+    n = F.char_length(col)
+    return F.when(
+        n >= shingle_len,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), n - (shingle_len - 1)),
+                lambda i: F.xxhash64(F.substring(col, i, shingle_len)),
+            )
+        ),
+    ).otherwise(F.xxhash64(col))
+
+
+def text_profile(df: DataFrame, text_col: str, by: str | None = None) -> DataFrame:
+    """One-pass text-metrics aggregate (optionally grouped): token
+    counts, quality components — a single groupBy, partial-aggregable."""
+    c = F.col(text_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(c).cast("long")).alias("total_tokens"),
+        F.round(F.avg(token_count(c)), 4).alias("avg_tokens"),
+        F.sum(regex_token_count(c).cast("long")).alias("total_regex_tokens"),
+        F.round(F.avg(quality_score(c)), 4).alias("avg_quality"),
+        F.round(F.avg(punct_ratio(c)), 4).alias("avg_punct_ratio"),
+        F.round(F.avg(word_diversity(c)), 4).alias("avg_diversity"),
+    ]
+    if by:
+        return df.where(c.isNotNull()).groupBy(by).agg(*aggs)
+    return df.where(c.isNotNull()).agg(*aggs)

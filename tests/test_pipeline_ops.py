@@ -1,0 +1,148 @@
+"""Training-data pipeline operators: dedup (exact / fingerprint /
+minhash-LSH / simhash / n-gram Jaccard), embedding similarity, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.operators import dedup, multimodal, similarity, textstats
+from json_schema_spark.sources import tables as tb
+
+N = 5000
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_duplicates(webpages):
+    docs = webpages.withColumn("doc_id", F.xxhash64("url", "warc_ts"))
+    dups = dedup.exact_duplicates(docs, "doc_id", "text")
+    naive = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("text").count().where("count > 1").count()
+    )
+    # planted DUP_TEXT_MOD copies dominate (a couple interact with
+    # NULL/empty planting; the naive groupBy is the ground truth)
+    assert dups.count() == naive
+    assert naive >= (N - 1) // tb.DUP_TEXT_MOD - 2
+    total_extra = dups.agg(F.sum(F.col("n_dups") - 1)).collect()[0][0]
+    assert total_extra >= (N - 1) // tb.DUP_TEXT_MOD - 2
+
+
+def test_minhash_lsh_finds_planted_near_dups(webpages):
+    docs = (
+        webpages.where(F.col("text").isNotNull() & (F.char_length("text") > 0))
+        .withColumn("doc_id", F.monotonically_increasing_id())
+        .limit(1500)
+        .select("doc_id", "text")
+    )
+    docs.persist()
+    pairs = dedup.minhash_candidates(docs, "doc_id", "text", n=3, k=64, bands=16)
+    high = pairs.where(F.col("est_jaccard") >= 0.9)
+    # exact duplicates (copied text) must be found with est_jaccard == 1
+    exact = dedup.exact_duplicates(docs, "doc_id", "text")
+    n_exact_pairs = exact.agg(
+        F.coalesce(F.sum(F.col("n_dups") * (F.col("n_dups") - 1) / 2), F.lit(0))
+    ).collect()[0][0]
+    assert high.where(F.col("est_jaccard") == 1.0).count() >= n_exact_pairs
+    # near-dups (one word appended) score high but below 1
+    near = pairs.where((F.col("est_jaccard") >= 0.7) & (F.col("est_jaccard") < 1.0))
+    assert near.count() > 0
+    docs.unpersist()
+
+
+def test_simhash_near_dups(webpages):
+    docs = (
+        webpages.where(F.col("text").isNotNull() & (F.char_length("text") > 20))
+        .withColumn("doc_id", F.monotonically_increasing_id())
+        .limit(1000)
+        .select("doc_id", "text")
+    )
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    rows = pairs.collect()
+    assert len(rows) > 0  # exact dups have hamming 0
+    assert all(r["hamming"] <= 3 for r in rows)
+    # determinism: same input -> same simhash
+    h1 = docs.select(dedup.simhash64("text").alias("h")).collect()
+    h2 = docs.select(dedup.simhash64("text").alias("h")).collect()
+    assert [r["h"] for r in h1] == [r["h"] for r in h2]
+
+
+def test_ngram_jaccard_pairs(webpages):
+    docs = (
+        webpages.where(F.col("text").isNotNull() & (F.char_length("text") > 20))
+        .withColumn("doc_id", F.monotonically_increasing_id())
+        .limit(800)
+        .select("doc_id", "text")
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.8, max_df=None)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    assert all(0.8 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_ann_bruteforce_vs_lsh_recall(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 5)
+    exact = similarity.ann_bruteforce_topk(embeddings, queries, k=10)
+    approx = similarity.ann_lsh_topk(embeddings, queries, k=10, n_planes=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e) == 50
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH recall {recall}"  # multiprobe, 6 planes
+
+
+def test_embedding_near_dup_lsh_matches_exact_at_high_threshold(embeddings):
+    # self-duplicate the table so near-dup pairs exist
+    dup = embeddings.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    both = embeddings.select("vec_id", "embedding").unionByName(dup)
+    exact = similarity.embedding_near_duplicates_exact(both, threshold=0.999)
+    lsh = similarity.embedding_near_duplicates(both, threshold=0.999)
+    e = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    l = {(r["doc_a"], r["doc_b"]) for r in lsh.collect()}
+    assert len(e) >= 500  # each vector pairs with its clone
+    assert l <= e  # LSH never invents pairs (exact verify stage)
+    assert len(l & e) / len(e) >= 0.95  # identical vectors share buckets
+
+
+def test_textstats(webpages):
+    prof = textstats.text_profile(webpages, "text", by="lang")
+    rows = prof.collect()
+    assert all(r["total_tokens"] > 0 for r in rows)
+    assert all(0 <= r["avg_quality"] <= 1 for r in rows)
+    one = webpages.select(
+        textstats.lang_id(F.col("text")).alias("pred"),
+        textstats.token_count(F.col("text")).alias("tc"),
+        textstats.doc_fingerprint(F.col("text")).alias("fp"),
+        textstats.shingle_fingerprint(F.col("text")).alias("sfp"),
+    ).where(F.col("text").isNotNull()).limit(50).collect()
+    assert all(r["pred"] is not None for r in one)
+    assert all(r["tc"] >= 0 for r in one)
+    assert all(len(r["fp"]) == 32 for r in one)
+
+
+def test_multimodal_plumbing(webpages):
+    docs = webpages.withColumn("doc_id", F.monotonically_increasing_id()).limit(200)
+    meta = docs.select("doc_id", multimodal.binary_meta(F.col("html")).alias("m"))
+    rows = meta.select("doc_id", "m.n_bytes", "m.kind", "m.content_md5").collect()
+    assert all(r["n_bytes"] > 0 for r in rows)
+    feats = multimodal.extract_features(docs, "doc_id", "html", n_dims=8)
+    frows = feats.collect()
+    assert all(len(r["features"]) == 8 for r in frows)
+    assert all(r["decoder"] == "fake-md5" for r in frows)  # no codec in container
+    # determinism of the fake featurizer across runs
+    frows2 = multimodal.extract_features(docs, "doc_id", "html", n_dims=8).collect()
+    assert {(r["id"], tuple(r["features"])) for r in frows} == \
+           {(r["id"], tuple(r["features"])) for r in frows2}
+    plan = multimodal.frame_sample_plan(docs, "doc_id", "html", every_n=2)
+    prows = plan.collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in prows)
