@@ -276,12 +276,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact path; LSH path is the
-    scale variant, tested in tests/)."""
-    from json_schema_spark.operators.similarity import embedding_near_duplicates_exact
+    """Embedding-cosine near-dup pairs — exact results via block-pair
+    GEMM (Arrow + BLAS), the scale path for dense all-pairs work."""
+    from json_schema_spark.operators.similarity import embedding_near_duplicates_gemm
 
     emb = _read("embeddings")(spark, sf_dir)
-    return embedding_near_duplicates_exact(emb, threshold=0.35)
+    return embedding_near_duplicates_gemm(emb, threshold=0.35)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

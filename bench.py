@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs every headline query from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "docs_per_sec": <full constraint-pass throughput on synthetic
+                      webpages>, "n_docs": ...}
+
+The docs/sec figure is the BASELINE.json north metric: a full
+keyword-set constraint pass (verdicts + violation count) over a
+deterministic synthetic Common-Crawl-style table generated JVM-side
+(see BENCH/ for the N-vs-4N scaling evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from json_schema_spark import compile_spec, verdict_df, violations_df
+from json_schema_spark.session import get_spark
+from json_schema_spark.sources.tables import ALLOWED_LANGS, synth_webpages
+
+WEB_SPEC = {
+    "draft": "draft7",
+    "columns": {
+        "url": {"type": "string", "format": "uri", "pattern": "^https?://",
+                "minLength": 12, "maxLength": 2048},
+        "lang": {"enum": ALLOWED_LANGS},
+        "text": {"type": "string", "minLength": 1},
+        "html": {"minLength": 1},
+    },
+    "required": ["url", "warc_ts", "text", "lang"],
+}
+
+
+def constraint_pass_throughput(spark, n_docs: int) -> tuple[float, float]:
+    """Full keyword-set constraint pass over n_docs synthetic pages:
+    one verdict aggregation + one violation count. Returns
+    (docs_per_sec, wall_s). Source is cached parquet so generation cost
+    is excluded from the measured pass."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH", ".cache", f"webpages_{n_docs}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        synth_webpages(spark, n_docs).write.mode("overwrite") \
+            .partitionBy("warc_day").parquet(cache)
+    df = spark.read.parquet(cache)
+    compiled = compile_spec(WEB_SPEC, df)
+    t0 = time.perf_counter()
+    verdict_df(df, compiled).collect()
+    violations_df(df, compiled, id_cols=["url"]).count()
+    wall = time.perf_counter() - t0
+    return n_docs / wall, wall
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="jss-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+    docs_per_sec, wall = constraint_pass_throughput(spark, n_docs)
+
+    print(json.dumps({
+        "metric": "headline query wall time (sf) + constraint-pass docs/sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "docs_per_sec": round(docs_per_sec),
+        "n_docs": n_docs,
+        "constraint_pass_wall_s": round(wall, 3),
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

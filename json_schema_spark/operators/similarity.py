@@ -53,16 +53,20 @@ def ann_bruteforce_topk(
     Ties broken by neighbor id for determinism."""
     q = F.broadcast(
         queries.select(F.col(qid_col).alias("query_id"),
-                       F.col(qvec_col).alias("qvec"))
+                       F.col(qvec_col).alias("qvec"),
+                       l2norm(F.col(qvec_col)).alias("qnorm"))
     )
+    # norms once per row BELOW the join (see embedding_near_duplicates_exact)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cvec"))
+                      F.col(vec_col).alias("cvec"),
+                      l2norm(F.col(vec_col)).alias("cnorm"))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+            F.round(dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnorm") * F.col("cnorm")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -113,10 +117,12 @@ def ann_lsh_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        l2norm(F.col(vec_col)).alias("cnorm"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        l2norm(F.col(vec_col)).alias("qnorm"),
         lsh_bucket(F.col(vec_col), planes).alias("qbucket"),
     )
     if multiprobe:
@@ -126,13 +132,16 @@ def ann_lsh_topk(
         )
     else:
         probes = F.array(F.col("qbucket"))
-    q = F.broadcast(qb.select("query_id", "qvec", F.explode(probes).alias("bucket")))
+    q = F.broadcast(
+        qb.select("query_id", "qvec", "qnorm", F.explode(probes).alias("bucket"))
+    )
 
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+                F.round(dot(F.col("qvec"), F.col("cvec"))
+                        / (F.col("qnorm") * F.col("cnorm")), 6).alias("cos_sim"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
     )
@@ -153,10 +162,11 @@ def embedding_near_duplicates(
     planes = _hyperplanes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
+        l2norm(F.col(vec_col)).alias("norm"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     probed = base.select(
-        "doc", "vec",
+        "doc", "vec", "norm",
         F.explode(F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
@@ -164,29 +174,114 @@ def embedding_near_duplicates(
     )
     a = probed.alias("a")
     b = base.select(F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"),
+                    F.col("norm").alias("norm_b"),
                     F.col("bucket").alias("probe")).alias("b")
     return (
         a.join(b, on=["probe"])
         .where(F.col("a.doc") < F.col("doc_b"))
         .select(F.col("a.doc").alias("doc_a"), F.col("doc_b"),
-                F.round(cosine(F.col("a.vec"), F.col("vec_b")), 6).alias("cos_sim"))
+                F.round(dot(F.col("a.vec"), F.col("vec_b"))
+                        / (F.col("a.norm") * F.col("norm_b")), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
         .groupBy("doc_a", "doc_b")
         .agg(F.max("cos_sim").alias("cos_sim"))
     )
 
 
+def embedding_near_duplicates_gemm(
+    df: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-pair GEMM.
+
+    The dense-linear-algebra case is the one place built-in Columns
+    lose: per-pair interpreted dot products cost ~14 us while BLAS does
+    the same work in ~1 ns/multiply. So: hash vectors into n_blocks,
+    replicate each row into every block-pair group it belongs to
+    (explode x n_blocks — the standard block outer-product layout),
+    then ONE applyInPandas per block pair computes A_hat @ B_hat.T with
+    numpy and emits only pairs above threshold.
+
+    Scale notes: shuffle volume = n_rows x n_blocks; choose n_blocks so
+    two blocks of vectors fit executor memory (n_blocks grows ~sqrt of
+    corpus size). Group count = n_blocks*(n_blocks+1)/2 tasks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tagged = df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # row of block k participates in every pair {min(k,o), max(k,o)}
+    exploded = tagged.select(
+        "doc", "vec", "blk",
+        F.explode(F.array(*[F.lit(o) for o in range(n_blocks)])).alias("other"),
+    ).select(
+        "doc", "vec", "blk",
+        (F.least("blk", "other") * n_blocks + F.greatest("blk", "other")).alias("grp"),
+        F.least("blk", "other").alias("lo"),
+    )
+
+    def block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = int(pdf["lo"].iloc[0])
+        a_side = pdf[pdf["blk"] == lo]
+        hi_mask = pdf["blk"] != lo
+        same_block = not hi_mask.any()
+        b_side = a_side if same_block else pdf[hi_mask].drop_duplicates("doc")
+        a_side = a_side.drop_duplicates("doc")
+        if len(a_side) == 0 or len(b_side) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos_sim": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cos_sim": "float64"})
+        A = np.stack(a_side["vec"].to_numpy()).astype(np.float64)
+        B = np.stack(b_side["vec"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        sims = np.round(A @ B.T, 6)
+        ia, ib = np.nonzero(sims >= threshold)
+        doc_a = a_side["doc"].to_numpy()[ia]
+        doc_b = b_side["doc"].to_numpy()[ib]
+        # canonical orientation (min, max): cross-block pairs arrive in
+        # arbitrary id order; same-block pairs arrive twice and the
+        # final distinct() collapses them. Diagonal drops here.
+        keep = doc_a != doc_b
+        lo_doc = np.minimum(doc_a, doc_b)[keep]
+        hi_doc = np.maximum(doc_a, doc_b)[keep]
+        return pd.DataFrame({
+            "doc_a": lo_doc, "doc_b": hi_doc,
+            "cos_sim": sims[ia, ib][keep],
+        })
+
+    return exploded.groupBy("grp").applyInPandas(
+        block_pair, "doc_a long, doc_b long, cos_sim double",
+    ).distinct()
+
+
 def embedding_near_duplicates_exact(
     df: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force O(n^2) verify path (oracle baseline; fine at test
-    scale, the LSH path above is the scale path)."""
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vec_b"))
+    """Brute-force O(n^2) verify path (oracle baseline; the LSH path
+    above is the scale path).
+
+    Norms are computed ONCE PER ROW in the join children — never put
+    `cosine()` on a join output: higher-order lambdas are interpreted
+    (not codegen'd), and inlining norm computation into the pair
+    expression made this 9x slower (norms re-evaluated per pair).
+    """
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a"),
+                  l2norm(F.col(vec_col)).alias("norm_a"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vec_b"),
+                  l2norm(F.col(vec_col)).alias("norm_b"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b",
-                F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= threshold)
     )

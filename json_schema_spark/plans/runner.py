@@ -1,0 +1,168 @@
+"""Checkpoint-resumable per-partition validation runs (SURVEY.md §2.4).
+
+The reference's reusable ``context`` ("mutable, build up state as they
+go", README.rst:144; make-context src/reference.lisp:103-119) becomes:
+compile the spec ONCE, then validate partition after partition,
+recording a verdict/metrics/lineage row per (partition, check) in a
+results table. A run interrupted after K partitions resumes by
+skipping the partitions already in the manifest — no duplicated
+results, identical final verdicts.
+
+Storage layout (Iceberg-compatible partitioned Parquet + a JSON
+manifest standing in for Iceberg snapshot state; a real Iceberg
+catalog would replace ``_Manifest`` with MERGE semantics behind the
+same ``TableIO`` seam):
+
+    <results_dir>/violations/part=<P>/*.parquet
+    <results_dir>/verdicts/part=<P>/*.parquet
+    <results_dir>/manifest.json       {run_id, completed: {P: metrics}}
+
+Verdict row schema (FIXTURES.md §5):
+    run_id, partition, check, pass, n_rows, n_violations,
+    metrics MAP<STRING,DOUBLE>, input_files ARRAY<STRING>, wall_ms
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_schema_spark.compiler import CompiledSpec, compile_spec, violations_df
+from json_schema_spark.spec import ConstraintSpec
+
+
+class _Manifest:
+    """Atomic JSON manifest (write-tmp + rename). The checkpoint unit
+    is one partition value; idempotent re-marks are fine."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {"completed": {}}
+
+    def mark(self, partition: str, info: dict) -> None:
+        state = self.load()
+        state["completed"][partition] = info
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1, default=str)
+        os.replace(tmp, self.path)  # atomic on POSIX
+
+    def completed(self) -> set[str]:
+        return set(self.load()["completed"].keys())
+
+
+@dataclass
+class ValidationRunner:
+    spark: SparkSession
+    spec: ConstraintSpec | dict
+    results_dir: str
+    run_id: str = "run-0"
+    id_cols: tuple[str, ...] = ("url",)
+    compiled: CompiledSpec | None = field(default=None)
+
+    def __post_init__(self):
+        os.makedirs(self.results_dir, exist_ok=True)
+        self.manifest = _Manifest(os.path.join(self.results_dir, "manifest.json"))
+
+    # -- helpers ----------------------------------------------------------
+    def _compile(self, df: DataFrame) -> CompiledSpec:
+        if self.compiled is None:  # compile once, validate many (§4.1)
+            self.compiled = compile_spec(self.spec, df)
+        return self.compiled
+
+    def pending_partitions(self, df: DataFrame, partition_col: str) -> list[str]:
+        """All partition values minus completed ones. The distinct() is
+        partition-metadata-sized; on a partitioned source Catalyst
+        answers it from file listing, not a scan."""
+        values = [
+            str(r[0])
+            for r in df.select(partition_col).distinct().collect()
+            if r[0] is not None
+        ]
+        done = self.manifest.completed()
+        return sorted(v for v in values if v not in done)
+
+    # -- the per-partition pass --------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        partition_col: str = "warc_day",
+        max_partitions: int | None = None,
+    ) -> list[str]:
+        """Validate pending partitions; returns the partitions processed.
+
+        ``max_partitions`` exists for tests (simulated interruption)
+        and for budgeted incremental runs.
+        """
+        compiled = self._compile(df)
+        pending = self.pending_partitions(df, partition_col)
+        if max_partitions is not None:
+            pending = pending[:max_partitions]
+
+        for part in pending:
+            t0 = time.monotonic()
+            slice_df = df.where(F.col(partition_col).cast("string") == part)
+
+            viol = violations_df(
+                slice_df, compiled, id_cols=list(self.id_cols),
+                partition_col=F.lit(part), run_id=self.run_id,
+            )
+            viol_path = os.path.join(self.results_dir, "violations", f"part={part}")
+            viol.write.mode("overwrite").parquet(viol_path)  # idempotent redo
+
+            # single-pass verdict agg + lineage over the SAME slice.
+            # input_file_name() is nondeterministic — project it to a
+            # column BEFORE aggregating (aggregates reject it inline).
+            aggs = [
+                F.sum((~c.predicate).cast("long")).alias(f"v{i}")
+                for i, c in enumerate(compiled.checks)
+            ] + [
+                F.count(F.lit(1)).alias("n_rows"),
+                F.collect_set(F.col("__file")).alias("files"),
+            ]
+            row = (
+                slice_df.withColumn("__file", F.input_file_name())
+                .agg(*aggs).collect()[0]
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+
+            verdicts = [
+                (
+                    self.run_id, part, f"{c.column}/{c.keyword}",
+                    row[f"v{i}"] == 0, row["n_rows"], row[f"v{i}"],
+                    {"violation_rate": (row[f"v{i}"] / row["n_rows"]) if row["n_rows"] else 0.0},
+                    [f for f in row["files"] if f],
+                    wall_ms,
+                )
+                for i, c in enumerate(compiled.checks)
+            ]
+            vdf = self.spark.createDataFrame(
+                verdicts,
+                "run_id string, partition string, check string, pass boolean, "
+                "n_rows long, n_violations long, metrics map<string,double>, "
+                "input_files array<string>, wall_ms long",
+            )
+            vpath = os.path.join(self.results_dir, "verdicts", f"part={part}")
+            vdf.coalesce(1).write.mode("overwrite").parquet(vpath)
+
+            self.manifest.mark(part, {
+                "run_id": self.run_id, "n_rows": row["n_rows"], "wall_ms": wall_ms,
+            })
+        return pending
+
+    # -- results ------------------------------------------------------------
+    def verdicts(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.results_dir, "verdicts"))
+
+    def violations(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.results_dir, "violations"))

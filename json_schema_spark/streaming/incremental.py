@@ -1,0 +1,98 @@
+"""Incremental validation over Structured Streaming.
+
+The reference has no streaming surface (SURVEY.md §2.5); this is the
+engine extension for continuously-arriving crawl data: the SAME
+compiled Column predicates run inside a ``readStream`` pipeline —
+per-row violation rows stream out in append mode, and a
+watermark-bounded windowed aggregation maintains per-(window, check)
+violation counts for late-arriving pages.
+
+Because the predicates are plain Columns, batch and streaming share
+one compiler — nothing is reimplemented for the streaming path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_schema_spark.compiler import CompiledSpec, violations_df
+from json_schema_spark.spec import ConstraintSpec
+
+
+def read_page_stream(
+    spark: SparkSession, input_dir: str, schema: T.StructType,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-source stream of web pages (one parquet file = one
+    micro-batch unit; maxFilesPerTrigger bounds batch size so state
+    stays executor-memory-sized at any backlog)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def streaming_violations(
+    stream: DataFrame, compiled: CompiledSpec,
+    id_cols: list[str], run_id: str = "stream",
+) -> DataFrame:
+    """Stateless per-row violation stream: the same projection as the
+    batch path (violations_df) — safe in append mode, no state store."""
+    return violations_df(stream, compiled, id_cols=id_cols, run_id=run_id)
+
+
+def windowed_violation_counts(
+    stream: DataFrame, compiled: CompiledSpec,
+    ts_col: str = "warc_ts", window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling-window violation counts per check.
+
+    Late rows within the watermark update their window; beyond it the
+    window is finalized and dropped from the state store — bounded
+    state, the only shape that survives an unbounded stream.
+    """
+    aggs = [
+        F.sum((~c.predicate).cast("long")).alias(f"{c.column}/{c.keyword}")
+        for c in compiled.checks
+    ] + [F.count(F.lit(1)).alias("n_rows")]
+    return (
+        stream.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), "*")
+        .drop("w")
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    spec: ConstraintSpec | dict,
+    schema: T.StructType,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_cols: list[str] = ["url"],
+) -> None:
+    """One availableNow pass: validate every unseen file, append
+    violation rows to ``output_dir``, exactly-once via the streaming
+    checkpoint (the streaming twin of the batch runner's manifest)."""
+    from json_schema_spark.compiler import compile_spec
+
+    probe = spark.createDataFrame([], schema)
+    compiled = compile_spec(spec, probe)
+    stream = read_page_stream(spark, input_dir, schema)
+    viol = streaming_violations(stream, compiled, id_cols=id_cols)
+    q = (
+        viol.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

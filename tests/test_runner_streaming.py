@@ -1,0 +1,110 @@
+"""Checkpoint/resume runner + Structured Streaming incremental path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.plans.runner import ValidationRunner
+from json_schema_spark.sources import tables as tb
+from tests.test_compiler import WEB_SPEC
+
+
+@pytest.fixture()
+def pages_parquet(spark, webpages, tmp_path):
+    path = str(tmp_path / "pages")
+    webpages.write.partitionBy("warc_day").mode("overwrite").parquet(path)
+    return path
+
+
+def test_resume_no_duplicates_identical_verdicts(spark, pages_parquet, tmp_path):
+    """Kill after K partitions, re-run, assert (a) no duplicated
+    results, (b) verdicts identical to an uninterrupted run
+    (SURVEY.md §5 test 5)."""
+    df = spark.read.parquet(pages_parquet)
+
+    r1 = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "res1"), run_id="r1")
+    first = r1.run(df, max_partitions=3)  # simulated interruption
+    assert len(first) == 3
+    assert r1.manifest.completed() == set(first)
+
+    r1b = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "res1"), run_id="r1")
+    second = r1b.run(df)  # resume
+    assert set(first).isdisjoint(second)
+    assert len(first) + len(second) == tb.N_DAYS
+
+    # uninterrupted control run
+    r2 = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "res2"), run_id="r2")
+    r2.run(df)
+
+    a = {(x["partition"], x["check"]): (x["pass"], x["n_rows"], x["n_violations"])
+         for x in r1b.verdicts().collect()}
+    b = {(x["partition"], x["check"]): (x["pass"], x["n_rows"], x["n_violations"])
+         for x in r2.verdicts().collect()}
+    assert a == b
+    # no dup verdict rows
+    n = r1b.verdicts().count()
+    assert n == len(a)
+    # lineage: every partition records its input files + wall time
+    rows = r1b.verdicts().collect()
+    assert all(len(r["input_files"]) >= 1 for r in rows)
+    assert all(r["wall_ms"] >= 0 for r in rows)
+    # violations partitioned per day, pass iff zero violations
+    v = r1b.violations()
+    per = {r["partition"]: r["count"] for r in v.groupBy("partition").count().collect()}
+    for x in rows:
+        if x["pass"]:
+            assert x["n_violations"] == 0
+
+
+def test_streaming_incremental_exactly_once(spark, webpages, tmp_path):
+    """availableNow streaming validation: second run with the same
+    checkpoint processes nothing new (exactly-once), violation counts
+    match the batch path."""
+    from json_schema_spark.compiler import compile_spec
+    from json_schema_spark.streaming.incremental import run_incremental
+
+    src = str(tmp_path / "stream_src")
+    webpages.limit(2000).coalesce(4).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    batch_df = spark.read.parquet(src)
+
+    run_incremental(spark, src, WEB_SPEC, batch_df.schema, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+
+    compiled = compile_spec(WEB_SPEC, batch_df)
+    from json_schema_spark.compiler import violations_df
+
+    expected = violations_df(batch_df, compiled, id_cols=["url"]).count()
+    assert n1 == expected
+
+    run_incremental(spark, src, WEB_SPEC, batch_df.schema, out, ckpt)  # no-op
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_windowed_counts(spark, webpages, tmp_path):
+    """Watermarked windowed aggregation finalizes per-day windows."""
+    from json_schema_spark.compiler import compile_spec
+    from json_schema_spark.streaming.incremental import (
+        read_page_stream,
+        windowed_violation_counts,
+    )
+
+    src = str(tmp_path / "wsrc")
+    webpages.limit(2000).coalesce(4).write.mode("overwrite").parquet(src)
+    batch_df = spark.read.parquet(src)
+    compiled = compile_spec(WEB_SPEC, batch_df)
+
+    stream = read_page_stream(spark, src, batch_df.schema)
+    agg = windowed_violation_counts(stream, compiled)
+    q = (
+        agg.writeStream.format("memory").queryName("wincounts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from wincounts").collect()
+    assert len(rows) == tb.N_DAYS
+    total = sum(r["n_rows"] for r in rows)
+    assert total == batch_df.where(F.col("warc_ts").isNotNull()).count()
