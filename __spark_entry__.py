@@ -214,6 +214,86 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS as left-semi join + agg."""
+    orders = _read("orders")(spark, sf_dir)
+    li = _read("lineitem")(spark, sf_dir)
+    late = li.where(F.col("l_quantity") >= 25).select("l_orderkey").distinct()
+    return (
+        orders.where((F.col("o_orderdate") >= F.lit("1995-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1995-04-01")))
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q5_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 5-way join (broadcast dims) + agg."""
+    cust = _read("customer")(spark, sf_dir)
+    orders = _read("orders")(spark, sf_dir)
+    li = _read("lineitem")(spark, sf_dir)
+    supp = _read("supplier")(spark, sf_dir)
+    nation = _read("nation")(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer running order total + rank,
+    top-3 orders per customer (first 50 customers for bounded output)."""
+    from pyspark.sql import Window
+
+    orders = _read("orders")(spark, sf_dir).where(F.col("o_custkey") < 50)
+    w_run = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+            F.row_number().over(w_rank).alias("price_rank"),
+        )
+        .where(F.col("price_rank") <= 3)
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: sources present in 'en' docs but not 'zh'
+    (EXCEPT), plus sources in both (INTERSECT), tagged and unioned."""
+    df = _docs(spark, sf_dir)
+    en = df.where(F.col("lang") == "en").select("source").distinct()
+    zh = df.where(F.col("lang") == "zh").select("source").distinct()
+    only_en = en.exceptAll(zh).withColumn("tag", F.lit("en_only"))
+    both = en.intersect(zh).withColumn("tag", F.lit("both"))
+    return only_en.unionByName(both)
+
+
+def q_drift_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_chars quantile vector (exact `percentile` here for
+    oracle parity; the 10^12-scale variant swaps in percentile_approx —
+    Spark's built-in GK/KLL-style sketch — behind the same shape)."""
+    df = _docs(spark, sf_dir)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    return (
+        df.where(F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(*[
+            F.round(F.expr(f"percentile(n_chars, {q})"), 4).alias(f"p{int(q*100)}")
+            for q in qs
+        ])
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -348,6 +428,31 @@ def q_events_json_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_validate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-shape JSON validation with FULL reference semantics
+    (type gating, additionalProperties, error accumulation) via the
+    Arrow-batched pandas-UDF validator — the sanctioned slow path for
+    documents whose shape no typed column can carry."""
+    from json_schema_spark.pyvalidator import validate_json_udf
+
+    schema = {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+        "additionalProperties": False,
+    }
+    ev = _read("events")(spark, sf_dir)
+    udf = validate_json_udf(schema, draft="draft7")
+    return (
+        ev.select("event_type", udf(F.col("props")).alias("r"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("r.valid")).cast("long")).alias("n_violations"),
+        )
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -379,6 +484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_chars": q_drift_ks_chars,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4_semijoin": q_tpch_q4_semijoin,
+        "tpch_q5_joins": q_tpch_q5_joins,
+        "window_running": q_window_running,
+        "set_ops": q_set_ops,
+        "drift_quantiles": q_drift_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -390,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "events_json_validate": q_events_json_validate,
+        "events_json_validate_full": q_events_json_validate_full,
         "events_window": q_events_window,
     }
 
@@ -506,6 +617,57 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
         """,
+        "tpch_q4_semijoin": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 25)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q5_joins": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "window_running": """
+            WITH base AS (SELECT * FROM orders WHERE o_custkey < 50)
+            SELECT o_custkey, o_orderkey, running_total, price_rank FROM (
+              SELECT o_custkey, o_orderkey,
+                     round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_total,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+              FROM base)
+            WHERE price_rank <= 3
+        """,
+        "set_ops": """
+            WITH en AS (SELECT DISTINCT source FROM documents WHERE lang = 'en'),
+                 zh AS (SELECT DISTINCT source FROM documents WHERE lang = 'zh')
+            SELECT source, 'en_only' AS tag FROM (SELECT * FROM en EXCEPT SELECT * FROM zh)
+            UNION ALL
+            SELECT source, 'both' AS tag FROM (SELECT * FROM en INTERSECT SELECT * FROM zh)
+        """,
+        "drift_quantiles": """
+            SELECT source,
+                   round(quantile_cont(n_chars, 0.1), 4) AS p10,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY source
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_dups,
                    min(doc_id) AS keep_id
@@ -607,6 +769,17 @@ def oracle_sql() -> dict[str, str]:
                      json_extract_string(props, '$.k') IS NOT NULL
                      AND try_cast(json_extract_string(props, '$.k') AS BIGINT)
                          IS NOT NULL
+                     AND try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                         BETWEEN 0 AND 50)) AS n_violations
+            FROM events GROUP BY event_type
+        """,
+        "events_json_validate_full": """
+            SELECT event_type, count(*) AS n_rows,
+                   count(*) FILTER (WHERE NOT (
+                     json_valid(props)
+                     AND json_type(props) = 'OBJECT'
+                     AND json_keys(props) = ['k']
+                     AND json_type(props, '$.k') IN ('UBIGINT','BIGINT','INTEGER')
                      AND try_cast(json_extract_string(props, '$.k') AS BIGINT)
                          BETWEEN 0 AND 50)) AS n_violations
             FROM events GROUP BY event_type

@@ -172,11 +172,29 @@ DRAFT_KEYWORDS: dict[str, frozenset] = {
 DRAFT_KEYWORDS["draft3"] = _CORE_KEYWORDS
 
 
+# user-extension registry: the engine twin of the reference's
+# def-validator surface (src/validators.lisp:645-654) — register a
+# custom keyword compiler per draft ("*" = all drafts). The function
+# receives (value, schema, dtype, draft, spec) and returns a PredFn.
+_CUSTOM_KEYWORDS: dict[tuple[str, str], Callable] = {}
+
+
+def register_keyword(name: str, fn: Callable, draft: str = "*") -> None:
+    _CUSTOM_KEYWORDS[(draft, name)] = fn
+
+
+def unregister_keyword(name: str, draft: str = "*") -> None:
+    _CUSTOM_KEYWORDS.pop((draft, name), None)
+
+
 def _compile_keyword(
     keyword: str, val: Any, schema: dict, dt: T.DataType, draft: str,
     spec: ConstraintSpec,
 ) -> PredFn | None:
     """Dispatch one keyword (dispatch tables src/validators.lisp:657-808)."""
+    custom = _CUSTOM_KEYWORDS.get((draft, keyword)) or _CUSTOM_KEYWORDS.get(("*", keyword))
+    if custom is not None:
+        return custom(val, schema, dt, draft, spec)
     if keyword not in DRAFT_KEYWORDS.get(draft, DRAFT_KEYWORDS["draft7"]):
         return None  # unknown in this draft: warn-skip (:132-135)
 
@@ -431,13 +449,13 @@ def _compile_keyword(
                 return lambda c: F.size(F.map_keys(c)) >= n
             return lambda c: F.size(F.map_keys(c)) <= n
         if isinstance(dt, T.StructType):
-            # count present (non-null) fields
+            # presence = non-null field (SURVEY.md §1.1 caveat)
             n = int(val)
 
             def count_pred(c: Column) -> Column:
                 cnt = sum(
-                    (f.dataType, c.getField(f.name).isNotNull().cast("int"))[1]
-                    for f in dt.fields
+                    (c.getField(f.name).isNotNull().cast("int") for f in dt.fields),
+                    F.lit(0),
                 )
                 return (cnt >= F.lit(n)) if keyword == "minProperties" else (cnt <= F.lit(n))
 
@@ -594,7 +612,14 @@ def translate_regex(pattern: str) -> str:
     fail on the driver, not in an executor task
     (cf. precompiled-regex posture, src/formats.lisp:11-12).
     """
-    re.compile(pattern)  # driver-side validation; raises on bad spec
+    try:
+        re.compile(pattern)  # driver-side validation; raises on bad spec
+    except re.error:
+        # tolerate Java/PCRE-only constructs Python's re lacks
+        # (\p{..} property classes, \h/\v horizontal/vertical space,
+        # possessive quantifiers); everything else is a real spec bug.
+        if not re.search(r"\\[pPhHvV]|[*+?}]\+", pattern):
+            raise
     return pattern.replace(r"\Z", r"\z")
 
 
@@ -701,6 +726,12 @@ def violations_df(
     if partition_col is not None:
         keep.append(partition_col.alias("partition"))
     out = df.select(*keep, F.explode(arr).alias("v"))
+    # sub_errors (FIXTURES.md §5): compiled Column checks are keyword-
+    # granular (combinator internals fuse), so the column path emits an
+    # empty nest; the dynamic-JSON path (pyvalidator UDF) fills it.
+    sub_errors = F.lit([]).cast(
+        "array<struct<keyword:string,path:string,message:string>>"
+    )
     return out.select(
         *[F.col(k) for k in id_cols],
         *([F.col("partition")] if partition_col is not None else []),
@@ -708,6 +739,7 @@ def violations_df(
         F.col("v.column").alias("column"),
         F.col("v.path").alias("path"),
         F.col("v.message").alias("message"),
+        sub_errors.alias("sub_errors"),
         F.lit(run_id).alias("run_id"),
     )
 

@@ -852,8 +852,11 @@ def validate_json_udf(schema: dict | bool, draft: str = "draft7"):
     reusable context, README.rst:93-144); each executor builds ONE
     Validator per python worker and streams Arrow batches through it.
     """
-    import pandas as pd
+    import pandas as pd  # noqa: F401 (resolved via module globals below)
     from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd  # type-hint resolution needs module-level pd
+    # (PEP 563 string annotations + function-local imports don't mix)
 
     schema_json = json.dumps(schema)
 
@@ -884,8 +887,10 @@ def regex_compiles_udf(col):
     """``format: regex`` fallback — value compiles as a regex
     (src/formats.lisp:101-105). Arrow-batched; never row-at-a-time in
     the JVM pipeline."""
-    import pandas as pd
+    import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd  # see validate_json_udf
 
     @pandas_udf("boolean")
     def _compiles(s: pd.Series) -> pd.Series:

@@ -59,7 +59,7 @@ def test_violation_rows_accumulate_per_keyword(webpages):
     kws = {r["keyword"] for r in bad.select("keyword").distinct().collect()}
     assert kws == {"pattern", "format"}
     assert v.columns == ["url", "partition", "keyword", "column", "path",
-                         "message", "run_id"]
+                         "message", "sub_errors", "run_id"]
     assert v.where(F.col("run_id") != "r1").count() == 0
 
 

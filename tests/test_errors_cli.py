@@ -1,0 +1,53 @@
+"""Report renderer + spark-submit CLI entry point."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from json_schema_spark.errors import render_verdict_report
+
+
+def test_render_verdict_report():
+    verdicts = [
+        {"partition": "2024-03-01", "check": "url/pattern", "pass": False,
+         "n_rows": 100, "n_violations": 3},
+        {"partition": "2024-03-01", "check": "lang/enum", "pass": True,
+         "n_rows": 100, "n_violations": 0},
+    ]
+    violations = [
+        {"partition": "2024-03-01", "column": "url", "keyword": "pattern",
+         "message": "'url' failed keyword pattern ('^https?://')",
+         "url": "not a url %%"},
+    ]
+    out = render_verdict_report(verdicts, violation_rows=violations)
+    assert "1 failing / 1 passing checks" in out
+    assert "url/pattern" in out and "3 of 100" in out
+    assert "Additionally:" in out  # reference nested style (README.rst:70-79)
+    assert "not a url %%" in out
+
+
+def test_cli_run_validation(spark, webpages, tmp_path):
+    src = str(tmp_path / "pages")
+    webpages.limit(1200).write.partitionBy("warc_day").mode("overwrite").parquet(src)
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps({
+        "draft": "draft7",
+        "columns": {"url": {"type": "string", "pattern": "^https?://"}},
+        "required": ["url"],
+    }))
+    results = str(tmp_path / "results")
+    cmd = [sys.executable, "bin/run_validation.py",
+           "--input", src, "--spec", str(spec_path), "--results", results,
+           "--run-id", "cli-test", "--master", "local[4]"]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    # planted malformed urls -> some check fails -> exit code 1
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert payload["run_id"] == "cli-test"
+    assert payload["failed_checks"] >= 1
+    # resume: immediate rerun has nothing pending -> exit 0
+    proc2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "nothing pending" in proc2.stdout
