@@ -258,31 +258,36 @@ def ngram_jaccard_pairs(
     before the self-join (stop-gram pruning): on a skewed web corpus
     boilerplate grams would otherwise dominate the join fan-out.
     """
+    # set size is carried WITH each gram row (computed in the same
+    # projection, before the explode) — joining a separate per-doc
+    # sizes aggregate back in re-scanned the source twice more.
+    gram_arr = F.array_distinct(word_ngrams(F.col(text_col), n))
     grams = (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc"),
-                F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
+        .select(F.col(id_col).alias("doc"), gram_arr.alias("ga"))
+        .select("doc", F.size("ga").alias("n_grams"), F.explode("ga").alias("gram"))
     )
-    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
     if max_df is not None:
         hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_cnt")) \
             .where(F.col("df_cnt") > max_df).select("gram")
         grams = grams.join(F.broadcast(hot), "gram", "left_anti")
 
     g1, g2 = grams.alias("g1"), grams.alias("g2")
+    # both join inputs shuffle on the same key and are identical
+    # subplans -> Spark reuses one exchange for the other side.
     inter = (
         g1.join(g2, on=[F.col("g1.gram") == F.col("g2.gram"),
                         F.col("g1.doc") < F.col("g2.doc")])
         .groupBy(F.col("g1.doc").alias("doc_a"), F.col("g2.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.first(F.col("g1.n_grams")).alias("n_a"),
+             F.first(F.col("g2.n_grams")).alias("n_b"))
     )
-    s1 = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("n_a"))
-    s2 = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("n_b"))
     return (
-        inter.join(s1, "doc_a").join(s2, "doc_b")
-        .withColumn("jaccard",
-                    F.round(F.col("n_inter") /
-                            (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )

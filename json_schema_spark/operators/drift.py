@@ -43,15 +43,18 @@ def chi2_by_partition(df: DataFrame, category: str, partition: str | Column) -> 
         .groupBy(part.alias("partition"), F.col(category).alias("cat"))
         .agg(F.count(F.lit(1)).alias("obs"))
     )
-    part_totals = cells.groupBy("partition").agg(F.sum("obs").alias("n_part"))
-    cat_totals = cells.groupBy("cat").agg(F.sum("obs").alias("n_cat"))
-    grand = cells.agg(F.sum("obs").alias("n_total"))
-
-    with_exp = (
-        cells.join(F.broadcast(part_totals), "partition")
-        .join(F.broadcast(cat_totals), "cat")
-        .crossJoin(F.broadcast(grand))
-        .withColumn("exp", F.col("n_part") * F.col("n_cat") / F.col("n_total"))
+    # marginals via WINDOWS over the aggregated cells, not re-joins:
+    # deriving them with separate groupBys re-scanned the SOURCE four
+    # times (Catalyst does not share the subtree across actions of one
+    # plan). The windows shuffle only |partitions| x |categories| rows.
+    w_part = Window.partitionBy("partition")
+    w_cat = Window.partitionBy("cat")
+    w_all = Window.partitionBy()
+    with_exp = cells.select(
+        "partition", "obs",
+        (F.sum("obs").over(w_part)).alias("n_part"),
+        (F.sum("obs").over(w_cat) * F.sum("obs").over(w_part)
+         / F.sum("obs").over(w_all)).alias("exp"),
     )
     return (
         with_exp.groupBy("partition")
