@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
-from json_schema_spark import compile_spec, verdict_df, violations_df
+from json_schema_spark import compile_spec, verdict_df
 from json_schema_spark.session import get_spark
 from json_schema_spark.sources.tables import ALLOWED_LANGS, synth_webpages
 
@@ -92,7 +92,9 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
-    docs_per_sec, wall = constraint_pass_throughput(spark, n_docs)
+    run = build_constraint_pass(spark, n_docs)
+    run()  # discarded warm-up (JIT/codegen; see BENCH/scaling.py)
+    docs_per_sec, wall = run()
 
     print(json.dumps({
         "metric": "headline query wall time (sf) + constraint-pass docs/sec",
