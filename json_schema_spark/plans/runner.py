@@ -160,6 +160,77 @@ class ValidationRunner:
             })
         return pending
 
+    # -- dataset-level checks (spec "dataset" block, FIXTURES.md §3) -------
+    def run_dataset_checks(
+        self,
+        df: DataFrame,
+        dims: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
+        """Execute the spec's table-level block:
+
+            "dataset": {"unique": ["url"],
+                        "ref":   [{"column","table","key"}, ...],
+                        "drift": [{"column","test","by"}, ...]}
+
+        ``dims`` maps ref-check table names to dimension DataFrames.
+        Returns one verdict row per check (check, pass, n_violations,
+        metric). These run once per table (not per partition) — they
+        are cross-partition by nature (global uniqueness, referential
+        integrity, cross-partition drift).
+        """
+        from json_schema_spark.operators.drift import chi2_by_partition, ks_stat_binned
+        from json_schema_spark.operators.referential import referential_verdict
+        from json_schema_spark.operators.unique import uniqueness_verdict
+
+        spec = self.spec if isinstance(self.spec, ConstraintSpec) else ConstraintSpec(self.spec)
+        block = spec.dataset
+        results: list[tuple] = []
+
+        for key in block.get("unique", []):
+            cols = key if isinstance(key, list) else [key]
+            row = uniqueness_verdict(df, cols).collect()[0]
+            results.append((row["check"], bool(row["pass"]),
+                            int(row["n_violating_rows"]),
+                            float(row["n_violating_keys"])))
+
+        for ref in block.get("ref", []):
+            dim = (dims or {}).get(ref["table"])
+            if dim is None:
+                raise ValueError(f"dimension table {ref['table']!r} not provided")
+            row = referential_verdict(df, dim, ref["column"], ref["key"]).collect()[0]
+            results.append((row["check"], bool(row["pass"]),
+                            int(row["n_violations"]), float(row["n_violations"])))
+
+        for d in block.get("drift", []):
+            by = d["by"]
+            by_col = F.to_date(F.col(by[5:-1])) if by.startswith("days(") else F.col(by)
+            col = d["column"]
+            col_expr = F.expr(col) if "(" in col else F.col(col)
+            if d.get("test") == "chi2":
+                rows = chi2_by_partition(df, col, by_col).collect()
+                worst = max(rows, key=lambda r: r["chi2"] or 0.0)
+                # crude flag: chi2 beyond 5x the median partition
+                med = sorted(r["chi2"] for r in rows)[len(rows) // 2]
+                drifted = worst["chi2"] > 5 * max(med, 1e-9)
+                results.append((f"drift_chi2({col} by {by})", not drifted,
+                                int(drifted), float(worst["chi2"])))
+            else:  # ks
+                tagged = df.withColumn("__by", by_col).withColumn("__v", col_expr)
+                parts = [r[0] for r in tagged.select("__by").distinct().collect()
+                         if r[0] is not None]
+                worst_ks = 0.0
+                for p in sorted(parts):
+                    two = tagged.withColumn(
+                        "__g", F.when(F.col("__by") == p, "a").otherwise("b"))
+                    row = ks_stat_binned(two, "__v", "__g", "a", "b").collect()[0]
+                    worst_ks = max(worst_ks, row["ks"] or 0.0)
+                results.append((f"drift_ks({col} by {by})", worst_ks < 0.2,
+                                int(worst_ks >= 0.2), float(worst_ks)))
+
+        return self.spark.createDataFrame(
+            results, "check string, pass boolean, n_violations long, metric double",
+        )
+
     # -- results ------------------------------------------------------------
     def verdicts(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.results_dir, "verdicts"))
