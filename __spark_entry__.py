@@ -336,6 +336,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                               n=3, k=64, bands=16)
 
 
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with md5-derived hashes — value-checkable
+    against DuckDB (unlike xxhash64): 8 signature components per doc."""
+    from json_schema_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text",
+                             n=3, k=8, hash_fn="md5")
+    return sig.select(
+        "doc", *[F.col("sig")[i].alias(f"s{i}") for i in range(8)]
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only check)."""
     from json_schema_spark.operators.dedup import simhash64
@@ -493,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -704,6 +717,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.01
+        """,
+        "dedup_minhash_md5": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT doc_id, array_to_string(t, ' ') AS gram
+              FROM toks WHERE len(t) < 3)
+            SELECT doc_id AS doc,
+                   min(('0x' || substr(md5(gram || ':0'), 1, 15))::BIGINT) AS s0,
+                   min(('0x' || substr(md5(gram || ':1'), 1, 15))::BIGINT) AS s1,
+                   min(('0x' || substr(md5(gram || ':2'), 1, 15))::BIGINT) AS s2,
+                   min(('0x' || substr(md5(gram || ':3'), 1, 15))::BIGINT) AS s3,
+                   min(('0x' || substr(md5(gram || ':4'), 1, 15))::BIGINT) AS s4,
+                   min(('0x' || substr(md5(gram || ':5'), 1, 15))::BIGINT) AS s5,
+                   min(('0x' || substr(md5(gram || ':6'), 1, 15))::BIGINT) AS s6,
+                   min(('0x' || substr(md5(gram || ':7'), 1, 15))::BIGINT) AS s7
+            FROM grams GROUP BY doc_id
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

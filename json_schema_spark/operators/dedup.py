@@ -97,8 +97,20 @@ def minhash_signature(shingles: Column, k: int = 64) -> Column:
     )
 
 
+def _gram_hash(gram: Column, i: int, how: str) -> Column:
+    """Seeded 64-bit gram hash. 'xxhash64' is the fast path; 'md5'
+    derives 60 bits from the md5 hex prefix — slower, but computable
+    verbatim in DuckDB for oracle cross-checks."""
+    if how == "xxhash64":
+        return F.xxhash64(gram, F.lit(i))
+    return F.conv(
+        F.substring(F.md5(F.concat(gram, F.lit(f":{i}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc, sig array<long>) via explode + ONE hash-aggregation with k
     partial-aggregable mins — the textbook distributed minhash: the
@@ -109,7 +121,9 @@ def minhash_signatures(
         .select(F.col(id_col).alias("doc"),
                 F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
     )
-    aggs = [F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    aggs = [
+        F.min(_gram_hash(F.col("gram"), i, hash_fn)).alias(f"h{i}") for i in range(k)
+    ]
     return shingled.groupBy("doc").agg(*aggs).select(
         "doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
