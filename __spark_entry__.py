@@ -561,7 +561,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source,
                    GROUPING(lang, source) AS gid,
                    count(*) AS n_rows,
-                   sum(n_chars) AS sum_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY ROLLUP (lang, source)
@@ -582,13 +582,18 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2),
             pt AS (SELECT part, sum(obs) AS n_part FROM cells GROUP BY 1),
             ct AS (SELECT cat, sum(obs) AS n_cat FROM cells GROUP BY 1),
-            g AS (SELECT sum(obs) AS n_total FROM cells)
+            g AS (SELECT sum(obs) AS n_total FROM cells),
+            grid AS (
+              SELECT pt.part, ct.cat, pt.n_part, ct.n_cat,
+                     COALESCE(cells.obs, 0) AS obs
+              FROM pt CROSS JOIN ct
+              LEFT JOIN cells ON cells.part = pt.part AND cells.cat = ct.cat)
             SELECT part,
                    round(sum(pow(obs - n_part*n_cat/n_total, 2)
                              / (n_part*n_cat/n_total)), 4) AS chi2,
                    count(*) - 1 AS dof,
-                   max(n_part) AS n_rows
-            FROM cells JOIN pt USING (part) JOIN ct USING (cat) CROSS JOIN g
+                   CAST(max(n_part) AS BIGINT) AS n_rows
+            FROM grid CROSS JOIN g
             GROUP BY part
         """,
         "drift_ks_chars": """
@@ -603,7 +608,7 @@ def oracle_sql() -> dict[str, str]:
                            sum(cnt_b) OVER (ORDER BY v) AS cum_b
                     FROM pv),
             tot AS (SELECT max(cum_a) AS na, max(cum_b) AS nb FROM cdf)
-            SELECT max(na) AS n_a, max(nb) AS n_b,
+            SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
                    round(max(abs(cum_a / na - cum_b / nb)), 6) AS ks
             FROM cdf CROSS JOIN tot
         """,
@@ -785,10 +790,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT lang,
-                   sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
                    round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
-                   sum(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_regex_tokens
+                   CAST(sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_regex_tokens
             FROM documents WHERE text IS NOT NULL
             GROUP BY lang
         """,

@@ -22,6 +22,7 @@ caveat). Every keyword except ``required`` passes vacuously on NULL;
 
 from __future__ import annotations
 
+import decimal
 import math
 import re
 from dataclasses import dataclass, field
@@ -105,8 +106,12 @@ def _type_matches(type_name: str, dt: T.DataType, col: Column) -> Column | bool:
     if type_name == "integer":
         if isinstance(dt, _INTEGRAL_TYPES):
             return True
-        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
-            return col == F.floor(col).cast(dt)
+        if isinstance(dt, T.DecimalType):
+            return F.pmod(col, F.lit(1)) == F.lit(0)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            # fmod, not floor-compare: floor() returns BIGINT and
+            # overflows for |x| > 2^63 where every double IS integral
+            return F.pmod(col, F.lit(1.0)) == F.lit(0.0)
         return False
     if type_name == "boolean":
         return isinstance(dt, T.BooleanType)
@@ -124,6 +129,32 @@ def _type_matches(type_name: str, dt: T.DataType, col: Column) -> Column | bool:
 # ---------------------------------------------------------------------------
 # literal construction for enum/const deep equality (src/utils.lisp:69-112)
 # ---------------------------------------------------------------------------
+
+def _lit_compatible(value: Any, dt: T.DataType) -> bool:
+    """Can `value` ever deep-equal a cell of dtype `dt` under JSON
+    equality (src/utils.lisp:69-112: numbers cross-compare, booleans
+    and strings do not)?  Folding incompatible members to a static
+    False at compile time keeps ANSI-mode Spark from inserting lossy
+    runtime casts (e.g. STRING -> BOOLEAN) for enum/const."""
+    if value is None:
+        return True
+    if isinstance(value, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(value, (int, float)):
+        return _is_number(dt)
+    if isinstance(value, str):
+        return _is_string(dt) or isinstance(dt, T.BinaryType)
+    if isinstance(value, list):
+        return isinstance(dt, T.ArrayType) and all(
+            _lit_compatible(v, dt.elementType) for v in value)
+    if isinstance(value, dict):
+        if isinstance(dt, T.StructType):
+            names = {f.name: f.dataType for f in dt.fields}
+            return all(k in names and _lit_compatible(v, names[k])
+                       for k, v in value.items())
+        return isinstance(dt, T.MapType)  # _lit_value raises -> caller skips
+    return False
+
 
 def _lit_value(value: Any, dt: T.DataType) -> Column:
     if isinstance(value, list):
@@ -165,7 +196,9 @@ DRAFT_KEYWORDS: dict[str, frozenset] = {
     "draft4": _CORE_KEYWORDS,
     "draft6": _CORE_KEYWORDS | _DRAFT6_PLUS,
     "draft7": _CORE_KEYWORDS | _DRAFT6_PLUS | {"if"},
-    "draft2019-09": _CORE_KEYWORDS | _DRAFT6_PLUS | {
+    # "dependencies" was split into dependentRequired/dependentSchemas in
+    # 2019-09; the reference's table (:657-695) drops it, so we do too.
+    "draft2019-09": (_CORE_KEYWORDS - {"dependencies"}) | _DRAFT6_PLUS | {
         "if", "dependentRequired", "dependentSchemas", "unevaluatedProperties",
     },
 }
@@ -217,18 +250,25 @@ def _compile_keyword(
 
     if keyword == "enum":  # deep equality, src/validators.lisp:339-341
         def enum_pred(c: Column) -> Column:
-            if all(isinstance(v, (str, int, float, bool)) or v is None for v in val):
-                members = [v for v in val if v is not None]
-                p = c.isin(members) if members else F.lit(False)
-                if any(v is None for v in val):
-                    p = p | c.isNull()
-                return p
-            return F.exists(
-                F.array(*[_lit_value(v, dt) for v in val]), lambda m: m.eqNullSafe(c)
-            )
+            members = [v for v in val if v is not None and _lit_compatible(v, dt)]
+            has_null = any(v is None for v in val)
+            if not members:
+                return c.isNull() if has_null else F.lit(False)
+            if all(isinstance(v, (str, int, float, bool)) for v in members):
+                p = c.isin(members)
+            else:
+                p = F.exists(
+                    F.array(*[_lit_value(v, dt) for v in members]),
+                    lambda m: m.eqNullSafe(c),
+                )
+            return (p | c.isNull()) if has_null else p
         return enum_pred
 
     if keyword == "const":  # src/validators.lisp:293-296
+        if val is None:
+            return lambda c: c.isNull()
+        if not _lit_compatible(val, dt):
+            return lambda c: F.lit(False)
         return lambda c: c.eqNullSafe(_lit_value(val, dt))
 
     # ---- string keywords (type-gated: src/validators.lisp:35-37) ------
@@ -287,19 +327,39 @@ def _compile_keyword(
         if not _is_number(dt):
             return None
         if isinstance(val, int) and not isinstance(val, bool):
-            if isinstance(dt, _INTEGRAL_TYPES):
+            if isinstance(dt, (*_INTEGRAL_TYPES, T.DecimalType)):
                 return lambda c: F.pmod(c, F.lit(val)) == F.lit(0)
-            # float data, int divisor: exact via decimal cast
-            return lambda c: (
-                c.cast(T.DecimalType(38, 12)) % F.lit(val) == F.lit(0).cast("decimal(38,12)")
-            )
-        # real divisor: the reference uses exact rationals and its own
-        # suite skips "4.5 multiple of 1.5" for doubles
-        # (t/draft7.lisp:54-55); Decimal gives exactness it punts on.
-        dval = F.lit(str(val)).cast(T.DecimalType(38, 12))
-        return lambda c: (c.cast(T.DecimalType(38, 12)) % dval) == F.lit(0).cast(
-            T.DecimalType(38, 12)
-        )
+            # double data, int divisor: exact via decimal cast while the
+            # value fits Decimal(38,12); binary-exact fmod beyond that
+            # (ANSI mode would otherwise raise on the cast).
+            def int_div_pred(c: Column) -> Column:
+                dec = c.try_cast(T.DecimalType(38, 12))
+                return F.when(
+                    dec.isNotNull(),
+                    dec % F.lit(val) == F.lit(0).cast("decimal(38,12)"),
+                ).otherwise(F.pmod(c, F.lit(val)) == F.lit(0.0))
+            return int_div_pred
+        # real divisor: the reference parses JSON numbers to CL rationals,
+        # so 4.5 % 1.5 == 0 exactly (its suite still skips the float
+        # variant, t/draft7.lisp:54-55).  For integral/decimal columns we
+        # reproduce rational exactness with integer arithmetic:
+        # val = p/10^s  =>  x multiple of val  <=>  x*10^s ≡ 0 (mod p).
+        dval_dec = decimal.Decimal(str(val))
+        s = max(0, -dval_dec.as_tuple().exponent)
+        p = int(dval_dec.scaleb(s))
+        if isinstance(dt, (*_INTEGRAL_TYPES, T.DecimalType)):
+            return lambda c: F.pmod(
+                c.cast(T.DecimalType(38, 0)) * F.lit(10 ** s), F.lit(p)
+            ) == F.lit(0)
+
+        def real_div_pred(c: Column) -> Column:
+            dec = c.try_cast(T.DecimalType(38, 12))
+            dval = F.lit(str(val)).cast(T.DecimalType(38, 12))
+            return F.when(
+                dec.isNotNull(),
+                (dec % dval) == F.lit(0).cast(T.DecimalType(38, 12)),
+            ).otherwise(F.pmod(c, F.lit(float(val))) == F.lit(0.0))
+        return real_div_pred
 
     # ---- array keywords ------------------------------------------------
     if keyword == "items":
@@ -538,6 +598,9 @@ def _compile_keyword(
         target = spec.registry.resolve(val)
         return _schema_pred(target, dt, draft, spec)
 
+    if keyword == "false-schema":  # synthetic: $ref chain hit a false schema
+        return lambda c: F.lit(False)
+
     # annotations / structural no-ops (src/validators.lisp:192-195 +
     # table entries) and then/else (handled under "if")
     return None
@@ -627,6 +690,27 @@ def translate_regex(pattern: str) -> str:
 # top-level spec compilation
 # ---------------------------------------------------------------------------
 
+def _flatten_ref_items(schema: dict, spec: "ConstraintSpec", depth: int = 0):
+    """Yield (keyword, value, parent_schema) for a top-level column schema,
+    expanding ``$ref`` chains conjunctively (target keywords AND siblings —
+    reference parity: src/validators.lisp:524-530 does not suppress
+    siblings in draft<=7)."""
+    if depth > 32:
+        raise SpecError("$ref expansion depth cap exceeded")
+    for kw, val in schema.items():
+        if kw == "$ref":
+            target = spec.registry.resolve(val)
+            if target is True or target == {}:
+                continue
+            if target is False:
+                # false schema: no value can satisfy it
+                yield "false-schema", False, schema
+                continue
+            yield from _flatten_ref_items(target, spec, depth + 1)
+        else:
+            yield kw, val, schema
+
+
 def compile_spec(spec: ConstraintSpec | dict, df: DataFrame) -> CompiledSpec:
     """Compile a constraint spec against a DataFrame's schema.
 
@@ -643,7 +727,6 @@ def compile_spec(spec: ConstraintSpec | dict, df: DataFrame) -> CompiledSpec:
         if colname not in dtypes:
             raise SpecError(f"spec references unknown column {colname!r}")
         dt = dtypes[colname]
-        schema = spec.deref(schema) if isinstance(schema, dict) and "$ref" in schema else schema
         if schema is True:
             continue
         if schema is False:
@@ -652,10 +735,15 @@ def compile_spec(spec: ConstraintSpec | dict, df: DataFrame) -> CompiledSpec:
                 f"{colname}: schema is false",
             ))
             continue
-        for kw, val in schema.items():
+        # A top-level {"$ref": ..., <siblings>} keeps its siblings — the
+        # ref target's keywords are flattened into individual checks
+        # alongside them, matching pyvalidator._k_ref (reference parity:
+        # siblings not suppressed, src/validators.lisp:524-530) while
+        # preserving per-keyword error granularity.
+        for kw, val, parent in _flatten_ref_items(schema, spec):
             if kw in _NOOP_KEYWORDS:
                 continue
-            fn = _compile_keyword(kw, val, schema, dt, spec.draft, spec)
+            fn = _compile_keyword(kw, val, parent, dt, spec.draft, spec)
             if fn is None:
                 continue
             col = F.col(colname)

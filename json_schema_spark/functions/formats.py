@@ -62,8 +62,13 @@ def fmt_date(col: Column) -> Column:
 
 
 def fmt_date_time(col: Column) -> Column:
-    """RFC-3339 date-time (src/formats.lisp:27-32)."""
-    norm = F.upper(col)
+    """RFC-3339 date-time (src/formats.lisp:27-32).
+
+    RFC 3339 allows arbitrarily many fractional-second digits; Spark's
+    timestamp patterns cap at 6, so the fraction is truncated to 6
+    digits before parsing (precision beyond micros is irrelevant to
+    validity)."""
+    norm = F.regexp_replace(F.upper(col), r"(\.\d{6})\d+", r"$1")
     parsed = F.coalesce(
         F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),

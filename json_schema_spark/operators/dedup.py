@@ -22,7 +22,7 @@ Embedding-cosine near-dup lives in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -223,21 +223,28 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 x 16-bit bands; any pair
-    within hamming 3 shares at least one exact band. Join on
+    Pigeonhole banding: split 64 bits into ``max_hamming + 1`` bands —
+    any pair within the hamming budget differs in at most max_hamming
+    bands, so it shares at least one exact band (guaranteed recall for
+    ANY max_hamming, not just the default 3 -> 4 x 16-bit). Join on
     (band, band_value), verify with bit_count(xor)."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31] (need >=2-bit bands)")
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # last band absorbs the remainder bits
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"), simhash64(text_col).alias("sh"),
     )
+    def _band_val(b: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("sh"), b * width)
+        if b < n_bands - 1:
+            shifted = shifted.bitwiseAND(F.lit((1 << width) - 1))
+        return shifted
     banded = base.select(
         "doc", "sh",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("sh"), b * 16)
-                .bitwiseAND(F.lit(0xFFFF)).alias("bval"),
-            )
-            for b in range(4)
+            F.struct(F.lit(b).alias("band"), _band_val(b).alias("bval"))
+            for b in range(n_bands)
         ])).alias("bb"),
     ).select("doc", "sh", "bb.band", "bb.bval")
     a, b = banded.alias("a"), banded.alias("b")
@@ -285,6 +292,14 @@ def ngram_jaccard_pairs(
         hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_cnt")) \
             .where(F.col("df_cnt") > max_df).select("gram")
         grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+        # recompute per-doc set sizes over the SURVIVING grams so that
+        # n_a/n_b and n_inter live in the same (post-pruning) gram
+        # universe — pre-pruning sizes biased jaccard low.  One extra
+        # aggregate-sized shuffle on doc, only on the pruned path.
+        grams = grams.select(
+            "doc", "gram",
+            F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n_grams"),
+        )
 
     g1, g2 = grams.alias("g1"), grams.alias("g2")
     # both join inputs shuffle on the same key and are identical

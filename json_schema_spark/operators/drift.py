@@ -55,12 +55,24 @@ def chi2_by_partition(df: DataFrame, category: str, partition: str | Column) -> 
         (F.sum("obs").over(w_part)).alias("n_part"),
         (F.sum("obs").over(w_cat) * F.sum("obs").over(w_part)
          / F.sum("obs").over(w_all)).alias("exp"),
+        F.size(F.collect_set("cat").over(w_all)).alias("n_cats_pooled"),
     )
+    # Zero-obs cells (a pooled category absent from a partition — the
+    # strongest drift signal) must still contribute: for obs=0 the term
+    # (0-exp)^2/exp = exp, and sum(exp) over ALL pooled categories in a
+    # partition is exactly n_part.  So instead of materializing the full
+    # partition x category grid we add the closed-form remainder
+    # (n_part - sum(exp over observed cells)), which equals the sum of
+    # the missing cells' terms.  dof uses the pooled category count.
     return (
         with_exp.groupBy("partition")
         .agg(
-            F.round(F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")), 4).alias("chi2"),
-            (F.count(F.lit(1)) - 1).alias("dof"),
+            F.round(
+                F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp"))
+                + (F.max("n_part") - F.sum("exp")),
+                4,
+            ).alias("chi2"),
+            (F.max("n_cats_pooled") - 1).cast("long").alias("dof"),
             F.max("n_part").alias("n_rows"),
         )
     )

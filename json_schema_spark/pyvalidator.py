@@ -811,7 +811,11 @@ _MODERN_NUM = {
 _DISPATCH: dict[str, dict] = {
     # draft2019-09 (:657-695): 2019 keywords + partial unevaluatedProperties
     "draft2019-09": {
-        **_CORE, **_MODERN_NUM,
+        **{k: v for k, v in _CORE.items() if k != "dependencies"},
+        **_MODERN_NUM,
+        # "dependencies" was split into dependentRequired/dependentSchemas
+        # in 2019-09; the reference's table (src/validators.lisp:657-695)
+        # has no "dependencies" entry, so it is ignored here too.
         "const": _k_const, "contains": _k_contains,
         "propertyNames": _k_property_names,
         "dependentRequired": _k_dependent_required,

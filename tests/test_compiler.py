@@ -106,3 +106,22 @@ def test_text_byte_identity_through_engine(webpages):
     verdict_df(webpages, compiled).collect()
     after = webpages.select(F.sum(F.crc32(F.encode(F.coalesce("text", F.lit("\x00")), "UTF-8"))).alias("h")).collect()[0]["h"]
     assert before == after
+
+
+def test_ref_sibling_keywords_not_dropped(spark):
+    """ADVICE r1: {"$ref": ..., <siblings>} must enforce BOTH the ref
+    target's keywords and the siblings (reference parity,
+    src/validators.lisp:524-530: siblings not suppressed in draft<=7)."""
+    df = spark.createDataFrame([(5,), (50,), (None,)], ["score"])
+    spec = {
+        "draft": "draft7",
+        "columns": {"score": {"$ref": "#/$defs/pos", "maximum": 10}},
+        "$defs": {"pos": {"minimum": 0}},
+    }
+    compiled = compile_spec(spec, df)
+    kws = {(c.column, c.keyword) for c in compiled.checks}
+    assert ("score", "minimum") in kws and ("score", "maximum") in kws
+    viol = violations_df(df.withColumn("row_id", F.lit(1)), compiled,
+                         id_cols=["score"])
+    bad = {(r["keyword"]) for r in viol.collect()}
+    assert "maximum" in bad  # 50 > 10 now caught on the Column path

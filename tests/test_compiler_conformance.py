@@ -33,7 +33,10 @@ def infer_dtype(v):
     if isinstance(v, bool):
         return T.BooleanType()
     if isinstance(v, int):
-        return T.LongType()
+        if -(2**63) <= v < 2**63:
+            return T.LongType()
+        # bignum path (t/draft7.lisp:82 optional/bignum): DecimalType
+        return T.DecimalType(38, 0) if len(str(abs(v))) <= 38 else None
     if isinstance(v, float):
         return T.DoubleType()
     if isinstance(v, str):
@@ -41,19 +44,25 @@ def infer_dtype(v):
     if isinstance(v, list):
         if not v:
             return T.ArrayType(T.LongType())
-        elem_types = {type(infer_dtype(x)) for x in v}
+        inners = [infer_dtype(x) for x in v]
+        if any(x is None for x in inners):
+            return None  # e.g. [None]: null elements are out of column scope
+        elem_types = {type(i) for i in inners}
         if len(elem_types) != 1 or isinstance(v[0], (list, dict)):
-            inner = infer_dtype(v[0])
-            if all(infer_dtype(x).simpleString() == inner.simpleString() for x in v):
+            inner = inners[0]
+            if all(i.simpleString() == inner.simpleString() for i in inners):
                 return T.ArrayType(inner)
             # int+float mix -> double array
             if elem_types <= {T.LongType, T.DoubleType}:
                 return T.ArrayType(T.DoubleType())
             return None
-        if elem_types == {T.LongType} :
-            return T.ArrayType(T.LongType())
-        return T.ArrayType(infer_dtype(v[0]))
+        return T.ArrayType(inners[0])
     if isinstance(v, dict):
+        if any(x is None for x in v.values()):
+            # a null map value reads as ABSENT under the engine's
+            # NULL-as-absent convention (SURVEY.md §1.1) — JSON null
+            # property semantics are out of typed-column scope
+            return None
         vts = {infer_dtype(x).simpleString() if x is not None and infer_dtype(x) else None
                for x in v.values()}
         vts.discard(None)
@@ -71,6 +80,9 @@ def norm(v, dt):
     """Coerce python value to the bucket dtype (1 -> 1.0 in double arrays)."""
     if isinstance(dt, T.DoubleType) and isinstance(v, int) and not isinstance(v, bool):
         return float(v)
+    if isinstance(dt, T.DecimalType):
+        import decimal
+        return decimal.Decimal(v)
     if isinstance(dt, T.ArrayType):
         return [norm(x, dt.elementType) for x in v]
     if isinstance(dt, T.MapType):
@@ -80,10 +92,27 @@ def norm(v, dt):
 
 def collect_cases():
     for draft in DRAFTS:
-        groups = json.loads((VECTOR_DIR / f"{draft}.json").read_text())
-        for g in groups:
-            for case in g["tests"]:
-                yield draft, g["schema"], g["description"], case
+        for fname in (f"{draft}.json", f"gen_{draft}.json"):
+            groups = json.loads((VECTOR_DIR / fname).read_text())
+            for g in groups:
+                for case in g["tests"]:
+                    yield draft, g["schema"], g["description"], case
+
+
+def _has_fractional_multiple_of(schema) -> bool:
+    if isinstance(schema, dict):
+        mo = schema.get("multipleOf")
+        if isinstance(mo, float) and mo != int(mo):
+            return True
+        return any(_has_fractional_multiple_of(v) for v in schema.values())
+    if isinstance(schema, list):
+        return any(_has_fractional_multiple_of(v) for v in schema)
+    return False
+
+
+def _huge_inexact_multiple_of(schema, data) -> bool:
+    return (isinstance(data, (int, float)) and not isinstance(data, bool)
+            and abs(data) > 1e26 and _has_fractional_multiple_of(schema))
 
 
 def test_column_compiler_reproduces_vectors(spark):
@@ -92,6 +121,13 @@ def test_column_compiler_reproduces_vectors(spark):
     for draft, schema, gdesc, case in collect_cases():
         dt = infer_dtype(case["data"])
         if dt is None:
+            n_skipped += 1
+            continue
+        if _huge_inexact_multiple_of(schema, case["data"]):
+            # |x| > 1e26 with a fractional divisor: the column holds a
+            # binary double whose exact value differs from the decimal
+            # literal the corpus labeled — same float-exactness class
+            # the reference itself skips (t/draft7.lisp:54-55).
             n_skipped += 1
             continue
         buckets.setdefault(f"{draft}\x00{dt.simpleString()}", []).append(
@@ -104,41 +140,50 @@ def test_column_compiler_reproduces_vectors(spark):
         dt = cases[0][0]
         row_schema = T.StructType([
             T.StructField("i", T.LongType()),
+            T.StructField("g", T.LongType()),
             T.StructField("v", dt),
             T.StructField("expected", T.BooleanType()),
         ])
         probe = spark.createDataFrame([], row_schema)  # analysis-only checks
-        rows, preds, labels = [], [], []
+        # one compiled predicate per DISTINCT schema in the bucket —
+        # the corpus reuses each schema for ~50 instances, so deduping
+        # cuts compile+analysis work ~50x
+        preds, pred_idx = [], {}
+        rows, labels = [], []
         for idx, (dt_, schema, case, label) in enumerate(cases):
-            try:
-                pred = _schema_pred(
-                    schema, dt, draft,
-                    ConstraintSpec(dict(schema, draft=draft) if isinstance(schema, dict) else {"draft": draft}),
-                )(F.col("v"))
-                probe.select(pred)  # raises AnalysisException if untypeable
-            except AssertionError:
-                raise
-            except Exception:  # unrepresentable on this typed column
+            skey = json.dumps(schema, sort_keys=True)
+            if skey not in pred_idx:
+                try:
+                    pred = _schema_pred(
+                        schema, dt, draft,
+                        ConstraintSpec(dict(schema, draft=draft) if isinstance(schema, dict) else {"draft": draft}),
+                    )(F.col("v"))
+                    probe.select(pred)  # raises AnalysisException if untypeable
+                except AssertionError:
+                    raise
+                except Exception:  # unrepresentable on this typed column
+                    pred = None
+                pred_idx[skey] = len(preds)
+                preds.append(pred)
+            g = pred_idx[skey]
+            if preds[g] is None:
                 n_skipped += 1
-                pred = None
-            preds.append(pred)
             labels.append(label)
-            rows.append((idx, norm(case["data"], dt), case["valid"]))
+            rows.append((idx, g, norm(case["data"], dt), case["valid"]))
 
         df = spark.createDataFrame(rows, row_schema)
-        sel = [F.col("i"), F.col("expected")] + [
+        sel = [F.col("i"), F.col("g"), F.col("expected")] + [
             (p.alias(f"c{j}") if p is not None else F.lit(None).cast("boolean").alias(f"c{j}"))
             for j, p in enumerate(preds)
         ]
         for r in df.select(*sel).collect():
-            j = r["i"]
-            got = r[f"c{j}"]
+            got = r[f"c{r['g']}"]
             if got is None:
                 continue  # compile-skip
             n_run += 1
             if bool(got) != r["expected"]:
-                failures.append(f"{key}: {labels[j]} -> got {got}, want {r['expected']}")
+                failures.append(f"{key}: {labels[r['i']]} -> got {got}, want {r['expected']}")
 
     assert not failures, "\n".join(failures)
     # the column path must exercise the clear majority of the suite
-    assert n_run >= 120, f"only {n_run} cases ran on the column path"
+    assert n_run >= 5000, f"only {n_run} cases ran on the column path"

@@ -146,3 +146,50 @@ def test_multimodal_plumbing(webpages):
     plan = multimodal.frame_sample_plan(docs, "doc_id", "html", every_n=2)
     prows = plan.collect()
     assert all(r["frame_idx"] % 2 == 0 for r in prows)
+
+
+def test_simhash_wider_hamming_band_guarantee(spark):
+    """ADVICE r1: max_hamming >= 4 must still have pigeonhole recall.
+
+    Plant a pair at hamming exactly 5 by flipping 5 bits spread across
+    what WOULD be the old fixed 4x16 bands (one per 16-bit band + one
+    extra) — the old banding could never join them; the derived
+    (max_hamming+1)-band split must."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " extra tail words here"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, "totally different content entirely")],
+        ["doc_id", "text"],
+    )
+    hs = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", dedup.simhash64("text").alias("h")).collect()}
+    ham = bin(hs[1] ^ hs[2]).count("1")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=max(ham, 4))
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    # guard rejects band widths below 2 bits
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=40)
+
+
+def test_ngram_jaccard_pruned_sizes_consistent(spark):
+    """ADVICE r1: with max_df pruning, n_a/n_b must be post-pruning set
+    sizes so jaccard stays in the pruned-gram universe."""
+    # gram 'a b c' appears in every doc (df=4 > max_df=2) -> pruned.
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),
+        (3, "a b c x y z"),
+        (4, "a b c p q r"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_df=2)
+    got = {(r["doc_a"], r["doc_b"]): r for r in pairs.collect()}
+    # docs 1,2 share 'b c d'+'c d e' post-prune; each has 3 surviving
+    # grams (of 4 total) -> jaccard = 2 / (3 + 3 - 2) = 0.5 exactly.
+    r = got[(1, 2)]
+    assert r["n_inter"] == 2 and abs(r["jaccard"] - 0.5) < 1e-9
+    # pairs sharing ONLY the pruned stop-gram must not appear
+    assert (1, 3) not in got and (3, 4) not in got
