@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json_schema_spark import compile_spec, verdict_df, violations_df
-from json_schema_spark.operators.drift import chi2_by_partition, ks_stat
+from json_schema_spark.operators.drift import chi2_by_partition, ks_by_partition, ks_stat
 from json_schema_spark.operators.referential import referential_violations
 from json_schema_spark.operators.stats import column_stats
 from json_schema_spark.operators.unique import duplicate_keys
@@ -181,6 +181,18 @@ def q_drift_ks_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_stat(df, "n_chars", "source", "src0", "src1")
 
 
+def q_drift_ks_by_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS of n_chars: EVERY source partition vs the rest of the
+    table, one job (single groupBy shuffle + aggregate-sized grid) —
+    replaces the round-1 per-partition driver loop."""
+    df = _docs(spark, sf_dir)
+    return ks_by_partition(df, "n_chars", "source").select(
+        F.col("partition").alias("part"),
+        F.col("n_rows"),
+        F.col("ks"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (scan + filter + hash agg)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -324,7 +336,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                               n=3, threshold=0.01, max_df=None)
+                               n=3, threshold=0.01, max_df=5)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,6 +368,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .where(F.col("text").isNotNull())
         .select("doc_id", simhash64("text").alias("simhash"))
+    )
+
+
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5-token SimHash per document — same bit-sum/sign
+    machinery as the xxhash64 fast path, but with a token hash DuckDB
+    can compute verbatim, so the oracle value-checks it end to end."""
+    from json_schema_spark.operators.dedup import simhash64
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", simhash64("text", token_hash="md5", bits=60)
+                .alias("simhash"))
     )
 
 
@@ -494,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_lang": q_ref_lang,
         "drift_chi2_lang": q_drift_chi2_lang,
         "drift_ks_chars": q_drift_ks_chars,
+        "drift_ks_by_partition": q_drift_ks_by_partition,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
@@ -506,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_md5": q_dedup_minhash_md5,
+        "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -594,6 +622,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - 1 AS dof,
                    CAST(max(n_part) AS BIGINT) AS n_rows
             FROM grid CROSS JOIN g
+            GROUP BY part
+        """,
+        "drift_ks_by_partition": """
+            WITH cells AS (
+              SELECT source AS part, n_chars AS v, count(*) AS cnt
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1, 2),
+            pt AS (SELECT part, sum(cnt) AS n_part FROM cells GROUP BY 1),
+            vs AS (SELECT v, sum(cnt) AS n_v FROM cells GROUP BY 1),
+            g AS (SELECT sum(cnt) AS n_total FROM cells),
+            grid AS (
+              SELECT pt.part, vs.v, pt.n_part,
+                     COALESCE(cells.cnt, 0) AS cnt,
+                     vs.n_v - COALESCE(cells.cnt, 0) AS cnt_rest
+              FROM pt CROSS JOIN vs
+              LEFT JOIN cells ON cells.part = pt.part AND cells.v = vs.v),
+            cdf AS (
+              SELECT part, n_part,
+                     sum(cnt) OVER (PARTITION BY part ORDER BY v) AS cum_in,
+                     sum(cnt_rest) OVER (PARTITION BY part ORDER BY v) AS cum_rest
+              FROM grid CROSS JOIN g)
+            SELECT part,
+                   CAST(max(n_part) AS BIGINT) AS n_rows,
+                   round(max(abs(cum_in / n_part
+                                 - cum_rest / NULLIF((SELECT n_total FROM g) - n_part, 0))), 6) AS ks
+            FROM cdf
             GROUP BY part
         """,
         "drift_ks_chars": """
@@ -703,13 +758,17 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
               FROM documents WHERE text IS NOT NULL),
-            grams AS (
+            grams0 AS (
               SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
               FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
               WHERE len(t) >= 3
               UNION
               SELECT doc_id, array_to_string(t, ' ') AS gram
               FROM toks WHERE len(t) < 3),
+            hot AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) > 5),
+            grams AS (
+              SELECT * FROM grams0
+              WHERE gram NOT IN (SELECT gram FROM hot)),
             sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -744,6 +803,22 @@ def oracle_sql() -> dict[str, str]:
                    min(('0x' || substr(md5(gram || ':6'), 1, 15))::BIGINT) AS s6,
                    min(('0x' || substr(md5(gram || ':7'), 1, 15))::BIGINT) AS s7
             FROM grams GROUP BY doc_id
+        """,
+        "dedup_simhash_md5": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              FROM documents WHERE text IS NOT NULL),
+            h AS (
+              SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS th
+              FROM toks),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h, UNNEST(generate_series(0, 59)) AS g(b)
+              GROUP BY doc_id, b)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -10,12 +10,16 @@ TRUE when the value conforms. Reference parity notes:
   (src/formats.lisp:43-45); we keep that, NOT RFC 5322.
 * ``hostname`` = precompiled regex + per-label length < 64 + no
   trailing '-' (src/formats.lisp:11-12,48-53).
-* idn-email / idn-hostname / iri / iri-reference / uri-template are NOT
+* ``idn-email`` aliases the loose email check, exactly as every
+  reference table does (src/formats.lisp:143,156,172,184,197) — which
+  is why the reference skips the official suite's idn-email vectors
+  (t/draft7.lisp:92-96: they expect real IDN handling).
+* idn-hostname / iri / iri-reference / uri-template are NOT
   implemented, matching the reference's skip list
-  (t/draft7.lisp:92-96,103-106,121-122) — unknown formats pass
-  vacuously, mirroring the dispatcher's behavior for missing table
-  entries (src/validators.lisp:364-366: only formats present in the
-  table are checked).
+  (t/draft7.lisp:103-106,121-122) — unknown formats pass vacuously,
+  mirroring the dispatcher's behavior for missing table entries
+  (src/validators.lisp:364-366: only formats present in the table are
+  checked).
 
 All of these are pure ``pyspark.sql.functions`` expressions: they run
 JVM-side under whole-stage codegen; regexes are compiled once per task.
@@ -154,9 +158,17 @@ def fmt_regex(col: Column) -> Column:
 
 
 # format name -> checker, per draft (src/formats.lisp:137-204).
+def fmt_time_draft3(col: Column) -> Column:
+    """Loose draft3 time (src/formats.lisp:87-98): unanchored hh:mm:ss
+    with hour <= 24."""
+    hh = F.regexp_extract(col, r"([0-2]?\d):([0-5]\d):([0-5]\d)", 1)
+    return (hh != F.lit("")) & (hh.cast("int") <= F.lit(24))
+
+
 _COMMON = {
     "date-time": fmt_date_time,
     "email": fmt_email,
+    "idn-email": fmt_email,  # alias of emailp in every reference table
     "hostname": fmt_hostname,
     "ipv4": fmt_ipv4,
     "ipv6": fmt_ipv6,
@@ -185,15 +197,23 @@ FORMAT_TABLES: dict[str, dict] = {
         "json-pointer": fmt_json_pointer,
         "uri-reference": fmt_uri_reference,
     },
-    "draft4": {**_COMMON},
+    "draft4": {
+        **_COMMON,
+        "json-pointer": fmt_json_pointer,  # formats.lisp:180-189
+    },
+    # draft3 (formats.lisp:192-204): host-name spelling, loose time,
+    # json-pointer + idn-email aliases
     "draft3": {
         "date-time": fmt_date_time,
         "date": fmt_date,
         "email": fmt_email,
+        "idn-email": fmt_email,
         "host-name": fmt_hostname,
-        "ip-address": fmt_ipv4,
+        "ipv4": fmt_ipv4,
         "ipv6": fmt_ipv6,
+        "json-pointer": fmt_json_pointer,
         "regex": fmt_regex,
+        "time": fmt_time_draft3,
         "uri": fmt_uri,
     },
 }

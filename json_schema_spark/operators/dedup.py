@@ -192,26 +192,35 @@ def minhash_candidates(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(col_name: str) -> Column:
-    """64-bit SimHash of the token multiset: bit b of the result is the
-    sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
+def simhash64(col_name: str, token_hash: str = "xxhash64",
+              bits: int = 64) -> Column:
+    """SimHash of the token multiset: bit b of the result is the sign
+    of sum over tokens of (bit b of hash(token) ? +1 : -1).
 
     Built as ONE SQL higher-order expression (a single aggregate whose
-    accumulator is the array of 64 bit-sums) because variable shift
+    accumulator is the array of bit-sums) because variable shift
     amounts need the SQL surface — the Python `shiftright` wrapper only
     accepts literal ints. Still pure JVM codegen; returns BIGINT.
+
+    ``token_hash='md5'`` derives a 60-bit hash from the md5 hex prefix
+    (pass bits=60): slower than xxhash64, but computable verbatim in
+    DuckDB so the whole bit-sum/sign machinery is oracle-checkable.
     """
+    if token_hash == "xxhash64":
+        th = "xxhash64(t)"
+    else:
+        th = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
     return F.expr(f"""
         aggregate(
           zip_with(
             aggregate(
-              transform(split(trim({col_name}), '\\\\s+'), t -> xxhash64(t)),
-              array_repeat(0, 64),
-              (acc, h) -> zip_with(acc, sequence(0, 63),
+              transform(split(trim({col_name}), '\\\\s+'), t -> {th}),
+              array_repeat(0, {bits}),
+              (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
                             (a, b) -> a + CASE WHEN (h >> b) & 1 = 1
                                            THEN 1 ELSE -1 END)
             ),
-            sequence(0, 63),
+            sequence(0, {bits - 1}),
             (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END
           ),
           0L, (acc, v) -> acc + v)

@@ -114,6 +114,74 @@ def ks_stat(
     )
 
 
+def ks_by_partition(
+    df: DataFrame, value: str | Column, partition: str | Column,
+    n_bins: int | None = None,
+) -> DataFrame:
+    """Two-sample KS of EVERY partition against the rest of the table,
+    in ONE job (no per-partition driver loop).
+
+    Returns (partition, n_rows, ks).  Shape: one wide shuffle
+    (groupBy(partition, value-or-bin)); the partition x value grid that
+    materializes missing cells is built from aggregate-sized marginals
+    (|partitions| x |domain or n_bins| rows), so the cumulative windows
+    never touch table-sized data.  Pass ``n_bins`` to bucket first for
+    continuous/unbounded domains (histogram-CDF sketch path, error
+    bounded by 1/n_bins); leave None for exact KS on discrete domains.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    part = F.col(partition) if isinstance(partition, str) else partition
+    base = df.where(val.isNotNull() & part.isNotNull()).select(
+        part.alias("partition"), val.alias("raw_v"))
+    if n_bins is not None:
+        bounds = base.agg(F.min("raw_v").alias("lo"), F.max("raw_v").alias("hi"))
+        base = base.crossJoin(F.broadcast(bounds)).select(
+            "partition",
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("raw_v") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / n_bins + 1e-12)),
+            ).alias("v"),
+        )
+    else:
+        base = base.select("partition", F.col("raw_v").alias("v"))
+
+    cells = base.groupBy("partition", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    parts = cells.groupBy("partition").agg(F.sum("cnt").alias("n_part"))
+    vals = cells.groupBy("v").agg(F.sum("cnt").alias("n_v"))
+    tot = cells.agg(F.sum("cnt").alias("n_total"))
+    grid = (
+        parts.crossJoin(F.broadcast(vals))
+        .join(cells, ["partition", "v"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partition", "v", "n_part", "n_total",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            (F.col("n_v") - F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt_rest"),
+        )
+    )
+    w = Window.partitionBy("partition").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = grid.select(
+        "partition", "n_part", "n_total",
+        F.sum("cnt").over(w).alias("cum_in"),
+        F.sum("cnt_rest").over(w).alias("cum_rest"),
+    )
+    return (
+        cdf.groupBy("partition")
+        .agg(
+            F.max("n_part").alias("n_rows"),
+            F.round(
+                F.max(F.abs(
+                    F.col("cum_in") / F.col("n_part")
+                    - F.col("cum_rest")
+                    / F.nullif(F.col("n_total") - F.col("n_part"), F.lit(0))
+                )), 6,
+            ).alias("ks"),
+        )
+    )
+
+
 def ks_stat_binned(
     df: DataFrame, value: str | Column, group: str | Column,
     group_a, group_b, n_bins: int = 256,

@@ -49,17 +49,26 @@ def binary_meta(col: Column) -> Column:
     )
 
 
-def _try_real_decoder() -> Callable | None:
-    """Import-try for a real image decoder. Not present in this
-    container — the deterministic fake below carries the plumbing."""
+def _try_real_decoder(n_dims: int = 8) -> Callable | None:
+    """Import-try for a real image decoder (PIL not present in this
+    container — the deterministic fake below carries the plumbing
+    when this returns None)."""
     try:
-        from PIL import Image  # noqa: F401
+        import io
+
+        from PIL import Image
 
         def _decode(data: bytes) -> list[float]:
-            raise NotImplementedError(
-                "real decode path: Image.open(BytesIO(data)) -> resize "
-                "-> channel means; enable when PIL is installed"
-            )
+            # decode -> normalize size -> features: 3 channel means +
+            # grayscale row-band means, all in [0, 1]
+            img = Image.open(io.BytesIO(data)).convert("RGB").resize((8, 8))
+            px = list(img.getdata())
+            chan = [
+                sum(p[c] for p in px) / (len(px) * 255.0) for c in range(3)
+            ]
+            gray = [(p[0] + p[1] + p[2]) / (3 * 255.0) for p in px]
+            bands = [sum(gray[i * 8:(i + 1) * 8]) / 8 for i in range(8)]
+            return (chan + bands)[:n_dims]
 
         return _decode
     except ImportError:
@@ -92,19 +101,14 @@ def extract_features(
     """
     import pandas as pd
 
-    real = _try_real_decoder()
+    real = _try_real_decoder(n_dims)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = real or _fake_features
+        decode = real or (lambda b: _fake_features(b, n_dims))
         name = "real" if real else "fake-md5"
         for pdf in batches:
             blobs = pdf[binary_col]
-            feats = [
-                None if b is None else (
-                    decode(bytes(b)) if real is None else decode(bytes(b))
-                )
-                for b in blobs
-            ]
+            feats = [None if b is None else decode(bytes(b)) for b in blobs]
             yield pd.DataFrame({
                 "id": pdf[id_col],
                 "n_bytes": [0 if b is None else len(bytes(b)) for b in blobs],

@@ -178,7 +178,7 @@ class ValidationRunner:
         are cross-partition by nature (global uniqueness, referential
         integrity, cross-partition drift).
         """
-        from json_schema_spark.operators.drift import chi2_by_partition, ks_stat_binned
+        from json_schema_spark.operators.drift import chi2_by_partition, ks_by_partition
         from json_schema_spark.operators.referential import referential_verdict
         from json_schema_spark.operators.unique import uniqueness_verdict
 
@@ -214,16 +214,10 @@ class ValidationRunner:
                 drifted = worst["chi2"] > 5 * max(med, 1e-9)
                 results.append((f"drift_chi2({col} by {by})", not drifted,
                                 int(drifted), float(worst["chi2"])))
-            else:  # ks
+            else:  # ks: every partition vs rest in ONE job (no driver loop)
                 tagged = df.withColumn("__by", by_col).withColumn("__v", col_expr)
-                parts = [r[0] for r in tagged.select("__by").distinct().collect()
-                         if r[0] is not None]
-                worst_ks = 0.0
-                for p in sorted(parts):
-                    two = tagged.withColumn(
-                        "__g", F.when(F.col("__by") == p, "a").otherwise("b"))
-                    row = ks_stat_binned(two, "__v", "__g", "a", "b").collect()[0]
-                    worst_ks = max(worst_ks, row["ks"] or 0.0)
+                rows = ks_by_partition(tagged, "__v", "__by", n_bins=256).collect()
+                worst_ks = max((r["ks"] or 0.0) for r in rows) if rows else 0.0
                 results.append((f"drift_ks({col} by {by})", worst_ks < 0.2,
                                 int(worst_ks >= 0.2), float(worst_ks)))
 

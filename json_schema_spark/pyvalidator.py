@@ -246,9 +246,17 @@ def _fmt_regex(s: str) -> bool:
         return False
 
 
+def _fmt_time_draft3(s: str) -> bool:
+    """Loose draft3 time (src/formats.lisp:87-98): an unanchored
+    hh:mm:ss match with hour <= 24."""
+    m = re.search(r"([0-2]?\d):([0-5]\d):([0-5]\d)", s)
+    return bool(m) and int(m.group(1)) <= 24
+
+
 _COMMON_FORMATS = {
     "date-time": _fmt_date_time,
     "email": lambda s: "@" in s,  # deliberately loose :43-45
+    "idn-email": lambda s: "@" in s,  # alias of emailp (formats.lisp:143,156,172,184,197)
     "hostname": _fmt_hostname,
     "ipv4": _fmt_ipv4,
     "ipv6": _fmt_ipv6,
@@ -277,15 +285,23 @@ FORMAT_TABLES = {
         "json-pointer": _fmt_json_pointer,
         "uri-reference": _fmt_uri_reference,
     },
-    "draft4": dict(_COMMON_FORMATS),
+    "draft4": {
+        **_COMMON_FORMATS,
+        "json-pointer": _fmt_json_pointer,  # formats.lisp:180-189
+    },
+    # draft3 (formats.lisp:192-204): host-name spelling, loose time,
+    # json-pointer + idn-email aliases
     "draft3": {
         "date-time": _fmt_date_time,
         "date": _fmt_date,
         "email": lambda s: "@" in s,
+        "idn-email": lambda s: "@" in s,
         "host-name": _fmt_hostname,
-        "ip-address": _fmt_ipv4,
+        "ipv4": _fmt_ipv4,
         "ipv6": _fmt_ipv6,
+        "json-pointer": _fmt_json_pointer,
         "regex": _fmt_regex,
+        "time": _fmt_time_draft3,
         "uri": _fmt_uri,
     },
 }
