@@ -37,9 +37,15 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Word n-gram array via slice/transform — stays in codegen."""
-    toks = _tokens(col)
+def _ngrams_of(toks: Column, n: int) -> Column:
+    """n-gram array from an ALREADY-MATERIALIZED token-array column.
+
+    The lambda body re-evaluates every embedded subtree per element
+    (higher-order functions are interpreted), so `toks` must be a plain
+    column reference from a previous projection — inlining the
+    split(trim(...)) here costs ~4x on the whole shingle stage
+    (measured at sf0.1; the plan keeps one `split` when the token
+    array is its own projection)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -47,6 +53,38 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram array via slice/transform — stays in codegen.
+
+    NOTE: convenience form for ad-hoc use; hot paths should go through
+    :func:`shingle_grams`, which materializes the token array first
+    (see _ngrams_of for why)."""
+    return _ngrams_of(_tokens(col), n)
+
+
+def shingle_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    with_size: bool = False,
+) -> DataFrame:
+    """(doc, [n_grams,] gram) — the shared exploded-shingle stage for
+    minhash/jaccard, shaped to keep tokenization out of lambda bodies:
+    project tokens, project distinct grams, then size+explode."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("toks"))
+    grams = toks.select(
+        "doc", F.array_distinct(_ngrams_of(F.col("toks"), n)).alias("ga"))
+    # explode_OUTER on purpose: plain explode makes Catalyst's
+    # InferFiltersFromGenerate push a size(ga)>0 filter below these
+    # projections with the WHOLE gram expression substituted in
+    # (9 split() calls in the plan, ~6x slower measured); ga is never
+    # empty (the <n-token branch emits a 1-element array), so outer
+    # generates identical rows without the inferred filter.
+    if with_size:
+        return grams.select("doc", F.size("ga").alias("n_grams"),
+                            F.explode_outer("ga").alias("gram"))
+    return grams.select("doc", F.explode_outer("ga").alias("gram"))
 
 
 # ---------------------------------------------------------------------------
@@ -115,15 +153,35 @@ def minhash_signatures(
     """(doc, sig array<long>) via explode + ONE hash-aggregation with k
     partial-aggregable mins — the textbook distributed minhash: the
     shuffle carries only n_docs x k longs after map-side combine, never
-    the shingles themselves."""
-    shingled = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc"),
-                F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
-    )
-    aggs = [
-        F.min(_gram_hash(F.col("gram"), i, hash_fn)).alias(f"h{i}") for i in range(k)
-    ]
+    the shingles themselves.
+
+    The xxhash64 fast path uses DOUBLE HASHING (h_i = h1 + i*h2): 2
+    string hashes per gram instead of k seeded ones — the standard
+    min-wise-family trick (cf. Kirsch & Mitzenmacher) and ~10x less
+    per-gram CPU at k=64.  h1/h2 are masked to 32 bits (h2 forced odd)
+    so h_i stays far below 2^63 — ANSI mode would throw on bigint
+    wraparound; a 32-bit per-seed universe keeps within-doc collision
+    odds ~n^2/2^33, negligible for LSH estimation.  The 'md5' path
+    keeps per-seed hashing so the DuckDB oracle reproduces it verbatim.
+    """
+    shingled = shingle_grams(df, id_col, text_col, n)
+    if hash_fn == "xxhash64":
+        mask = F.lit((1 << 32) - 1)
+        shingled = shingled.select(
+            "doc",
+            F.xxhash64(F.col("gram"), F.lit(0)).bitwiseAND(mask).alias("h1"),
+            F.xxhash64(F.col("gram"), F.lit(1)).bitwiseAND(mask)
+            .bitwiseOR(F.lit(1)).alias("h2"),
+        )
+        aggs = [
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
+            for i in range(k)
+        ]
+    else:
+        aggs = [
+            F.min(_gram_hash(F.col("gram"), i, hash_fn)).alias(f"h{i}")
+            for i in range(k)
+        ]
     return shingled.groupBy("doc").agg(*aggs).select(
         "doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
@@ -291,12 +349,7 @@ def ngram_jaccard_pairs(
     # set size is carried WITH each gram row (computed in the same
     # projection, before the explode) — joining a separate per-doc
     # sizes aggregate back in re-scanned the source twice more.
-    gram_arr = F.array_distinct(word_ngrams(F.col(text_col), n))
-    grams = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc"), gram_arr.alias("ga"))
-        .select("doc", F.size("ga").alias("n_grams"), F.explode("ga").alias("gram"))
-    )
+    grams = shingle_grams(df, id_col, text_col, n, with_size=True)
     if max_df is not None:
         hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_cnt")) \
             .where(F.col("df_cnt") > max_df).select("gram")
