@@ -247,6 +247,15 @@ SCHEMAS: list[tuple[str, dict | bool, tuple[str, ...]]] = [
     ("ref with escaped pointer",
      {"definitions": {"a/b": {"type": "integer"}},
       "$ref": "#/definitions/a~1b"}, ("draft4", "draft6", "draft7")),
+    ("anchor ref 2019",
+     {"$defs": {"s": {"$anchor": "pos", "minimum": 0}}, "$ref": "#pos"},
+     D2019),
+    ("plain-name id anchor ref",
+     {"definitions": {"s": {"$id": "#neg", "maximum": 0}}, "$ref": "#neg"},
+     ("draft6", "draft7")),
+    # (nested-$id base remapping is NOT generated: stock jsonschema's
+    # resolver treats the remapped URI as remote; the engine's registry
+    # unit tests cover that path instead)
     # --- nested / combined ------------------------------------------------
     ("object with everything",
      {"type": "object", "required": ["a"], "minProperties": 1,
