@@ -108,3 +108,41 @@ def test_streaming_windowed_counts(spark, webpages, tmp_path):
     assert len(rows) == tb.N_DAYS
     total = sum(r["n_rows"] for r in rows)
     assert total == batch_df.where(F.col("warc_ts").isNotNull()).count()
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a text seen in an
+    earlier micro-batch is suppressed when it reappears in a later one
+    (state store), which no stateless projection can do."""
+    from json_schema_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src = str(tmp_path / "dsrc")
+    # batch 1 (file 1): texts A, B; batch 2 (file 2): B again + C —
+    # maxFilesPerTrigger=1 forces one file per micro-batch
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(3, "beta text"), (4, "gamma text"), (5, "gamma text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_dedup_first_seen(stream, "doc_id", "text")
+    q = (
+        out.writeStream.format("memory").queryName("firstseen")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from firstseen").collect()
+    by_hash = {r["text_hash"]: r for r in rows}
+    # exactly one emission per distinct text, despite 'beta text' and
+    # 'gamma text' duplicates (cross-batch and same-batch)
+    assert len(rows) == 3 and len(by_hash) == 3
+    firsts = sorted(r["first_id"] for r in rows)
+    assert firsts == [1, 2, 4]  # min id wins within the first batch seen
+    # same-batch dup folded into the count at emit time
+    assert {r["n_dups_so_far"] for r in rows if r["first_id"] == 4} == {2}
