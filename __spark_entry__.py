@@ -339,6 +339,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n=3, threshold=0.01, max_df=5)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the ngram-jaccard
+    pair graph (threshold 0.4) — (node, grp) with grp = smallest doc id
+    reachable, i.e. the canonical survivor per cluster.  Min-label
+    propagation, one join+agg per round over the edge list."""
+    from json_schema_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                n=3, threshold=0.4, max_df=5)
+    return connected_components(pairs)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (rows-only check: xxhash64 has no
     DuckDB twin)."""
@@ -531,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_simhash_md5": q_dedup_simhash_md5,
@@ -781,6 +797,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.01
+        """,
+        "dedup_groups": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams0 AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT doc_id, array_to_string(t, ' ') AS gram
+              FROM toks WHERE len(t) < 3),
+            hot AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) > 5),
+            grams AS (
+              SELECT * FROM grams0 WHERE gram NOT IN (SELECT gram FROM hot)),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.4),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            cc(node, label) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b)
+            SELECT node, CAST(min(label) AS BIGINT) AS grp
+            FROM cc GROUP BY node
         """,
         "dedup_minhash_md5": """
             WITH toks AS (

@@ -382,3 +382,57 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> dedup groups
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Collapse a pair stream (from minhash/simhash/jaccard candidates)
+    into dedup GROUPS: (node, grp) where grp = the smallest doc id
+    reachable through the near-dup graph — the canonical survivor.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds).  Each
+    round is one join + one aggregate on the EDGE list, all
+    partition-parallel; `localCheckpoint` truncates the lineage so the
+    plan does not grow with iterations (the driver-loop here is over
+    ROUNDS, never over rows).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct().localCheckpoint()
+    labels = edges.select(F.col("a").alias("node")).distinct() \
+        .select("node", F.col("node").alias("label")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("b"),
+                                     F.col("label").alias("blabel")), "b")
+            .groupBy("a").agg(F.min("blabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                labels["node"],
+                F.least(labels["label"],
+                        F.coalesce(nbr_min["nlabel"], labels["label"])).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("label").alias("grp"))

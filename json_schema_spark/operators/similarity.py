@@ -21,6 +21,11 @@ from __future__ import annotations
 import hashlib
 import struct
 
+# module-global so pandas_udf type hints resolve under
+# `from __future__ import annotations` (string annotations are looked
+# up in module globals at decoration time)
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -284,4 +289,117 @@ def embedding_near_duplicates_exact(
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed lists
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame, vec_col: str = "embedding",
+    n_lists: int = 16, sample: int = 4096, iters: int = 10, seed: int = 42,
+) -> list[list[float]]:
+    """Driver-side k-means on a bounded sample -> n_lists centroids.
+
+    The training set is CAPPED (deterministic, seeded sample) so this
+    stays O(sample x dim) on the driver no matter the corpus size —
+    the standard IVF recipe: the coarse quantizer never needs more
+    than a few thousand points to place list boundaries.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T                       # cosine on normalized rows
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / max(np.linalg.norm(m), 1e-12)
+    return [list(map(float, c)) for c in cent]
+
+
+def _assign_lists(df: DataFrame, vec_col: str, centroids: list[list[float]],
+                  n_probe: int) -> DataFrame:
+    """Add `list_id` (array of the n_probe nearest centroid ids) via a
+    vectorized Arrow batch (numpy GEMM against the broadcast centroid
+    matrix — the dense-algebra escape hatch; a per-centroid Column
+    expression would be an interpreted lambda per element)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # dim x n_lists
+
+    @pandas_udf("array<int>")
+    def nearest_lists(vs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cmat
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return df.withColumn("__lists", nearest_lists(F.col(vec_col)))
+
+
+def ann_ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    n_lists: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None, seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single nearest
+    list; each query probes its n_probe nearest lists and ranks only
+    those lists' members.
+
+    Scale shape: the corpus shuffles ONCE on list_id (16..65k lists),
+    the query side (small) broadcasts after exploding its probes, and
+    the scan per query touches ~n_probe/n_lists of the corpus — the
+    IVF trade dial. Recall is measured against ann_bruteforce_topk in
+    the tests.
+    """
+    cents = centroids or train_ivf_centroids(
+        corpus, vec_col, n_lists=n_lists, seed=seed)
+
+    c = _assign_lists(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec")),
+        "cvec", cents, n_probe=1,
+    ).select("neighbor_id", "cvec",
+             F.element_at("__lists", 1).alias("list_id"),
+             l2norm(F.col("cvec")).alias("cnorm"))
+
+    q = _assign_lists(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec")),
+        "qvec", cents, n_probe=n_probe,
+    ).select("query_id", "qvec", l2norm(F.col("qvec")).alias("qnorm"),
+             F.explode("__lists").alias("list_id"))
+
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnorm") * F.col("cnorm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

@@ -246,3 +246,42 @@ def test_multimodal_real_decoder_branch(spark, monkeypatch):
     assert all(abs(f - 1.0) < 1e-12 for f in rows[2]["features"])
     # NULL blob passes through as NULL features
     assert rows[3]["features"] is None
+
+
+def test_ann_ivf_recall_and_shape(embeddings):
+    """IVF coarse-quantized ANN: recall@10 vs brute force must beat the
+    probed scan fraction (on near-uniform synthetic embeddings IVF's
+    recall ceiling IS roughly the fraction of corpus scanned — real
+    clustered data does far better), and ranks must be well-formed."""
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = similarity.ann_bruteforce_topk(embeddings, queries, k=10)
+    ivf = similarity.ann_ivf_topk(embeddings, queries, k=10,
+                                  n_lists=8, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rows = ivf.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # > 4/8 scan fraction
+    # per-query rank sequences are 1..k without gaps
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # determinism: same seed -> same centroids -> same result set
+    ivf2 = similarity.ann_ivf_topk(embeddings, queries, k=10,
+                                   n_lists=8, n_probe=4)
+    assert a == {(r["query_id"], r["neighbor_id"]) for r in ivf2.collect()}
+
+
+def test_connected_components_groups(spark):
+    """Min-label propagation: chains, singleton-free output, and
+    convergence on a component whose diameter exceeds one round."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain -> all label 1
+         (10, 11), (12, 11),                    # star -> label 10
+         (20, 21)],
+        "doc_a long, doc_b long")
+    got = {(r["node"], r["grp"])
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
