@@ -115,6 +115,21 @@ def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_constraint_by_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PARTITION pass/fail verdicts (north rule): the same single
+    aggregation pass as constraint_summary, grouped by source — the
+    shuffle carries |partitions| pre-aggregated rows, never the table."""
+    df, compiled = _compiled(spark, sf_dir)
+    return verdict_df(df, compiled, partition_col="source").select(
+        F.col("partition").alias("part"),
+        F.col("column").alias("col_name"),
+        F.col("keyword"),
+        F.col("n_violations"),
+        F.col("n_rows"),
+        F.col("pass").alias("check_pass"),
+    )
+
+
 def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-lang stats (null rate, min/max/avg, distincts)."""
     df = _docs(spark, sf_dir)
@@ -529,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "constraint_summary": q_constraint_summary,
         "constraint_violations": q_constraint_violations,
+        "constraint_by_partition": q_constraint_by_partition,
         "column_stats": q_column_stats,
         "stats_rollup": q_stats_rollup,
         "unique_check": q_unique_check,
@@ -587,9 +603,22 @@ def _summary_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _summary_by_partition_sql() -> str:
+    parts = [
+        f"SELECT source AS part, '{col}' AS col_name, '{kw}' AS keyword, "
+        f"count(*) FILTER (WHERE {pred}) AS n_violations, "
+        f"count(*) AS n_rows, "
+        f"count(*) FILTER (WHERE {pred}) = 0 AS check_pass "
+        f"FROM documents GROUP BY source"
+        for col, kw, pred in _DOC_CHECKS_SQL
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "constraint_summary": _summary_sql(),
+        "constraint_by_partition": _summary_by_partition_sql(),
         "constraint_violations": _violations_union_sql(),
         "column_stats": """
             SELECT lang,

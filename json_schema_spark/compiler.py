@@ -832,17 +832,31 @@ def violations_df(
     )
 
 
-def verdict_df(df: DataFrame, compiled: CompiledSpec) -> DataFrame:
+def verdict_df(
+    df: DataFrame, compiled: CompiledSpec,
+    partition_col: Column | str | None = None,
+) -> DataFrame:
     """Per-check verdict summary in ONE aggregation pass (no explode,
-    no shuffle beyond the final singleton agg): for every check, the
-    violation count; pass == zero violations ("valid iff errors nil",
+    no shuffle beyond the final agg): for every check, the violation
+    count; pass == zero violations ("valid iff errors nil",
     src/json-schema.lisp:33-38).
+
+    With ``partition_col`` the same single pass emits one verdict row
+    per (partition, check) — the north-rule "per-partition pass/fail"
+    shape; the shuffle carries |partitions| pre-aggregated rows, never
+    the table.
     """
     aggs = [
         F.sum((~c.predicate).cast("long")).alias(f"{c.column}\x00{c.keyword}")
         for c in compiled.checks
     ] + [F.count(F.lit(1)).alias("\x00rows")]
-    row = df.agg(*aggs)
+    keep: list[Column] = []
+    if partition_col is not None:
+        part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+        row = df.groupBy(part.alias("partition")).agg(*aggs)
+        keep = [F.col("partition")]
+    else:
+        row = df.agg(*aggs)
     # unpivot to (column, keyword, n_violations, n_rows, pass)
     pairs = []
     for c in compiled.checks:
@@ -852,8 +866,10 @@ def verdict_df(df: DataFrame, compiled: CompiledSpec) -> DataFrame:
             F.col(f"`{c.column}\x00{c.keyword}`").alias("n_violations"),
         ))
     return row.select(
+        *keep,
         F.col("`\x00rows`").alias("n_rows"), F.explode(F.array(*pairs)).alias("s")
     ).select(
+        *keep,
         F.col("s.column").alias("column"),
         F.col("s.keyword").alias("keyword"),
         F.col("s.n_violations").alias("n_violations"),
