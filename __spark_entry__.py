@@ -475,6 +475,37 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang hash sampling (rebalancing holdout carve:
+    same (key, seed, rate) selects the same rows on ANY partitioning or
+    engine — the oracle reproduces the md5 decision verbatim)."""
+    from json_schema_spark.operators.sampling import stratified_sample
+
+    rates = {"en": 0.25, "de": 0.5, "fr": 1.0}
+    return stratified_sample(
+        _docs(spark, sf_dir), key="doc_id", stratum="lang",
+        rates=rates, default_rate=0.1, seed=7,
+    ).select("doc_id", "lang")
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: synthesize a messy URL per doc (mixed-case
+    scheme/host, default port, fragment) and emit its canonical dedup
+    key — the rules are pure regexp so the oracle reproduces them
+    byte-for-byte."""
+    from json_schema_spark.operators.textstats import canonical_url
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://ExAmple.COM:443/"), F.col("lang"),
+            F.lit("/doc/"), F.col("doc_id").cast("string"),
+            F.lit("?q=1#Section-"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return df.select("doc_id", canonical_url(F.col("url")).alias("curl"))
+
+
 def q_events_json_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-JSON validation on events.props against
     {required:[k], properties:{k:{type:integer, minimum:0, maximum:50}}}
@@ -572,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "url_canonicalize": q_url_canonicalize,
         "events_json_validate": q_events_json_validate,
         "events_json_validate_full": q_events_json_validate_full,
         "events_window": q_events_window,
@@ -957,6 +990,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text),
                        '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS fp
             FROM documents WHERE text IS NOT NULL
+        """,
+        "stratified_sample": """
+            WITH rated AS (
+              SELECT doc_id, lang,
+                     CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+                               WHEN 'fr' THEN 1000000 ELSE 100000 END AS keep_below,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15))::BIGINT
+                       % 1000000 AS bucket
+              FROM documents)
+            SELECT doc_id, lang FROM rated WHERE bucket < keep_below
+        """,
+        "url_canonicalize": """
+            WITH u0 AS (
+              SELECT doc_id,
+                     'HTTPS://ExAmple.COM:443/' || lang || '/doc/' ||
+                     CAST(doc_id AS VARCHAR) || '?q=1#Section-' ||
+                     CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            u AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS v FROM u0),
+            parts AS (
+              SELECT doc_id, v,
+                     lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host,
+                     regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$', 1) AS rest
+              FROM u)
+            SELECT doc_id,
+                   CASE WHEN scheme = '' THEN v
+                        ELSE scheme || '://' ||
+                             CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+                                  WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+                                  ELSE host END || rest
+                   END AS curl
+            FROM parts
         """,
         "events_json_validate": """
             SELECT event_type, count(*) AS n_rows,

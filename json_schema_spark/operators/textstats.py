@@ -145,3 +145,27 @@ def text_profile(df: DataFrame, text_col: str, by: str | None = None) -> DataFra
     if by:
         return df.where(c.isNotNull()).groupBy(by).agg(*aggs)
     return df.where(c.isNotNull()).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-pipeline dedup key)
+# ---------------------------------------------------------------------------
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for dedup keys: lowercase scheme+host,
+    strip the fragment, strip scheme-default ports (:80 http, :443
+    https). Pure regexp built-ins — byte-for-byte reproducible in any
+    engine (the DuckDB oracle runs the same rules), which is the whole
+    point of a canonical key.  Values without a scheme pass through
+    fragment-stripped only."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$", 1)
+    host = (
+        F.when(scheme == F.lit("http"), F.regexp_replace(host, r":80$", ""))
+        .when(scheme == F.lit("https"), F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    return F.when(scheme == F.lit(""), u).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest))

@@ -285,3 +285,48 @@ def test_connected_components_groups(spark):
            for r in dedup.connected_components(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
                    (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+
+
+def test_hash_sampling_deterministic_and_partition_independent(spark):
+    from json_schema_spark.operators import sampling
+
+    df = spark.range(0, 20000).withColumn(
+        "lang", F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                             (F.col("id") % 3 + 1).cast("int")))
+    s1 = {r["id"] for r in sampling.hash_sample(df, "id", 0.3, seed=1).collect()}
+    # same content, different partitioning -> identical selection
+    s2 = {r["id"] for r in sampling.hash_sample(
+        df.repartition(17), "id", 0.3, seed=1).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 20000 - 0.3) < 0.02   # rate accuracy
+    # different seed -> a different (mostly disjoint-ish) selection
+    s3 = {r["id"] for r in sampling.hash_sample(df, "id", 0.3, seed=2).collect()}
+    assert s3 != s1
+    # stratified: per-stratum rates honored
+    strat = sampling.stratified_sample(
+        df, key="id", stratum="lang",
+        rates={"en": 0.5, "de": 0.1}, default_rate=0.0, seed=1)
+    rows = strat.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in rows}
+    n_per = 20000 / 3
+    assert abs(by["en"] / n_per - 0.5) < 0.04
+    assert abs(by["de"] / n_per - 0.1) < 0.03
+    assert "fr" not in by  # default_rate 0 drops unlisted strata
+
+
+def test_canonical_url_rules(spark):
+    from json_schema_spark.operators.textstats import canonical_url
+
+    cases = [
+        ("HTTPS://ExAmple.COM:443/Path?Q=1#frag", "https://example.com/Path?Q=1"),
+        ("http://Host.Org:80/", "http://host.org/"),
+        ("http://host.org:8080/x", "http://host.org:8080/x"),  # non-default kept
+        ("ftp://Mixed.Case:80/f", "ftp://mixed.case:80/f"),    # not http: port kept
+        ("no-scheme/path#frag", "no-scheme/path"),             # passthrough
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
