@@ -170,7 +170,8 @@ class ValidationRunner:
 
             "dataset": {"unique": ["url"],
                         "ref":   [{"column","table","key"}, ...],
-                        "drift": [{"column","test","by"}, ...]}
+                        "drift": [{"column","test","by"}, ...],
+                        "dedup": [{"column","id","method","max_dup_frac"}, ...]}
 
         ``dims`` maps ref-check table names to dimension DataFrames.
         Returns one verdict row per check (check, pass, n_violations,
@@ -220,6 +221,28 @@ class ValidationRunner:
                 worst_ks = max((r["ks"] or 0.0) for r in rows) if rows else 0.0
                 results.append((f"drift_ks({col} by {by})", worst_ks < 0.2,
                                 int(worst_ks >= 0.2), float(worst_ks)))
+
+        for d in block.get("dedup", []):
+            from json_schema_spark.operators.dedup import (
+                exact_duplicates,
+                fingerprint_duplicates,
+            )
+
+            method = d.get("method", "exact")
+            fn = fingerprint_duplicates if method == "fingerprint" else exact_duplicates
+            id_col = d.get("id", "doc_id")
+            groups = fn(df, id_col, d["column"])
+            # extra copies beyond each group's survivor
+            row = groups.agg(
+                F.coalesce(F.sum(F.col("n_dups") - 1), F.lit(0)).alias("extra")
+            ).collect()[0]
+            n_total = df.where(F.col(d["column"]).isNotNull()).count()
+            frac = (row["extra"] / n_total) if n_total else 0.0
+            cap = float(d.get("max_dup_frac", 0.0))
+            results.append((
+                f"dedup_{method}({d['column']})", frac <= cap,
+                int(row["extra"]), float(frac),
+            ))
 
         return self.spark.createDataFrame(
             results, "check string, pass boolean, n_violations long, metric double",

@@ -24,6 +24,12 @@ FULL_SPEC = {
             {"column": "lang", "test": "chi2", "by": "days(warc_ts)"},
             {"column": "char_length(text)", "test": "ks", "by": "days(warc_ts)"},
         ],
+        "dedup": [
+            {"column": "text", "id": "url", "method": "exact",
+             "max_dup_frac": 0.001},
+            {"column": "text", "id": "url", "method": "fingerprint",
+             "max_dup_frac": 0.5},
+        ],
     },
 }
 
@@ -38,6 +44,14 @@ def test_dataset_block(spark, webpages, tmp_path):
 
     assert rows["ref(lang->lang_code)"]["pass"] is False  # planted 'xx'
     assert rows["ref(lang->lang_code)"]["n_violations"] > 0
+
+    # dedup checks: planted exact dups (~1/DUP_TEXT_MOD of rows) exceed
+    # the 0.1% cap but sit far under the 50% one
+    assert rows["dedup_exact(text)"]["pass"] is False
+    assert rows["dedup_exact(text)"]["n_violations"] > 0
+    assert rows["dedup_fingerprint(text)"]["pass"] is True
+    assert rows["dedup_fingerprint(text)"]["metric"] >= \
+        rows["dedup_exact(text)"]["metric"]  # normalization only merges
 
     chi2 = rows["drift_chi2(lang by days(warc_ts))"]
     assert chi2["pass"] is False  # DRIFT_DAY has a shifted distribution
