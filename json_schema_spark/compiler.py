@@ -326,9 +326,17 @@ def _compile_keyword(
     if keyword == "multipleOf":  # src/validators.lisp:501-516
         if not _is_number(dt):
             return None
+
+        def _fits_long(n: int) -> bool:
+            return -(2 ** 63) <= n < 2 ** 63
+
         if isinstance(val, int) and not isinstance(val, bool):
+            # F.lit of an unbounded Python int raises for |v| >= 2^63;
+            # route huge divisors through a decimal literal.
+            lit_val = (F.lit(val) if _fits_long(val)
+                       else F.lit(str(val)).cast(T.DecimalType(38, 0)))
             if isinstance(dt, (*_INTEGRAL_TYPES, T.DecimalType)):
-                return lambda c: F.pmod(c, F.lit(val)) == F.lit(0)
+                return lambda c: F.pmod(c, lit_val) == F.lit(0)
             # double data, int divisor: exact via decimal cast while the
             # value fits Decimal(38,12); binary-exact fmod beyond that
             # (ANSI mode would otherwise raise on the cast).
@@ -336,8 +344,8 @@ def _compile_keyword(
                 dec = c.try_cast(T.DecimalType(38, 12))
                 return F.when(
                     dec.isNotNull(),
-                    dec % F.lit(val) == F.lit(0).cast("decimal(38,12)"),
-                ).otherwise(F.pmod(c, F.lit(val)) == F.lit(0.0))
+                    dec % lit_val == F.lit(0).cast("decimal(38,12)"),
+                ).otherwise(F.pmod(c, F.lit(float(val))) == F.lit(0.0))
             return int_div_pred
         # real divisor: the reference parses JSON numbers to CL rationals,
         # so 4.5 % 1.5 == 0 exactly (its suite still skips the float
@@ -347,16 +355,28 @@ def _compile_keyword(
         dval_dec = decimal.Decimal(str(val))
         s = max(0, -dval_dec.as_tuple().exponent)
         p = int(dval_dec.scaleb(s))
-        if isinstance(dt, (*_INTEGRAL_TYPES, T.DecimalType)):
-            return lambda c: F.pmod(
-                c.cast(T.DecimalType(38, 0)) * F.lit(10 ** s), F.lit(p)
-            ) == F.lit(0)
+        if (isinstance(dt, (*_INTEGRAL_TYPES, T.DecimalType))
+                and _fits_long(p) and _fits_long(10 ** s)):
+            # multiply FIRST — decimal arithmetic keeps the fraction
+            # (0.25 * 10 = 2.5, pmod 5 != 0 -> correctly rejected);
+            # casting to decimal(38,0) before scaling rounded it away.
+            # Integral columns cast to decimal(38,0) (int64 always
+            # fits, and would otherwise overflow int64 on *10^s under
+            # ANSI); decimal columns multiply as-is (product keeps
+            # their scale exactly).
+            def exact_pred(c: Column) -> Column:
+                base = (c.cast(T.DecimalType(38, 0))
+                        if isinstance(dt, _INTEGRAL_TYPES) else c)
+                return F.pmod(base * F.lit(10 ** s), F.lit(p)) == F.lit(0)
+            return exact_pred
 
         def real_div_pred(c: Column) -> Column:
             dec = c.try_cast(T.DecimalType(38, 12))
-            dval = F.lit(str(val)).cast(T.DecimalType(38, 12))
+            # try_cast ROUNDS tiny divisors (1e-25) to exactly 0 rather
+            # than NULL — guard both, else the modulo raises
+            dval = F.lit(str(val)).try_cast(T.DecimalType(38, 12))
             return F.when(
-                dec.isNotNull(),
+                dec.isNotNull() & dval.isNotNull() & (dval != F.lit(0)),
                 (dec % dval) == F.lit(0).cast(T.DecimalType(38, 12)),
             ).otherwise(F.pmod(c, F.lit(float(val))) == F.lit(0.0))
         return real_div_pred
@@ -846,9 +866,12 @@ def verdict_df(
     shape; the shuffle carries |partitions| pre-aggregated rows, never
     the table.
     """
+    # positional agg aliases: (column, keyword) pairs are NOT unique —
+    # a $ref target can share a keyword with a sibling, which made
+    # name-derived aliases ambiguous (AnalysisException at resolve time)
     aggs = [
-        F.sum((~c.predicate).cast("long")).alias(f"{c.column}\x00{c.keyword}")
-        for c in compiled.checks
+        F.sum((~c.predicate).cast("long")).alias(f"chk{i}")
+        for i, c in enumerate(compiled.checks)
     ] + [F.count(F.lit(1)).alias("\x00rows")]
     keep: list[Column] = []
     if partition_col is not None:
@@ -859,11 +882,11 @@ def verdict_df(
         row = df.agg(*aggs)
     # unpivot to (column, keyword, n_violations, n_rows, pass)
     pairs = []
-    for c in compiled.checks:
+    for i, c in enumerate(compiled.checks):
         pairs.append(F.struct(
             F.lit(c.column).alias("column"),
             F.lit(c.keyword).alias("keyword"),
-            F.col(f"`{c.column}\x00{c.keyword}`").alias("n_violations"),
+            F.col(f"chk{i}").alias("n_violations"),
         ))
     return row.select(
         *keep,

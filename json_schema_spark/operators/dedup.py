@@ -434,5 +434,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; a "
+            "component's diameter exceeds the round budget and the "
+            "current labels are NOT canonical")
 
     return labels.select(F.col("node"), F.col("label").alias("grp"))

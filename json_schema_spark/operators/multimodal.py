@@ -58,17 +58,29 @@ def _try_real_decoder(n_dims: int = 8) -> Callable | None:
 
         from PIL import Image
 
-        def _decode(data: bytes) -> list[float]:
+        def _decode(data: bytes) -> list[float] | None:
             # decode -> normalize size -> features: 3 channel means +
-            # grayscale row-band means, all in [0, 1]
-            img = Image.open(io.BytesIO(data)).convert("RGB").resize((8, 8))
-            px = list(img.getdata())
+            # grayscale row/column band means, padded with the overall
+            # mean to EXACTLY n_dims (the fake path also emits n_dims —
+            # mixed corpora must never produce ragged arrays).
+            # Per-row tolerance: an undecodable blob yields NULL
+            # features, it must not abort a 10^12-row job.
+            try:
+                img = Image.open(io.BytesIO(data)).convert("RGB").resize((8, 8))
+                px = list(img.getdata())
+            except Exception:
+                return None
             chan = [
                 sum(p[c] for p in px) / (len(px) * 255.0) for c in range(3)
             ]
             gray = [(p[0] + p[1] + p[2]) / (3 * 255.0) for p in px]
-            bands = [sum(gray[i * 8:(i + 1) * 8]) / 8 for i in range(8)]
-            return (chan + bands)[:n_dims]
+            rows = [sum(gray[i * 8:(i + 1) * 8]) / 8 for i in range(8)]
+            cols = [sum(gray[i::8]) / 8 for i in range(8)]
+            feats = chan + rows + cols
+            mean = sum(gray) / len(gray)
+            while len(feats) < n_dims:
+                feats.append(mean)
+            return feats[:n_dims]
 
         return _decode
     except ImportError:

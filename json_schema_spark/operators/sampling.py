@@ -37,7 +37,7 @@ def hash_sample(
     bucket(key, seed) < rate * buckets. Same inputs -> same rows,
     independent of partitioning; a narrow filter that pushes down."""
     k = F.col(key) if isinstance(key, str) else key
-    return df.where(_bucket(k, seed) < F.lit(int(rate * 1_000_000)))
+    return df.where(_bucket(k, seed) < F.lit(round(rate * 1_000_000)))
 
 
 def stratified_sample(
@@ -54,7 +54,7 @@ def stratified_sample(
     k = F.col(key) if isinstance(key, str) else key
     s = F.col(stratum) if isinstance(stratum, str) else stratum
     spark = df.sparkSession
-    rate_rows = [(name, int(r * 1_000_000)) for name, r in sorted(rates.items())]
+    rate_rows = [(name, round(r * 1_000_000)) for name, r in sorted(rates.items())]
     rate_df = F.broadcast(
         spark.createDataFrame(rate_rows, "stratum_key string, keep_below int"))
     joined = df.withColumn("__stratum", s).join(
@@ -63,7 +63,7 @@ def stratified_sample(
         joined.where(
             _bucket(k, seed)
             < F.coalesce(F.col("keep_below"),
-                         F.lit(int(default_rate * 1_000_000)))
+                         F.lit(round(default_rate * 1_000_000)))
         )
         .drop("__stratum", "stratum_key", "keep_below")
     )

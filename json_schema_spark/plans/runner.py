@@ -229,6 +229,10 @@ class ValidationRunner:
             )
 
             method = d.get("method", "exact")
+            if method not in ("exact", "fingerprint"):
+                raise ValueError(
+                    f"dataset dedup method {method!r} not supported "
+                    "(exact | fingerprint)")
             fn = fingerprint_duplicates if method == "fingerprint" else exact_duplicates
             id_col = d.get("id", "doc_id")
             groups = fn(df, id_col, d["column"])

@@ -55,8 +55,13 @@ def streaming_dedup_first_seen(
         first_id, total = None, 0
         for pdf in pdfs:
             total += len(pdf)
-            if seen == 0 and first_id is None and len(pdf):
-                first_id = int(pdf["id"].min())
+            if seen == 0 and len(pdf):
+                # min across ALL chunks of this group batch — a key can
+                # span multiple Arrow record batches, and the survivor
+                # must match exact_duplicates' min-id semantics
+                # regardless of chunking
+                chunk_min = int(pdf["id"].min())
+                first_id = chunk_min if first_id is None else min(first_id, chunk_min)
         state.update((seen + total,))
         if state_timeout_ms:
             state.setTimeoutDuration(state_timeout_ms)

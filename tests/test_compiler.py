@@ -125,3 +125,54 @@ def test_ref_sibling_keywords_not_dropped(spark):
                          id_cols=["score"])
     bad = {(r["keyword"]) for r in viol.collect()}
     assert "maximum" in bad  # 50 > 10 now caught on the Column path
+
+
+def test_ref_duplicate_keyword_checks_resolve(spark):
+    """Review r2: a $ref target sharing a keyword with a sibling emits
+    TWO (column, keyword) checks; verdict_df must not hit an ambiguous
+    column reference, and BOTH constraints must enforce."""
+    from json_schema_spark import verdict_df
+
+    df = spark.createDataFrame([(2,), (4,), (9,)], ["s"])
+    spec = {
+        "draft": "draft7",
+        "columns": {"s": {"$ref": "#/$defs/base", "minimum": 3}},
+        "$defs": {"base": {"minimum": 8}},
+    }
+    compiled = compile_spec(spec, df)
+    rows = verdict_df(df, compiled).collect()
+    kws = sorted((r["keyword"], r["n_violations"]) for r in rows)
+    # target minimum 8 -> rows 2,4 violate; sibling minimum 3 -> row 2
+    assert kws == [("minimum", 1), ("minimum", 2)]
+
+
+def test_multiple_of_decimal_column_fraction_exact(spark):
+    """Review r2: multipleOf with a real divisor on a DECIMAL column
+    must not round the fraction away (0.25 is NOT a multiple of 0.5)."""
+    from decimal import Decimal
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(Decimal("0.25"),), (Decimal("2.70"),), (Decimal("1.00"),),
+         (Decimal("12345678910111213141516171819"),)],
+        T.StructType([T.StructField("amount", T.DecimalType(38, 2))]),
+    )
+    compiled = compile_spec(
+        {"draft": "draft7", "columns": {"amount": {"multipleOf": 0.5}}}, df)
+    from json_schema_spark import violations_df
+    bad = {str(r["amount"]) for r in
+           violations_df(df, compiled, id_cols=["amount"]).collect()}
+    # any integer IS a multiple of 0.5 — the bignum must PASS
+    assert bad == {"0.25", "2.70"}
+
+
+def test_multiple_of_huge_divisor_compiles(spark):
+    """Review r2: divisors beyond int64 (or with huge scale) must not
+    crash compile_spec with a literal overflow."""
+    from decimal import Decimal as _D
+    df = spark.createDataFrame([(_D(10 ** 19),), (_D(7),)], "v decimal(38,0)")
+    for divisor in (10 ** 19, 1e19, 1e-25):
+        compiled = compile_spec(
+            {"draft": "draft7", "columns": {"v": {"multipleOf": divisor}}}, df)
+        from json_schema_spark import verdict_df
+        verdict_df(df, compiled).collect()  # must run, not raise
