@@ -58,7 +58,7 @@ for _draft in DRAFTS:
 _KEYS = sorted(_ENGINE)
 
 
-@settings(max_examples=1000, deadline=None,
+@settings(max_examples=1000, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(data=_json, pick=st.integers(min_value=0, max_value=len(_KEYS) - 1))
 def test_engine_matches_parity_oracle(data, pick):
@@ -70,7 +70,7 @@ def test_engine_matches_parity_oracle(data, pick):
         f"data={data!r}")
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(data=_json)
 def test_valid_iff_no_errors_contract(data):
     """json-schema:validate's return contract (src/json-schema.lisp:33-38)
