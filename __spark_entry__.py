@@ -196,6 +196,16 @@ def q_drift_ks_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_stat(df, "n_chars", "source", "src0", "src1")
 
 
+def q_drift_psi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the lang mix, each source vs the
+    rest (production drift score; epsilon-smoothed so absent categories
+    still contribute)."""
+    from json_schema_spark.operators.drift import psi_by_partition
+
+    return psi_by_partition(_docs(spark, sf_dir), "lang", "source").select(
+        F.col("partition").alias("part"), F.col("psi"), F.col("n_rows"))
+
+
 def q_drift_ks_by_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KS of n_chars: EVERY source partition vs the rest of the
     table, one job (single groupBy shuffle + aggregate-sized grid) —
@@ -583,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2_lang": q_drift_chi2_lang,
         "drift_ks_chars": q_drift_ks_chars,
         "drift_ks_by_partition": q_drift_ks_by_partition,
+        "drift_psi_lang": q_drift_psi_lang,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
@@ -701,6 +712,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_part) AS BIGINT) AS n_rows
             FROM grid CROSS JOIN g
             GROUP BY part
+        """,
+        "drift_psi_lang": """
+            WITH cells AS (
+              SELECT source AS part, lang AS cat, count(*) AS obs
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2),
+            pt AS (SELECT part, sum(obs) AS n_part FROM cells GROUP BY 1),
+            ct AS (SELECT cat, sum(obs) AS n_cat FROM cells GROUP BY 1),
+            g AS (SELECT sum(obs) AS n_total FROM cells),
+            grid AS (
+              SELECT pt.part, pt.n_part,
+                     COALESCE(cells.obs, 0) AS obs,
+                     ct.n_cat - COALESCE(cells.obs, 0) AS obs_rest,
+                     (SELECT n_total FROM g) - pt.n_part AS n_rest
+              FROM pt CROSS JOIN ct
+              LEFT JOIN cells ON cells.part = pt.part AND cells.cat = ct.cat)
+            SELECT part,
+                   round(sum((greatest(obs / n_part, 1e-6)
+                              - greatest(obs_rest / n_rest, 1e-6))
+                             * ln(greatest(obs / n_part, 1e-6)
+                                  / greatest(obs_rest / n_rest, 1e-6))), 6) AS psi,
+                   CAST(max(n_part) AS BIGINT) AS n_rows
+            FROM grid GROUP BY part
         """,
         "drift_ks_by_partition": """
             WITH cells AS (

@@ -215,3 +215,56 @@ def ks_stat_binned(
         F.max("nb").alias("n_b"),
         F.round(F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))), 6).alias("ks"),
     )
+
+
+def psi_by_partition(
+    df: DataFrame, category: str, partition: str | Column,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index of `category` per partition vs the
+    REST of the table: PSI = sum over categories of
+    (p_part - p_rest) * ln(p_part / p_rest), with epsilon-smoothed
+    proportions so absent categories contribute a large-but-finite
+    term (the production-standard drift score; >0.2 is the usual
+    "significant shift" rule of thumb).
+
+    Same shape as chi2_by_partition: ONE groupBy(partition, category)
+    shuffle, marginals by window over the aggregate-sized cells, and
+    the zero-obs remainder in closed form — for a zero cell
+    p_part = eps, so its term is (eps - p_rest)*ln(eps/p_rest);
+    summing those directly needs the grid, but rest-side proportions
+    are derivable per observed cell, so we materialize only the
+    missing-cell terms via the pooled-minus-observed trick on BOTH
+    sides of the product.  For clarity (and because the grid is
+    aggregate-sized anyway) this implementation builds the full
+    partition x category grid from the two marginals.
+    """
+    part = F.col(partition) if isinstance(partition, str) else partition
+    cells = (
+        df.where(F.col(category).isNotNull() & part.isNotNull())
+        .groupBy(part.alias("partition"), F.col(category).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    pt = cells.groupBy("partition").agg(F.sum("obs").alias("n_part"))
+    ct = cells.groupBy("cat").agg(F.sum("obs").alias("n_cat"))
+    tot = cells.agg(F.sum("obs").alias("n_total"))
+    grid = (
+        pt.crossJoin(F.broadcast(ct))
+        .join(cells, ["partition", "cat"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partition", "n_part",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            (F.col("n_cat") - F.coalesce(F.col("obs"), F.lit(0))).alias("obs_rest"),
+            (F.col("n_total") - F.col("n_part")).alias("n_rest"),
+        )
+    )
+    p_in = F.greatest(F.col("obs") / F.col("n_part"), F.lit(epsilon))
+    p_out = F.greatest(F.col("obs_rest") / F.col("n_rest"), F.lit(epsilon))
+    return (
+        grid.groupBy("partition")
+        .agg(
+            F.round(F.sum((p_in - p_out) * F.log(p_in / p_out)), 6).alias("psi"),
+            F.max("n_part").alias("n_rows"),
+        )
+    )

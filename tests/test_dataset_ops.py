@@ -97,3 +97,22 @@ def test_stats_long_null_rates(webpages):
     assert all(0.0 <= r["null_rate"] <= 1.0 for r in rows)
     total = sum(r["n_nulls"] for r in rows if r["column"] == "text")
     assert total == (N - 1) // tb.NULL_TEXT_MOD
+
+
+def test_psi_by_partition_planted_shift(spark):
+    """PSI: a partition whose category mix is identical to the rest
+    scores ~0; a partition with an exclusive category scores high."""
+    from json_schema_spark.operators.drift import psi_by_partition
+
+    rows = (
+        [("p1", "en")] * 50 + [("p1", "de")] * 50
+        + [("p2", "en")] * 50 + [("p2", "de")] * 50
+        + [("p3", "zz")] * 100          # exclusive category: max drift
+    )
+    df = spark.createDataFrame(rows, "part string, lang string")
+    got = {r["partition"]: r["psi"]
+           for r in psi_by_partition(df, "lang", "part").collect()}
+    # p1 vs rest: rest = p2(en/de) + p3(zz); p1 has no zz -> moderate
+    assert got["p3"] > 5.0              # exclusive category, eps-bounded
+    assert got["p3"] > got["p1"] > 0.0
+    assert abs(got["p1"] - got["p2"]) < 1e-9  # symmetric partitions
