@@ -266,6 +266,42 @@ SCHEMAS: list[tuple[str, dict | bool, tuple[str, ...]]] = [
     ("deep nesting",
      {"properties": {"a": {"items": {"properties": {
          "b": {"type": "integer"}}}}}}, ALL),
+    # --- combined / adversarial shapes -------------------------------------
+    ("allOf with nested anyOf",
+     {"allOf": [{"anyOf": [{"type": "integer"}, {"type": "string"}]},
+                {"not": {"enum": [1, "a"]}}]}, ALL),
+    ("oneOf overlapping ranges",
+     {"oneOf": [{"minimum": 0, "maximum": 5}, {"minimum": 3, "maximum": 10}]},
+     ALL),
+    ("not anyOf", {"not": {"anyOf": [{"type": "array"},
+                                     {"type": "object"}]}}, ALL),
+    ("if nested in properties",
+     {"properties": {"a": {"if": {"minimum": 3}, "then": {"multipleOf": 3},
+                           "else": {"multipleOf": 2}}}}, D7UP),
+    ("contains inside items",
+     {"items": {"contains": {"minimum": 2}}}, D6UP),
+    ("patternProperties plus additionalProperties typed",
+     {"patternProperties": {"^a": {"type": "integer"}},
+      "additionalProperties": {"type": "string"}}, ALL),
+    ("dependencies multi-key",
+     {"dependencies": {"a": ["b", "c"], "b": ["c"]}},
+     ("draft4", "draft6", "draft7")),
+    ("propertyNames with enum-like pattern",
+     {"propertyNames": {"pattern": "^(a|b|abc)$"}}, D6UP),
+    ("uniqueItems with numeric cross-type",
+     {"uniqueItems": True, "items": {"type": "number"}}, ALL),
+    ("required inside allOf",
+     {"allOf": [{"required": ["a"]}, {"required": ["b"]}]}, ALL),
+    ("exclusive bounds stacked",
+     {"exclusiveMinimum": 0, "exclusiveMaximum": 3, "multipleOf": 1}, D6UP),
+    ("ref inside anyOf",
+     {"definitions": {"s": {"type": "string"}},
+      "anyOf": [{"$ref": "#/definitions/s"}, {"minimum": 5}]},
+     ("draft4", "draft6", "draft7")),
+    ("boolean subschemas in combinators",
+     {"anyOf": [False, {"type": "integer"}]}, D6UP),
+    ("minLength under not",
+     {"not": {"minLength": 3}}, ALL),
 ]
 
 def label(draft: str, desc: str, schema, data) -> bool:
