@@ -562,6 +562,21 @@ def q_events_json_validate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) summarized per
+    session: one shuffle on user, two windows over one sort."""
+    from json_schema_spark.operators.textstats import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -619,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_validate": q_events_json_validate,
         "events_json_validate_full": q_events_json_validate_full,
         "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -1079,6 +1095,27 @@ def oracle_sql() -> dict[str, str]:
                      AND try_cast(json_extract_string(props, '$.k') AS BIGINT)
                          BETWEEN 0 AND 50)) AS n_violations
             FROM events GROUP BY event_type
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM marked)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end
+            FROM sessions GROUP BY user_id, session_seq
         """,
         "events_window": """
             SELECT TIMESTAMP '1970-01-01'

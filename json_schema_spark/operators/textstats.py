@@ -8,7 +8,7 @@ codegen. No Python touches a row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles for the n-gram/stopword
@@ -169,3 +169,42 @@ def canonical_url(col: Column) -> Column:
     )
     return F.when(scheme == F.lit(""), u).otherwise(
         F.concat(scheme, F.lit("://"), host, rest))
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (events stream -> sessions)
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the gap
+    to the user's previous event exceeds ``gap_minutes``.
+
+    Classic two-window pass, both over the SAME (user, ts) ordering so
+    Spark plans ONE shuffle + one sort: lag() marks session starts,
+    a running sum of the marks numbers them.  Returns the input plus
+    (session_seq, session_id) where session_id is unique per
+    (user, session_seq).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    is_start = epoch - F.lag(epoch).over(w) > F.lit(gap_s)
+    marked = df.withColumn(
+        "__new_session",
+        F.when(is_start | F.lag(F.col(ts_col)).over(w).isNull(), 1).otherwise(0),
+    )
+    return (
+        marked.withColumn(
+            "session_seq",
+            F.sum("__new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .drop("__new_session")
+        .withColumn(
+            "session_id",
+            F.concat(F.col(user_col).cast("string"), F.lit("#"),
+                     F.col("session_seq").cast("string")),
+        )
+    )

@@ -116,3 +116,24 @@ def test_psi_by_partition_planted_shift(spark):
     assert got["p3"] > 5.0              # exclusive category, eps-bounded
     assert got["p3"] > got["p1"] > 0.0
     assert abs(got["p1"] - got["p2"]) < 1e-9  # symmetric partitions
+
+
+def test_sessionize_gap_boundaries(spark):
+    from json_schema_spark.operators.textstats import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:29:59"),  # 29:59 gap -> same session
+        (1, "2024-01-01 01:00:00"),  # 30:01 gap -> new session
+        (1, "2024-01-01 01:30:00"),  # exactly 30:00 -> SAME session
+        (2, "2024-01-01 00:00:00"),  # other user independent
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["user_id"], str(r["ts"])): r["session_seq"]
+           for r in sessionize(df, "user_id", "ts", 30).collect()}
+    assert got[(1, "2024-01-01 00:00:00")] == 1
+    assert got[(1, "2024-01-01 00:29:59")] == 1
+    assert got[(1, "2024-01-01 01:00:00")] == 2
+    assert got[(1, "2024-01-01 01:30:00")] == 2  # 30:00 is NOT > gap
+    assert got[(2, "2024-01-01 00:00:00")] == 1
