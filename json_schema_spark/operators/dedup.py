@@ -407,8 +407,23 @@ def connected_components(
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
         .distinct().localCheckpoint()
-    labels = edges.select(F.col("a").alias("node")).distinct() \
-        .select("node", F.col("node").alias("label")).localCheckpoint()
+    # size the loop's parallelism to the GRAPH, not the session default:
+    # near-dup graphs are usually tiny relative to the corpus, and at 32
+    # shuffle partitions the per-round fixed task overhead dominates.
+    # (count() is free — edges just materialized.)
+    n_edges = edges.count()
+    p = max(1, min(32, n_edges // 100_000))
+    edges = edges.repartition(p, "b").localCheckpoint()
+    # round-0 fused into the init: label = min(self, direct neighbors)
+    labels = (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .repartition(p).localCheckpoint()
+    )
+    # labels only ever DECREASE, so sum(label) strictly decreases while
+    # anything changes — convergence is one cheap aggregate per round,
+    # no self-join needed.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     for _ in range(max_iter):
         nbr_min = (
@@ -416,7 +431,7 @@ def connected_components(
                                      F.col("label").alias("blabel")), "b")
             .groupBy("a").agg(F.min("blabel").alias("nlabel"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 labels["node"],
@@ -425,20 +440,14 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — raise max_iter; a "
-            "component's diameter exceeds the round budget and the "
-            "current labels are NOT canonical")
+            "— raise max_iter; a component's diameter exceeds the round "
+            "budget and the current labels are NOT canonical")
 
     return labels.select(F.col("node"), F.col("label").alias("grp"))
