@@ -433,6 +433,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bruteforce_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (rows-only: the k-means coarse quantizer is
+    driver-side numpy with a fixed seed — deterministic, but not
+    expressible in SQL; recall vs brute force is asserted in pytest)."""
+    from json_schema_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ann_ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact results via block-pair
     GEMM (Arrow + BLAS), the scale path for dense all-pairs work."""
@@ -625,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
