@@ -588,6 +588,25 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks): each click event picks up the
+    latest prior view's value for the same user — union + one window
+    over one (user, ts) sort, zero pair fan-out.  DuckDB oracle uses
+    its native ASOF JOIN."""
+    from json_schema_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("ts", "user_id", "event_id")
+    views = ev.where(F.col("event_type") == "view") \
+        .select("ts", "user_id", F.col("value").alias("view_value"))
+    out = asof_join(clicks, views, on="ts", by="user_id",
+                    right_cols=["view_value"])
+    return out.select("event_id", "user_id",
+                      F.round(F.col("view_value_r"), 2).alias("prior_view_value"))
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -647,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_validate_full": q_events_json_validate_full,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1128,6 +1148,21 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS session_end
             FROM sessions GROUP BY user_id, session_seq
+        """,
+        "asof_join": """
+            WITH ev AS (
+              SELECT * FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            clicks AS (
+              SELECT ts, user_id, event_id FROM ev WHERE event_type = 'click'),
+            views AS (
+              SELECT ts, user_id, value AS view_value FROM ev
+              WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   round(v.view_value, 2) AS prior_view_value
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "events_window": """
             SELECT TIMESTAMP '1970-01-01'

@@ -1,0 +1,78 @@
+"""Custom join operators Spark's API lacks.
+
+As-of join (the canonical example of a missing relational operator):
+for every left row, the LATEST right row with right.ts <= left.ts
+within the same key — the backbone of event/state alignment (price at
+order time, last config before request, latest prior view per click).
+
+Spark has no ASOF JOIN; the naive theta-join
+``l.key = r.key AND r.ts <= l.ts`` explodes to all preceding pairs and
+re-ranks them.  This implementation is the UNION + WINDOW composition:
+tag both sides, sort once per key over the merged stream, and carry the
+last-seen right row forward with ``last(..., ignorenulls=True)`` — ONE
+shuffle on the key, one sort, zero fan-out, which is exactly the merge
+semantics a native as-of join would plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row plus the latest (by ``on``
+    ordering, ties included) preceding right row of the same ``by``
+    key; right columns come back suffixed, NULL when no right row
+    precedes.
+
+    Right rows order BEFORE left rows at equal ``on`` values, so an
+    exactly-simultaneous right row matches (ASOF ``<=`` semantics,
+    matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        F.col(on).alias("__on"), F.col(by).alias("__by"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols if c not in (on, by)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(on).alias("__on"), F.col(by).alias("__by"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in (on, by)],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    merged = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__on"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # carry the whole right row as ONE struct — carrying columns
+    # independently would splice values from different right rows
+    # whenever a right column is genuinely NULL
+    rstruct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_cols]),
+    )
+    carried = merged.select(
+        "*", F.last(rstruct, ignorenulls=True).over(w).alias("__rrow"))
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .select(
+            F.col("__on").alias(on), F.col("__by").alias(by),
+            *[F.col(c) for c in lcols if c not in (on, by)],
+            *[F.col("__rrow").getField(c).alias(f"{c}{suffix}")
+              for c in right_cols],
+        )
+    )

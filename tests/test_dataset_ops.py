@@ -137,3 +137,26 @@ def test_sessionize_gap_boundaries(spark):
     assert got[(1, "2024-01-01 01:00:00")] == 2
     assert got[(1, "2024-01-01 01:30:00")] == 2  # 30:00 is NOT > gap
     assert got[(2, "2024-01-01 00:00:00")] == 1
+
+
+def test_asof_join_semantics(spark):
+    """Ties match (<=), missing prior rows give NULL, and right rows
+    with NULL columns must not splice values across rows."""
+    from json_schema_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(10, 1, "L1"), (20, 1, "L2"), (5, 2, "L3"), (30, 3, "L4")],
+        "ts long, k long, tag string")
+    right = spark.createDataFrame(
+        [(10, 1, "A", 1.0),        # tie with L1 -> matches (<=)
+         (15, 1, None, 2.0),       # NULL col: L2 must get (None, 2.0),
+                                   # NOT (A, 2.0) spliced from row 1
+         (3, 2, "C", 3.0)],   # ts 3 <= 5 precedes L3
+        "ts long, k long, name string, v double")
+    out = {r["tag"]: (r["name_r"], r["v_r"]) for r in
+           asof_join(left, right, on="ts", by="k",
+                     right_cols=["name", "v"]).collect()}
+    assert out["L1"] == ("A", 1.0)
+    assert out["L2"] == (None, 2.0)   # atomic struct carry
+    assert out["L3"] == ("C", 3.0)
+    assert out["L4"] == (None, None)  # no right rows for k=3
