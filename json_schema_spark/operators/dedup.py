@@ -420,10 +420,22 @@ def connected_components(
         .agg(F.least(F.min("b"), F.first("a")).alias("label"))
         .repartition(p).localCheckpoint()
     )
-    # labels only ever DECREASE, so sum(label) strictly decreases while
-    # anything changes — convergence is one cheap aggregate per round,
-    # no self-join needed.
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    # labels only ever DECREASE, so for NUMERIC ids sum(label) strictly
+    # decreases while anything changes — convergence is one cheap
+    # aggregate per round.  Non-numeric ids (string urls, hashes) fall
+    # back to the type-agnostic changed-rows join (a decimal cast of a
+    # string label is NULL, which would fake instant convergence).
+    import pyspark.sql.types as _T
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType,
+        (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
+         _T.FloatType, _T.DoubleType, _T.DecimalType))
+
+    def _sum(lbl_df):
+        return lbl_df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _sum(labels) if numeric_ids else None
 
     for _ in range(max_iter):
         nbr_min = (
@@ -431,7 +443,7 @@ def connected_components(
                                      F.col("label").alias("blabel")), "b")
             .groupBy("a").agg(F.min("blabel").alias("nlabel"))
         )
-        labels = (
+        new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 labels["node"],
@@ -440,10 +452,20 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        if cur_sum == prev_sum:
+        if numeric_ids:
+            cur_sum = _sum(new_labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .where(F.col("n.label") != F.col("o.label"))
+                .count() == 0
+            )
+        labels = new_labels
+        if converged:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

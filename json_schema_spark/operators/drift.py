@@ -29,6 +29,39 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _partition_vs_rest_grid(
+    df: DataFrame, value: Column, partition: Column,
+) -> DataFrame:
+    """Shared scaffolding for every partition-vs-rest statistic
+    (KS, PSI): ONE groupBy(partition, value) shuffle over the table,
+    then the full partition x value grid materialized from the two
+    aggregate-sized marginals, zero-obs cells included.
+
+    Columns: partition, v, n_part, n_total, n_rest, cnt, cnt_rest.
+    n_rest is 0 for a single-partition table — consumers must guard
+    their divisions (nullif), which is why it is precomputed here.
+    """
+    cells = (
+        df.where(value.isNotNull() & partition.isNotNull())
+        .groupBy(partition.alias("partition"), value.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    parts = cells.groupBy("partition").agg(F.sum("cnt").alias("n_part"))
+    vals = cells.groupBy("v").agg(F.sum("cnt").alias("n_v"))
+    tot = cells.agg(F.sum("cnt").alias("n_total"))
+    return (
+        parts.crossJoin(F.broadcast(vals))
+        .join(cells, ["partition", "v"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partition", "v", "n_part", "n_total",
+            (F.col("n_total") - F.col("n_part")).alias("n_rest"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            (F.col("n_v") - F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt_rest"),
+        )
+    )
+
+
 def chi2_by_partition(df: DataFrame, category: str, partition: str | Column) -> DataFrame:
     """Per-partition chi-square statistic of ``category`` distribution
     vs the pooled (all-partitions) distribution.
@@ -146,24 +179,11 @@ def ks_by_partition(
     else:
         base = base.select("partition", F.col("raw_v").alias("v"))
 
-    cells = base.groupBy("partition", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    parts = cells.groupBy("partition").agg(F.sum("cnt").alias("n_part"))
-    vals = cells.groupBy("v").agg(F.sum("cnt").alias("n_v"))
-    tot = cells.agg(F.sum("cnt").alias("n_total"))
-    grid = (
-        parts.crossJoin(F.broadcast(vals))
-        .join(cells, ["partition", "v"], "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "partition", "v", "n_part", "n_total",
-            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
-            (F.col("n_v") - F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt_rest"),
-        )
-    )
+    grid = _partition_vs_rest_grid(base, F.col("v"), F.col("partition"))
     w = Window.partitionBy("partition").orderBy("v") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cdf = grid.select(
-        "partition", "n_part", "n_total",
+        "partition", "n_part", "n_rest",
         F.sum("cnt").over(w).alias("cum_in"),
         F.sum("cnt_rest").over(w).alias("cum_rest"),
     )
@@ -174,8 +194,7 @@ def ks_by_partition(
             F.round(
                 F.max(F.abs(
                     F.col("cum_in") / F.col("n_part")
-                    - F.col("cum_rest")
-                    / F.nullif(F.col("n_total") - F.col("n_part"), F.lit(0))
+                    - F.col("cum_rest") / F.nullif(F.col("n_rest"), F.lit(0))
                 )), 6,
             ).alias("ks"),
         )
@@ -240,27 +259,11 @@ def psi_by_partition(
     partition x category grid from the two marginals.
     """
     part = F.col(partition) if isinstance(partition, str) else partition
-    cells = (
-        df.where(F.col(category).isNotNull() & part.isNotNull())
-        .groupBy(part.alias("partition"), F.col(category).alias("cat"))
-        .agg(F.count(F.lit(1)).alias("obs"))
-    )
-    pt = cells.groupBy("partition").agg(F.sum("obs").alias("n_part"))
-    ct = cells.groupBy("cat").agg(F.sum("obs").alias("n_cat"))
-    tot = cells.agg(F.sum("obs").alias("n_total"))
-    grid = (
-        pt.crossJoin(F.broadcast(ct))
-        .join(cells, ["partition", "cat"], "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "partition", "n_part",
-            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
-            (F.col("n_cat") - F.coalesce(F.col("obs"), F.lit(0))).alias("obs_rest"),
-            (F.col("n_total") - F.col("n_part")).alias("n_rest"),
-        )
-    )
-    p_in = F.greatest(F.col("obs") / F.col("n_part"), F.lit(epsilon))
-    p_out = F.greatest(F.col("obs_rest") / F.col("n_rest"), F.lit(epsilon))
+    grid = _partition_vs_rest_grid(df, F.col(category), part)
+    p_in = F.greatest(F.col("cnt") / F.col("n_part"), F.lit(epsilon))
+    p_out = F.greatest(
+        F.col("cnt_rest") / F.nullif(F.col("n_rest"), F.lit(0)),
+        F.lit(epsilon))
     return (
         grid.groupBy("partition")
         .agg(

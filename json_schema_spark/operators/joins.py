@@ -37,6 +37,10 @@ def asof_join(
     exactly-simultaneous right row matches (ASOF ``<=`` semantics,
     matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
     """
+    # a NULL right `on` value has no position on the timeline; it would
+    # sort NULLS FIRST and be carried as the "earliest" match for every
+    # left row.  DuckDB's ASOF (l.on >= r.on) never matches NULL — drop.
+    right = right.where(F.col(on).isNotNull())
     lcols = left.columns
     l_tag = left.select(
         F.col(on).alias("__on"), F.col(by).alias("__by"),

@@ -187,10 +187,16 @@ def sessionize(
     (session_seq, session_id) where session_id is unique per
     (user, session_seq).
     """
+    # NULL event times carry no ordering information: drop them here,
+    # otherwise the row AFTER a null-ts row sees lag()=NULL and starts a
+    # spurious session.
+    df = df.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
-    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-    is_start = epoch - F.lag(epoch).over(w) > F.lit(gap_s)
+    # cast("double") keeps fractional seconds — unix_timestamp truncates
+    # to whole seconds, which mislabels gaps in (gap, gap+1s)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    is_start = epoch - F.lag(epoch).over(w) > F.lit(float(gap_s))
     marked = df.withColumn(
         "__new_session",
         F.when(is_start | F.lag(F.col(ts_col)).over(w).isNull(), 1).otherwise(0),

@@ -137,6 +137,20 @@ def test_sessionize_gap_boundaries(spark):
     assert got[(1, "2024-01-01 01:00:00")] == 2
     assert got[(1, "2024-01-01 01:30:00")] == 2  # 30:00 is NOT > gap
     assert got[(2, "2024-01-01 00:00:00")] == 1
+    # fractional-second gap just over the threshold starts a session
+    frac = spark.createDataFrame(
+        [(9, "2024-01-01 00:00:00.950"), (9, "2024-01-01 00:30:01.200")],
+        "user_id long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    from json_schema_spark.operators.textstats import sessionize as _sz
+    fgot = sorted(r["session_seq"] for r in _sz(frac, "user_id", "ts", 30).collect())
+    assert fgot == [1, 2]  # 1800.25s > 1800s
+    # NULL ts rows are dropped, not turned into session boundaries
+    withnull = spark.createDataFrame(
+        [(9, None), (9, "2024-01-01 00:00:00"), (9, "2024-01-01 00:05:00")],
+        "user_id long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    ngot = {str(r["ts"]): r["session_seq"]
+            for r in _sz(withnull, "user_id", "ts", 30).collect()}
+    assert ngot == {"2024-01-01 00:00:00": 1, "2024-01-01 00:05:00": 1}
 
 
 def test_asof_join_semantics(spark):

@@ -78,3 +78,14 @@ def test_valid_iff_no_errors_contract(data):
     v = _ENGINE[("draft7", "object with everything")]
     ok, errors = v.validate(data)
     assert ok == (not errors)
+
+
+@settings(max_examples=200, deadline=None)  # NOT derandomized: keeps
+# exploring new inputs every run; any failure it ever finds is a real
+# engine/oracle divergence worth a flake (hypothesis prints the
+# reproducing seed)
+@given(data=_json, pick=st.integers(min_value=0, max_value=len(_KEYS) - 1))
+def test_engine_matches_parity_oracle_explore(data, pick):
+    draft, desc = _KEYS[pick]
+    assert (_ENGINE[(draft, desc)].is_valid(data)
+            == _ORACLE[(draft, desc)].is_valid(data))

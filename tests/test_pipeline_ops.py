@@ -330,3 +330,16 @@ def test_canonical_url_rules(spark):
            df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_connected_components_string_ids(spark):
+    """Review r2: convergence detection must be type-agnostic — a chain
+    of STRING ids needs multiple rounds (the numeric label-sum shortcut
+    would fake instant convergence on a NULL decimal cast)."""
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3"), ("u3", "u4"), ("u4", "u5"), ("x", "y")],
+        "doc_a string, doc_b string")
+    got = {(r["node"], r["grp"])
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {("u1", "u1"), ("u2", "u1"), ("u3", "u1"),
+                   ("u4", "u1"), ("u5", "u1"), ("x", "x"), ("y", "x")}
