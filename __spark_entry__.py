@@ -607,6 +607,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("view_value_r"), 2).alias("prior_view_value"))
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operator Spark lacks): documents bucketed into
+    OVERLAPPING char-length bands via interval bucketization + hash
+    join + exact re-verify (no nested-loop fan-out); the oracle is a
+    plain inequality join."""
+    from json_schema_spark.operators.joins import range_join
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    bands = spark.range(0, 12).select(
+        (F.col("id") * 50).alias("lo"),
+        (F.col("id") * 50 + 75).alias("hi"),
+        F.concat(F.lit("band"), F.col("id").cast("string")).alias("band"),
+    )
+    out = range_join(docs, bands, point="n_chars", lo="lo", hi="hi")
+    return out.select("doc_id", "band")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -667,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1163,6 +1181,16 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "range_join": """
+            WITH bands AS (
+              SELECT g * 50 AS lo, g * 50 + 75 AS hi,
+                     'band' || CAST(g AS VARCHAR) AS band
+              FROM UNNEST(generate_series(0, 11)) AS t(g))
+            SELECT d.doc_id, b.band
+            FROM documents d JOIN bands b
+              ON b.lo <= d.n_chars AND d.n_chars < b.hi
+            WHERE d.n_chars IS NOT NULL
         """,
         "events_window": """
             SELECT TIMESTAMP '1970-01-01'

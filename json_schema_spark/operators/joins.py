@@ -80,3 +80,51 @@ def asof_join(
               for c in right_cols],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join: left rows paired with every right row
+    where ``lo <= point < hi``.
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin (all
+    pairs when the right side is big).  The scale path here is the
+    standard bucketization: explode each interval into the fixed-width
+    buckets it covers, bucket each point, equi-join on the bucket (a
+    plain shuffled hash join), then re-verify the exact predicate.
+    Join work becomes O(rows x intervals-per-bucket) instead of
+    O(left x right).
+
+    ``bucket_width`` defaults to the average interval length (computed
+    in one aggregate-sized pass) — wider means fewer duplicate interval
+    rows, narrower means fewer false candidates.
+    """
+    if bucket_width is None:
+        row = right.agg(
+            F.ceil(F.avg(F.col(hi) - F.col(lo))).alias("w")).collect()[0]
+        bucket_width = max(1, int(row["w"] or 1))
+    w = F.lit(bucket_width)
+
+    r = right.where(F.col(lo).isNotNull() & F.col(hi).isNotNull()
+                    & (F.col(hi) > F.col(lo)))
+    # interval -> every bucket index it overlaps: floor(lo/w)..floor((hi-1)/w)
+    r_b = r.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col(lo) / w),
+                       F.floor((F.col(hi) - F.lit(1)) / w))
+        ).alias("__bucket"),
+    )
+    l_b = left.where(F.col(point).isNotNull()).select(
+        "*", F.floor(F.col(point) / w).alias("__bucket"))
+    return (
+        l_b.join(r_b, "__bucket")
+        .where((F.col(lo) <= F.col(point)) & (F.col(point) < F.col(hi)))
+        .drop("__bucket")
+    )

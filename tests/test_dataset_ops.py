@@ -174,3 +174,24 @@ def test_asof_join_semantics(spark):
     assert out["L2"] == (None, 2.0)   # atomic struct carry
     assert out["L3"] == ("C", 3.0)
     assert out["L4"] == (None, None)  # no right rows for k=3
+
+
+def test_range_join_no_nested_loop(spark):
+    """Bucketized range join matches the naive inequality join and
+    plans a hash join, not BroadcastNestedLoop."""
+    from json_schema_spark.operators.joins import range_join
+
+    pts = spark.range(0, 500).select(F.col("id").alias("p"))
+    iv = spark.createDataFrame(
+        [(0, 100, "a"), (50, 150, "b"), (449, 500, "c"), (490, 491, "d"),
+         (200, 200, "empty"), (None, 10, "nulls")],
+        "lo long, hi long, tag string")
+    out = range_join(pts, iv, point="p", lo="lo", hi="hi")
+    naive = pts.crossJoin(iv).where(
+        F.col("lo").isNotNull() & F.col("hi").isNotNull()
+        & (F.col("lo") <= F.col("p")) & (F.col("p") < F.col("hi")))
+    got = {(r["p"], r["tag"]) for r in out.collect()}
+    want = {(r["p"], r["tag"]) for r in naive.collect()}
+    assert got == want and len(want) == 100 + 100 + 51 + 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
