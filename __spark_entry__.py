@@ -624,6 +624,29 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "band")
 
 
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline (the composition a training
+    pipeline actually runs): quality filter -> exact-dedup survivor
+    (min doc_id per content hash) -> deterministic per-lang sampling.
+    Every stage is engine-native and the WHOLE composition is
+    value-checked against one DuckDB query."""
+    from json_schema_spark.operators.sampling import stratified_sample
+    from json_schema_spark.operators.textstats import quality_score
+    from pyspark.sql import Window
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    good = df.where(F.round(quality_score(F.col("text")), 6) >= 0.5)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    surv = (
+        good.withColumn("__keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__keep")).drop("__keep")
+    )
+    out = stratified_sample(surv, key="doc_id", stratum="lang",
+                            rates={"en": 0.5, "de": 0.5, "fr": 1.0},
+                            default_rate=0.25, seed=11)
+    return out.select("doc_id", "lang")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -685,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "pipeline_clean": q_pipeline_clean,
     }
 
 
@@ -1191,6 +1215,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN bands b
               ON b.lo <= d.n_chars AND d.n_chars < b.hi
             WHERE d.n_chars IS NOT NULL
+        """,
+        "pipeline_clean": """
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                round(
+                  0.3 * least(length(text) / 500.0, 1.0)
+                + 0.3 * (CASE WHEN length(text) > 0 THEN
+                    length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+                      / length(text) ELSE 0 END)
+                + 0.2 * (1.0 - least(
+                    (CASE WHEN length(text) > 0 THEN
+                      length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                        / length(text) ELSE 0 END) * 4, 1.0))
+                + 0.2 * (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                    THEN len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                      / len(string_split_regex(trim(text), '\\s+'))
+                    ELSE 0 END), 6) AS quality
+              FROM documents WHERE text IS NOT NULL),
+            good AS (SELECT * FROM q WHERE quality >= 0.5),
+            surv AS (
+              SELECT * FROM (
+                SELECT doc_id, lang,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                FROM good)
+              WHERE doc_id = keep_id),
+            sampled AS (
+              SELECT doc_id, lang,
+                     CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 500000
+                               WHEN 'fr' THEN 1000000 ELSE 250000 END AS keep_below,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15))::BIGINT
+                       % 1000000 AS bucket
+              FROM surv)
+            SELECT doc_id, lang FROM sampled WHERE bucket < keep_below
         """,
         "events_window": """
             SELECT TIMESTAMP '1970-01-01'
