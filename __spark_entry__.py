@@ -196,6 +196,17 @@ def q_drift_ks_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_stat(df, "n_chars", "source", "src0", "src1")
 
 
+def q_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS over MERGEABLE quantile sketches (rows-only: Spark's
+    percentile_approx sketch has no DuckDB twin; pytest asserts it
+    tracks the exact oracle-checked ks_by_partition within 0.08)."""
+    from json_schema_spark.operators.drift import ks_from_quantile_sketch
+
+    return ks_from_quantile_sketch(
+        _docs(spark, sf_dir), "n_chars", "source").select(
+        F.col("partition").alias("part"), F.col("n_rows"), F.col("ks_est"))
+
+
 def q_drift_psi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the lang mix, each source vs the
     rest (production drift score; epsilon-smoothed so absent categories
@@ -679,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_chars": q_drift_ks_chars,
         "drift_ks_by_partition": q_drift_ks_by_partition,
         "drift_psi_lang": q_drift_psi_lang,
+        "drift_ks_sketch": q_drift_ks_sketch,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,

@@ -271,3 +271,67 @@ def psi_by_partition(
             F.max("n_part").alias("n_rows"),
         )
     )
+
+
+def ks_from_quantile_sketch(
+    df: DataFrame, value: str | Column, partition: str | Column,
+    n_quantiles: int = 128, accuracy: int = 10000,
+) -> DataFrame:
+    """Per-partition KS estimated from MERGEABLE quantile sketches
+    (north-star wording: "KS over t-digest sketches compared across
+    partitions") — Spark's built-in `percentile_approx` aggregate is a
+    Greenwald-Khanna-family sketch: partial sketches merge map-side, so
+    the shuffle carries one sketch per partition, NOT the rows.
+
+    Each partition's sketch yields an n_quantiles-point inverse CDF;
+    the rest-of-table CDF is evaluated AT those points from its own
+    sketch grid; KS ≈ max gap between the two step functions.  Error is
+    bounded by sketch accuracy + 1/n_quantiles — the trade for never
+    materializing a per-value grid (use :func:`ks_by_partition` when
+    the domain is small enough for exactness).
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    part = F.col(partition) if isinstance(partition, str) else partition
+    qs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    base = df.where(val.isNotNull() & part.isNotNull()).select(
+        part.alias("partition"), val.alias("v"))
+    sk_part = base.groupBy("partition").agg(
+        F.percentile_approx("v", qs, accuracy).alias("grid"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    sk_all = base.agg(
+        F.percentile_approx("v", qs, accuracy).alias("grid_all"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    # rest-CDF at x = (F_all(x)*n_all - F_part(x)*n_part) / n_rest.
+    # Evaluate both step-CDFs at the UNION of the two grids: for a
+    # sorted quantile grid g with levels q, F(x) ~= q[j] where j = last
+    # index with g[j] <= x — expressible per element with filter+size.
+    joined = sk_part.crossJoin(F.broadcast(sk_all))
+
+    def cdf_at(grid_col: str, x: Column) -> Column:
+        # fraction of the grid at or below x = empirical CDF estimate
+        return (
+            F.size(F.filter(F.col(grid_col), lambda g: g <= x))
+            / F.lit(float(n_quantiles))
+        )
+
+    both = joined.select(
+        "partition", "n_rows",
+        F.array_distinct(F.concat(F.col("grid"), F.col("grid_all"))).alias("xs"),
+        "grid", "grid_all", "n_all",
+    )
+    per_x = both.select(
+        "partition", "n_rows", "grid", "grid_all", "n_all",
+        F.explode("xs").alias("x"),
+    ).select(
+        "partition", "n_rows",
+        cdf_at("grid", F.col("x")).alias("f_part"),
+        ((cdf_at("grid_all", F.col("x")) * F.col("n_all")
+          - cdf_at("grid", F.col("x")) * F.col("n_rows"))
+         / F.nullif(F.col("n_all") - F.col("n_rows"), F.lit(0))).alias("f_rest"),
+    )
+    return per_x.groupBy("partition").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.round(F.max(F.abs(F.col("f_part") - F.col("f_rest"))), 6).alias("ks_est"),
+    )

@@ -195,3 +195,22 @@ def test_range_join_no_nested_loop(spark):
     assert got == want and len(want) == 100 + 100 + 51 + 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_ks_sketch_tracks_exact_ks(spark):
+    """Sketch-KS (mergeable percentile_approx grids) must track the
+    exact partition-vs-rest KS within the sketch error budget."""
+    from json_schema_spark.operators.drift import (
+        ks_by_partition,
+        ks_from_quantile_sketch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r["partition"]: r["ks"]
+             for r in ks_by_partition(docs, "n_chars", "source").collect()}
+    approx = {r["partition"]: r["ks_est"]
+              for r in ks_from_quantile_sketch(
+                  docs, "n_chars", "source", n_quantiles=128).collect()}
+    assert set(exact) == set(approx)
+    for p in exact:
+        assert abs(exact[p] - approx[p]) < 0.08, (p, exact[p], approx[p])
