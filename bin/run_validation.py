@@ -40,6 +40,12 @@ def main() -> int:
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--max-partitions", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (else spark-submit's)")
+    ap.add_argument(
+        "--dim", action="append", default=[], metavar="NAME=PARQUET_PATH",
+        help="dimension table for the spec's dataset ref checks (repeatable)")
+    ap.add_argument(
+        "--skip-dataset-checks", action="store_true",
+        help="per-partition pass only; skip the spec's table-level block")
     args = ap.parse_args()
 
     from json_schema_spark.plans.runner import ValidationRunner
@@ -63,11 +69,30 @@ def main() -> int:
     rows = [r.asDict() for r in runner.verdicts().collect()
             if r["partition"] in set(processed)]
     n_fail = sum(1 for r in rows if not r["pass"])
+
+    # table-level block (unique / ref / drift / dedup) — cross-partition
+    # by nature, so it runs once per invocation that processed anything
+    ds_rows: list[dict] = []
+    if spec.dataset and not args.skip_dataset_checks:
+        dims = {}
+        for d in args.dim:
+            name, _, path = d.partition("=")
+            if not path:
+                raise SystemExit(f"--dim expects NAME=PARQUET_PATH, got {d!r}")
+            dims[name] = spark.read.parquet(path)
+        ds_rows = [r.asDict() for r in
+                   runner.run_dataset_checks(df, dims=dims).collect()]
+        n_fail += sum(1 for r in ds_rows if not r["pass"])
+
     print(json.dumps({
         "run_id": args.run_id,
         "processed": processed,
-        "checks": len(rows),
+        "checks": len(rows) + len(ds_rows),
         "failed_checks": n_fail,
+        "dataset_checks": [
+            {"check": r["check"], "pass": r["pass"], "metric": r["metric"]}
+            for r in ds_rows
+        ],
     }))
     return 1 if n_fail else 0
 
