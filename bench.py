@@ -99,8 +99,11 @@ def main() -> None:
 
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
     run = build_constraint_pass(spark, n_docs)
-    run()  # discarded warm-up (JIT/codegen; see BENCH/scaling.py)
-    docs_per_sec, wall = run()
+    run(); run()  # discarded warm-ups (JIT/codegen; see BENCH/scaling.py)
+    # median of 3: a single measurement is hostage to transient box
+    # load (e.g. another JVM shutting down mid-pass)
+    passes = sorted(run() for _ in range(3))
+    docs_per_sec, wall = passes[1]
 
     print(json.dumps({
         "metric": "headline query wall time (sf) + constraint-pass docs/sec",
