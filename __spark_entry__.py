@@ -646,7 +646,7 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    good = df.where(F.round(quality_score(F.col("text")), 6) >= 0.5)
+    good = df.where(quality_score(F.col("text")) >= 0.5)  # already rounds to 6
     w = Window.partitionBy(F.md5(F.col("text")))
     surv = (
         good.withColumn("__keep", F.min("doc_id").over(w))
@@ -1103,7 +1103,8 @@ def oracle_sql() -> dict[str, str]:
                     (CASE WHEN length(text) > 0 THEN
                       length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
                         / length(text) ELSE 0 END) * 4, 1.0))
-                + 0.2 * (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                + 0.2 * (CASE WHEN trim(text) <> ''
+                         AND len(string_split_regex(trim(text), '\\s+')) > 0
                     THEN len(list_distinct(string_split_regex(trim(text), '\\s+')))
                       / len(string_split_regex(trim(text), '\\s+'))
                     ELSE 0 END), 6) AS quality
@@ -1115,8 +1116,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT lang,
-                   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
-                   round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+                   round(avg(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END), 4) AS avg_tokens,
                    CAST(sum(len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_regex_tokens
             FROM documents WHERE text IS NOT NULL
@@ -1240,7 +1243,8 @@ def oracle_sql() -> dict[str, str]:
                     (CASE WHEN length(text) > 0 THEN
                       length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
                         / length(text) ELSE 0 END) * 4, 1.0))
-                + 0.2 * (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                + 0.2 * (CASE WHEN trim(text) <> ''
+                         AND len(string_split_regex(trim(text), '\\s+')) > 0
                     THEN len(list_distinct(string_split_regex(trim(text), '\\s+')))
                       / len(string_split_regex(trim(text), '\\s+'))
                     ELSE 0 END), 6) AS quality

@@ -77,8 +77,10 @@ def main() -> int:
         dims = {}
         for d in args.dim:
             name, _, path = d.partition("=")
-            if not path:
+            if not name or not path:
                 raise SystemExit(f"--dim expects NAME=PARQUET_PATH, got {d!r}")
+            if name in dims:
+                raise SystemExit(f"--dim {name!r} given twice")
             dims[name] = spark.read.parquet(path)
         ds_rows = [r.asDict() for r in
                    runner.run_dataset_checks(df, dims=dims).collect()]

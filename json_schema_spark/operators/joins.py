@@ -105,6 +105,13 @@ def range_join(
     in one aggregate-sized pass) — wider means fewer duplicate interval
     rows, narrower means fewer false candidates.
     """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"range_join: left and right share column names {sorted(overlap)}"
+            " — rename one side (output carries both tables' columns)")
+    if "__bucket" in left.columns or "__bucket" in right.columns:
+        raise ValueError("range_join: '__bucket' is a reserved column name")
     if bucket_width is None:
         row = right.agg(
             F.ceil(F.avg(F.col(hi) - F.col(lo))).alias("w")).collect()[0]
@@ -113,12 +120,15 @@ def range_join(
 
     r = right.where(F.col(lo).isNotNull() & F.col(hi).isNotNull()
                     & (F.col(hi) > F.col(lo)))
-    # interval -> every bucket index it overlaps: floor(lo/w)..floor((hi-1)/w)
+    # interval -> every bucket it overlaps: floor(lo/w) .. ceil(hi/w)-1
+    # (NOT floor((hi-1)/w), which assumes integer bounds and silently
+    # drops the last bucket for fractional hi — e.g. [0.5, 1.2) covers
+    # bucket 1 at w=1)
     r_b = r.select(
         "*",
         F.explode(
             F.sequence(F.floor(F.col(lo) / w),
-                       F.floor((F.col(hi) - F.lit(1)) / w))
+                       F.ceil(F.col(hi) / w) - F.lit(1))
         ).alias("__bucket"),
     )
     l_b = left.where(F.col(point).isNotNull()).select(

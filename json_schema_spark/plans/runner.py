@@ -208,8 +208,13 @@ class ValidationRunner:
             col = d["column"]
             col_expr = F.expr(col) if "(" in col else F.col(col)
             if d.get("test") == "chi2":
-                rows = chi2_by_partition(df, col, by_col).collect()
-                worst = max(rows, key=lambda r: r["chi2"] or 0.0)
+                rows = [r for r in chi2_by_partition(df, col, by_col).collect()
+                        if r["chi2"] is not None]
+                if not rows:
+                    # all-null column/partition: nothing to test -> pass
+                    results.append((f"drift_chi2({col} by {by})", True, 0, 0.0))
+                    continue
+                worst = max(rows, key=lambda r: r["chi2"])
                 # crude flag: chi2 beyond 5x the median partition
                 med = sorted(r["chi2"] for r in rows)[len(rows) // 2]
                 drifted = worst["chi2"] > 5 * max(med, 1e-9)

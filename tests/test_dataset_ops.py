@@ -214,3 +214,36 @@ def test_ks_sketch_tracks_exact_ks(spark):
     assert set(exact) == set(approx)
     for p in exact:
         assert abs(exact[p] - approx[p]) < 0.08, (p, exact[p], approx[p])
+
+
+def test_range_join_fractional_bounds_and_collision_guard(spark):
+    """Review r2: fractional interval bounds must not drop the last
+    bucket, and overlapping column names are rejected explicitly."""
+    from json_schema_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame([(1.0,), (0.6,), (1.3,)], "p double")
+    iv = spark.createDataFrame([(0.5, 1.2, "a")], "lo double, hi double, tag string")
+    got = {(r["p"], r["tag"]) for r in
+           range_join(pts, iv, point="p", lo="lo", hi="hi",
+                      bucket_width=1).collect()}
+    assert got == {(1.0, "a"), (0.6, "a")}  # 1.0 in [0.5,1.2); 1.3 not
+    import pytest as _pytest
+    bad_left = spark.createDataFrame([(1.0, 0.0)], "p double, lo double")
+    with _pytest.raises(ValueError, match="share column names"):
+        range_join(bad_left, iv, point="p", lo="lo", hi="hi")
+
+
+def test_runner_chi2_all_null_column_passes(spark, tmp_path):
+    """Review r2: an all-null drift column yields a passing verdict,
+    not a driver crash."""
+    from json_schema_spark.plans.runner import ValidationRunner
+
+    df = spark.createDataFrame(
+        [(1, None, "d1"), (2, None, "d2")],
+        "id long, lang string, warc_day string")
+    spec = {"draft": "draft7", "columns": {},
+            "dataset": {"drift": [
+                {"column": "lang", "test": "chi2", "by": "warc_day"}]}}
+    runner = ValidationRunner(spark, spec, str(tmp_path / "r"), run_id="x")
+    rows = {r["check"]: r for r in runner.run_dataset_checks(df).collect()}
+    assert rows["drift_chi2(lang by warc_day)"]["pass"] is True
