@@ -179,6 +179,28 @@ def q_ref_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return miss.select("doc_id", "lang")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent n_chars values per lang (degenerate-column
+    profile): one combinable groupBy + a window over aggregate-sized
+    counts."""
+    from json_schema_spark.operators.stats import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), value="n_chars",
+                         by="lang", k=3).select(
+        F.col("grp").alias("lang"), F.col("value").alias("n_chars"),
+        F.col("n"), F.col("rank"))
+
+
+def q_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column cardinality profile (exact side only — the HLL approx
+    column is the at-scale path, asserted within 5% in pytest)."""
+    from json_schema_spark.operators.stats import cardinality_profile
+
+    return cardinality_profile(
+        _docs(spark, sf_dir), ["lang", "source", "n_chars"]).select(
+        "col_name", "n_distinct", "n_nulls", "n_rows")
+
+
 def q_drift_chi2_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square drift of lang distribution per source vs pooled."""
     df = _docs(spark, sf_dir)
@@ -685,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats": q_column_stats,
         "stats_rollup": q_stats_rollup,
         "unique_check": q_unique_check,
+        "heavy_hitters": q_heavy_hitters,
+        "cardinality_profile": q_cardinality_profile,
         "ref_lang": q_ref_lang,
         "drift_chi2_lang": q_drift_chi2_lang,
         "drift_ks_chars": q_drift_ks_chars,
@@ -792,6 +816,30 @@ def oracle_sql() -> dict[str, str]:
         "ref_lang": """
             SELECT doc_id, lang FROM documents
             WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+        """,
+        "heavy_hitters": """
+            WITH counts AS (
+              SELECT lang AS grp, n_chars, count(*) AS n
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT grp AS lang, n_chars, n,
+                     row_number() OVER (
+                       PARTITION BY grp ORDER BY n DESC, n_chars) AS rank
+              FROM counts)
+            SELECT lang, n_chars, n, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "cardinality_profile": """
+            SELECT 'lang' AS col_name, count(DISTINCT lang) AS n_distinct,
+                   count(*) FILTER (WHERE lang IS NULL) AS n_nulls,
+                   count(*) AS n_rows FROM documents
+            UNION ALL
+            SELECT 'source', count(DISTINCT source),
+                   count(*) FILTER (WHERE source IS NULL), count(*) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(DISTINCT n_chars),
+                   count(*) FILTER (WHERE n_chars IS NULL), count(*) FROM documents
         """,
         "drift_chi2_lang": """
             WITH cells AS (

@@ -105,3 +105,74 @@ def stats_long(df: DataFrame, columns: list[str], by: str) -> DataFrame:
         F.col("s.n_nulls").alias("n_nulls"),
         F.round(F.col("s.n_nulls") / F.col("n_rows"), 6).alias("null_rate"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, value: str | Column, by: str | Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most frequent values (optionally per group): the standard
+    profile for spotting degenerate columns (one URL dominating a
+    crawl, a default lang swamping a partition).
+
+    Shape: ONE groupBy (map-side combinable) over (group, value), then
+    a window rank over the aggregate-sized counts — the rank never
+    touches table-scale rows.  Ties break by value for determinism.
+    """
+    from pyspark.sql import Window
+
+    val = F.col(value) if isinstance(value, str) else value
+    cols = [val.alias("value")]
+    keys = []
+    if by is not None:
+        grp = F.col(by) if isinstance(by, str) else by
+        cols.insert(0, grp.alias("grp"))
+        keys = ["grp"]
+    counts = (
+        df.where(val.isNotNull())
+        .select(*cols)
+        .groupBy(*keys, "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cardinality_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column cardinality profile in ONE pass: exact distincts,
+    HLL approx distincts (the 10^12-row path — mergeable, fixed
+    memory), null count, row count.
+
+    At true scale use only the `approx` column (exact count(DISTINCT)
+    over several columns multiplies the shuffle); the exact figure is
+    here for the oracle gate and for small dims.
+    """
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.countDistinct(F.col(c)).alias(f"{c}__exact"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__approx"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+        ]
+    row = df.agg(*aggs, F.count(F.lit(1)).alias("__rows"))
+    pairs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__exact").alias("n_distinct"),
+            F.col(f"{c}__approx").alias("n_distinct_approx"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+        )
+        for c in columns
+    ]
+    return row.select(
+        F.col("__rows").alias("n_rows"), F.explode(F.array(*pairs)).alias("s")
+    ).select(
+        F.col("s.col_name").alias("col_name"),
+        F.col("s.n_distinct").alias("n_distinct"),
+        F.col("s.n_distinct_approx").alias("n_distinct_approx"),
+        F.col("s.n_nulls").alias("n_nulls"),
+        F.col("n_rows").alias("n_rows"),
+    )

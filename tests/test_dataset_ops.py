@@ -247,3 +247,21 @@ def test_runner_chi2_all_null_column_passes(spark, tmp_path):
     runner = ValidationRunner(spark, spec, str(tmp_path / "r"), run_id="x")
     rows = {r["check"]: r for r in runner.run_dataset_checks(df).collect()}
     assert rows["drift_chi2(lang by warc_day)"]["pass"] is True
+
+
+def test_cardinality_profile_and_heavy_hitters(spark):
+    from json_schema_spark.operators.stats import (
+        cardinality_profile,
+        heavy_hitters,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    prof = {r["col_name"]: r for r in
+            cardinality_profile(docs, ["lang", "doc_id"]).collect()}
+    assert prof["doc_id"]["n_distinct"] == prof["doc_id"]["n_rows"]
+    # HLL approx within 5% of exact
+    for c in prof:
+        exact, approx = prof[c]["n_distinct"], prof[c]["n_distinct_approx"]
+        assert abs(approx - exact) <= max(1, 0.05 * exact), (c, exact, approx)
+    hh = heavy_hitters(docs, "lang", k=2).collect()
+    assert len(hh) == 2 and hh[0]["n"] >= hh[1]["n"]
