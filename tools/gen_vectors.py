@@ -105,9 +105,11 @@ D4 = ("draft4",)
 # ---------------------------------------------------------------------------
 
 INSTANCES = [
-    # strings
+    # strings (incl. the official suite's unicode-length classics:
+    # astral-plane chars and combining marks count as CODE POINTS)
     "", "a", "foo", "foo bar", "fooooooooooo", "Foo", "123", "1.0",
     "café", "ßß", "a@b", "  ", "null", "true",
+    "\U0001F4A9", "a\U0001F4A9b", "e\u0301", "\u00e9",
     # numbers
     0, 1, -1, 2, 3, 5, 10, 100, -7, 12345678910111213141516171819,
     0.0, 1.0, 1.5, -1.5, 2.5, 3.0, 4.5, 0.1, 1e2, 98249283749234923498293171823948729348710298301928331.0,
