@@ -69,10 +69,32 @@ class ValidationRunner:
     run_id: str = "run-0"
     id_cols: tuple[str, ...] = ("url",)
     compiled: CompiledSpec | None = field(default=None)
+    use_icetable: bool = False
+
+    _VERDICT_DDL = (
+        "run_id string, partition string, check string, pass boolean, "
+        "n_rows long, n_violations long, metrics map<string,double>, "
+        "input_files array<string>, wall_ms long"
+    )
 
     def __post_init__(self):
         os.makedirs(self.results_dir, exist_ok=True)
         self.manifest = _Manifest(os.path.join(self.results_dir, "manifest.json"))
+        self._verdict_table = None
+        if self.use_icetable:
+            # verdict rows land in an Iceberg-style snapshot table: one
+            # dynamic-partition-overwrite commit per validated partition,
+            # so a redo after interruption replaces (never duplicates)
+            # that partition's rows and the snapshot log IS the lineage
+            # history (north-rule "results written to an Iceberg table").
+            from json_schema_spark.sources.icetable import IceTable
+
+            vroot = os.path.join(self.results_dir, "verdicts_ice")
+            if os.path.exists(os.path.join(vroot, "metadata", "version-hint.text")):
+                self._verdict_table = IceTable(self.spark, vroot)
+            else:
+                self._verdict_table = IceTable.create(
+                    self.spark, vroot, self._VERDICT_DDL, ["partition"])
 
     # -- helpers ----------------------------------------------------------
     def _compile(self, df: DataFrame) -> CompiledSpec:
@@ -146,14 +168,12 @@ class ValidationRunner:
                 )
                 for i, c in enumerate(compiled.checks)
             ]
-            vdf = self.spark.createDataFrame(
-                verdicts,
-                "run_id string, partition string, check string, pass boolean, "
-                "n_rows long, n_violations long, metrics map<string,double>, "
-                "input_files array<string>, wall_ms long",
-            )
-            vpath = os.path.join(self.results_dir, "verdicts", f"part={part}")
-            vdf.coalesce(1).write.mode("overwrite").parquet(vpath)
+            vdf = self.spark.createDataFrame(verdicts, self._VERDICT_DDL)
+            if self._verdict_table is not None:
+                self._verdict_table.overwrite_partitions(vdf.coalesce(1))
+            else:
+                vpath = os.path.join(self.results_dir, "verdicts", f"part={part}")
+                vdf.coalesce(1).write.mode("overwrite").parquet(vpath)
 
             self.manifest.mark(part, {
                 "run_id": self.run_id, "n_rows": row["n_rows"], "wall_ms": wall_ms,
@@ -259,6 +279,8 @@ class ValidationRunner:
 
     # -- results ------------------------------------------------------------
     def verdicts(self) -> DataFrame:
+        if self._verdict_table is not None:
+            return self._verdict_table.scan()
         return self.spark.read.parquet(os.path.join(self.results_dir, "verdicts"))
 
     def violations(self) -> DataFrame:

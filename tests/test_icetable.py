@@ -1,0 +1,159 @@
+"""IceTable (Iceberg-style snapshot table seam) contract tests:
+atomic optimistic commits, snapshot isolation / time travel, dynamic
+partition overwrite, and manifest-level stats pruning."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.sources.icetable import CommitConflict, IceTable
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u-"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("lang"),
+    )
+
+
+SCHEMA = "doc_id long, url string, lang string"
+
+
+def test_append_scan_roundtrip(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    t.append(docs)
+    got = t.scan().select("doc_id", "url", "lang")
+    assert sorted(got.collect()) == sorted(docs.collect())
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    s1 = t.append(docs.where("doc_id < 50"))
+    s2 = t.append(docs.where("doc_id >= 50"))
+    assert t.scan().count() == 100
+    # a reader pinned to s1 is unaffected by the later commit
+    assert t.scan(snapshot_id=s1).count() == 50
+    snaps = t.snapshots()
+    assert [s["id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent_id"] == s1
+    assert snaps[0]["operation"] == "append"
+
+
+def test_partition_pruning(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    t.append(docs)
+    all_files = t.plan_files()
+    en_files = t.plan_files([("lang", "=", "en")])
+    assert 0 < len(en_files) < len(all_files)
+    assert all(e["partition"]["lang"] == "en" for e in en_files)
+    got = t.scan([("lang", "=", "en")])
+    assert got.count() == 34 and got.select("lang").distinct().collect()[0][0] == "en"
+
+
+def test_minmax_stats_pruning(spark, tmp_path):
+    # range-partition so each file holds a disjoint doc_id range — the
+    # footer min/max then prunes most files for a point/range predicate
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u-"), F.col("id")).alias("url"),
+        F.lit("en").alias("lang"),
+    ).repartitionByRange(8, "doc_id")
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(df)
+    assert len(t.plan_files()) == 8
+    pruned = t.plan_files([("doc_id", ">=", 900)])
+    assert len(pruned) < 8
+    assert t.scan([("doc_id", ">=", 900)]).count() == 100
+    # string stats prune too
+    upruned = t.plan_files([("url", "=", "u-5")])
+    assert len(upruned) < 8
+
+
+def test_scan_filters_equal_post_filter(spark, tmp_path, docs):
+    """Pruning is a pure optimization: scan(filters) == scan().filter."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    t.append(docs)
+    a = sorted(t.scan([("doc_id", "<", 10), ("lang", "in", ["en", "de"])])
+               .select("doc_id").toPandas()["doc_id"].tolist())
+    b = sorted(t.scan().where((F.col("doc_id") < 10)
+                              & F.col("lang").isin("en", "de"))
+               .select("doc_id").toPandas()["doc_id"].tolist())
+    assert a == b and len(a) > 0
+
+
+def test_overwrite_partitions_idempotent_redo(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    t.append(docs)
+    fixed = docs.where("lang = 'en'").withColumn("url", F.lit("fixed"))
+    t.overwrite_partitions(fixed)
+    t.overwrite_partitions(fixed)  # redo of the same partition: no dupes
+    got = t.scan()
+    assert got.count() == 100
+    assert got.where("lang = 'en'").select("url").distinct().collect()[0][0] == "fixed"
+    assert got.where("lang = 'de' and url like 'u-%'").count() == 33
+    assert t.snapshots()[-1]["operation"] == "overwrite"
+
+
+def test_commit_conflict_one_winner(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(docs.where("doc_id < 10"))
+    # simulate a racing writer that already claimed the next version
+    v = t._current_version()
+    open(os.path.join(t._meta_dir, f"v{v + 1}.metadata.json"), "w").write("{}")
+    with pytest.raises(CommitConflict):
+        t.append(docs.where("doc_id >= 10"))
+    # loser retries after the conflict clears and wins cleanly
+    os.unlink(os.path.join(t._meta_dir, f"v{v + 1}.metadata.json"))
+    t.append(docs.where("doc_id >= 10"))
+    assert t.scan().count() == 100
+
+
+def test_runner_verdicts_through_icetable(spark, webpages, tmp_path):
+    """Resume with IceTable results: the snapshot log is the lineage
+    history, a redone partition is REPLACED (overwrite) not duplicated,
+    and final verdicts equal the plain-parquet mode's."""
+    from json_schema_spark.plans.runner import ValidationRunner
+    from json_schema_spark.sources import tables as tb
+    from tests.test_compiler import WEB_SPEC
+
+    pages = str(tmp_path / "pages")
+    webpages.write.partitionBy("warc_day").mode("overwrite").parquet(pages)
+    df = spark.read.parquet(pages)
+
+    r1 = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "ice"), run_id="r1",
+                          use_icetable=True)
+    first = r1.run(df, max_partitions=2)
+    # interrupted mid-run: wipe the checkpoint mark of partition 1 to
+    # force a redo of an already-committed partition on resume
+    state = r1.manifest.load()
+    del state["completed"][first[1]]
+    r1.manifest.mark(first[0], state["completed"][first[0]])
+    import json as _json, os as _os
+    with open(r1.manifest.path, "w") as f:
+        _json.dump(state, f)
+
+    r1b = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "ice"), run_id="r1",
+                           use_icetable=True)
+    r1b.run(df)
+    got = r1b.verdicts()
+    # redo replaced, never duplicated: one verdict row per (partition, check)
+    assert got.groupBy("partition", "check").count().where("count > 1").count() == 0
+    assert got.select("partition").distinct().count() == tb.N_DAYS
+
+    # identical to plain-parquet mode
+    r2 = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "plain"), run_id="r1")
+    r2.run(df)
+    a = {(x["partition"], x["check"]): (x["pass"], x["n_rows"], x["n_violations"])
+         for x in got.collect()}
+    b = {(x["partition"], x["check"]): (x["pass"], x["n_rows"], x["n_violations"])
+         for x in r2.verdicts().collect()}
+    assert a == b
+
+    # snapshot log: one commit per processed partition (incl. the redo)
+    snaps = r1b._verdict_table.snapshots()
+    assert len(snaps) == tb.N_DAYS + 1  # 2 + redo + remaining 6
+    assert all(s["operation"] == "overwrite" for s in snaps)
