@@ -229,6 +229,26 @@ def q_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition").alias("part"), F.col("n_rows"), F.col("ks_est"))
 
 
+def q_drift_ks_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS from STORABLE t-digest sketches (operators/tdigest.py):
+    rows never shuffle (batch digests -> per-partition merge), digests
+    are plain arrays persistable to the IceTable results seam for
+    incremental cross-run drift. Rows-only: the sketch CDF has no
+    DuckDB twin; pytest pins accuracy vs the exact ks_by_partition
+    (<0.05) and the incremental stored-digest path."""
+    from json_schema_spark.operators.tdigest import (
+        digest_by_partition,
+        ks_by_partition_tdigest,
+    )
+
+    digests = digest_by_partition(_docs(spark, sf_dir), "n_chars", "source")
+    rows = ks_by_partition_tdigest(digests)
+    return spark.createDataFrame(
+        [(p, float(n), round(ks, 6)) for p, n, ks in rows],
+        "part string, n_rows double, ks_est double",
+    )
+
+
 def q_drift_psi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the lang mix, each source vs the
     rest (production drift score; epsilon-smoothed so absent categories
@@ -715,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_by_partition": q_drift_ks_by_partition,
         "drift_psi_lang": q_drift_psi_lang,
         "drift_ks_sketch": q_drift_ks_sketch,
+        "drift_ks_tdigest": q_drift_ks_tdigest,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,

@@ -1,0 +1,231 @@
+"""t-digest: a mergeable, STORABLE quantile sketch (Dunning & Ertl,
+"Computing Extremely Accurate Quantiles Using t-Digests").
+
+`ks_from_quantile_sketch` (drift.py) already estimates KS from Spark's
+built-in percentile_approx sketch, but that sketch lives only inside
+one aggregation — it cannot be persisted. The t-digest here is plain
+data (two double arrays + min/max/n), so per-partition digests can be
+written to the results :class:`~json_schema_spark.sources.icetable.IceTable`
+and **merged across runs**: when day D+1 arrives, drift of D+1 vs all
+history costs one scan of D+1 plus a metadata-sized merge of stored
+digests — no rescan of history. At 10^12 docs that turns daily drift
+monitoring from O(table) into O(new partition).
+
+Plan shape (the mergeable-sketch posture):
+
+* stage 1 — ``mapInPandas`` over the raw rows: each Arrow batch folds
+  its values into one digest per partition-value it contains. No
+  shuffle; output is digest rows (~2·compression doubles each).
+* stage 2 — ``groupBy(partition).applyInPandas`` merges a partition's
+  batch-digests into one. The shuffle carries digests, never rows.
+* statistics (KS, quantiles) are computed FROM digests; a table with P
+  partitions yields P digests — aggregate-sized, so the driver-side
+  each-vs-rest loop in :func:`ks_by_partition_tdigest` touches only
+  metadata (the sanctioned collect, cf. VERDICT round-1 plan audit).
+
+Generalizes the reference's static distribution expectations
+(/root/reference/src/validators.lisp:339-341) the same way drift.py
+does, with the sketch as the transportable unit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIGEST_SCHEMA = (
+    "partition string, means array<double>, weights array<double>, "
+    "n double, vmin double, vmax double"
+)
+
+
+# ---------------------------------------------------------------------------
+# core numpy digest (arrays in, arrays out — nothing to serialize but data)
+# ---------------------------------------------------------------------------
+
+def _k(q: np.ndarray | float, compression: float) -> np.ndarray | float:
+    """k1 scale function: fine clusters at the tails, coarse mid-CDF."""
+    return (compression / (2.0 * math.pi)) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+
+
+def compress(means: np.ndarray, weights: np.ndarray, compression: float) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted-by-mean clusters greedily subject to the k1 size
+    limit (the paper's merging-digest variant): a run of clusters may
+    merge while k(q_end) - k(q_start) <= 1."""
+    if means.size == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order].astype(float), weights[order].astype(float)
+    n = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    q0 = 0.0
+    acc_m, acc_w = means[0], weights[0]
+    k0 = _k(q0, compression)
+    for m, w in zip(means[1:], weights[1:]):
+        q2 = q0 + (acc_w + w) / n
+        if _k(q2, compression) - k0 <= 1.0:
+            acc_m += (m - acc_m) * (w / (acc_w + w))  # weighted mean, stable
+            acc_w += w
+        else:
+            out_m.append(acc_m)
+            out_w.append(acc_w)
+            q0 += acc_w / n
+            k0 = _k(q0, compression)
+            acc_m, acc_w = m, w
+    out_m.append(acc_m)
+    out_w.append(acc_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def build(values: np.ndarray, compression: float = 100.0) -> dict:
+    """Digest of a raw value array."""
+    v = np.asarray(values, dtype=float)
+    v = v[~np.isnan(v)]
+    if v.size == 0:
+        return {"means": np.empty(0), "weights": np.empty(0),
+                "n": 0.0, "vmin": math.nan, "vmax": math.nan}
+    m, w = compress(v, np.ones_like(v), compression)
+    return {"means": m, "weights": w, "n": float(v.size),
+            "vmin": float(v.min()), "vmax": float(v.max())}
+
+
+def merge(digests: Iterable[dict], compression: float = 100.0) -> dict:
+    """Merge any number of digests: concatenate clusters, re-compress.
+    Associative + order-insensitive up to sketch error (pytest-pinned)."""
+    ds = [d for d in digests if d["n"] > 0]
+    if not ds:
+        return {"means": np.empty(0), "weights": np.empty(0),
+                "n": 0.0, "vmin": math.nan, "vmax": math.nan}
+    m = np.concatenate([np.asarray(d["means"], dtype=float) for d in ds])
+    w = np.concatenate([np.asarray(d["weights"], dtype=float) for d in ds])
+    m, w = compress(m, w, compression)
+    return {"means": m, "weights": w, "n": float(sum(d["n"] for d in ds)),
+            "vmin": float(min(d["vmin"] for d in ds)),
+            "vmax": float(max(d["vmax"] for d in ds))}
+
+
+def cdf(digest: dict, xs: np.ndarray) -> np.ndarray:
+    """Piecewise-linear CDF through the centroid midpoints
+    (mean_i, (cumw_{i-1} + w_i/2) / n), clamped by (vmin,0)/(vmax,1)."""
+    m = np.asarray(digest["means"], dtype=float)
+    w = np.asarray(digest["weights"], dtype=float)
+    n = digest["n"]
+    xs = np.asarray(xs, dtype=float)
+    if m.size == 0:
+        return np.full(xs.shape, math.nan)
+    if digest["vmax"] == digest["vmin"]:  # constant column: step CDF
+        return (xs >= digest["vmin"]).astype(float)
+    mids = (np.cumsum(w) - w / 2.0) / n
+    xp = np.concatenate(([digest["vmin"]], m, [digest["vmax"]]))
+    fp = np.concatenate(([0.0], mids, [1.0]))
+    # collapse duplicate x support (single-cluster / constant columns)
+    xp, idx = np.unique(xp, return_index=True)
+    return np.interp(xs, xp, fp[idx])
+
+
+def quantile(digest: dict, qs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`cdf` (same piecewise-linear support)."""
+    m = np.asarray(digest["means"], dtype=float)
+    w = np.asarray(digest["weights"], dtype=float)
+    n = digest["n"]
+    qs = np.asarray(qs, dtype=float)
+    if m.size == 0:
+        return np.full(qs.shape, math.nan)
+    if digest["vmax"] == digest["vmin"]:  # constant column
+        return np.full(qs.shape, digest["vmin"])
+    mids = (np.cumsum(w) - w / 2.0) / n
+    xp = np.concatenate(([0.0], mids, [1.0]))
+    fp = np.concatenate(([digest["vmin"]], m, [digest["vmax"]]))
+    xp, idx = np.unique(xp, return_index=True)
+    return np.interp(qs, xp, fp[idx])
+
+
+def ks_between(a: dict, b: dict) -> float:
+    """max |F_a - F_b| evaluated on the union of both supports."""
+    xs = np.unique(np.concatenate([
+        np.asarray(a["means"], dtype=float), np.asarray(b["means"], dtype=float),
+        np.asarray([a["vmin"], a["vmax"], b["vmin"], b["vmax"]], dtype=float),
+    ]))
+    xs = xs[~np.isnan(xs)]
+    if xs.size == 0:
+        return math.nan
+    return float(np.max(np.abs(cdf(a, xs) - cdf(b, xs))))
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing (two-stage: batch digests -> per-partition merge)
+# ---------------------------------------------------------------------------
+
+def _row_to_digest(row) -> dict:
+    return {"means": np.asarray(row["means"], dtype=float),
+            "weights": np.asarray(row["weights"], dtype=float),
+            "n": float(row["n"]), "vmin": row["vmin"], "vmax": row["vmax"]}
+
+
+def digest_by_partition(
+    df: DataFrame, value: str | Column, by: str | Column,
+    compression: float = 100.0,
+) -> DataFrame:
+    """One t-digest row per partition value (schema DIGEST_SCHEMA).
+
+    Rows never shuffle: batches fold to digests in stage 1
+    (mapInPandas), stage 2 shuffles ~2·compression doubles per
+    (input-task, partition) pair and merges per partition.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    part = F.col(by) if isinstance(by, str) else by
+    base = (
+        df.where(val.isNotNull() & part.isNotNull())
+        .select(part.cast("string").alias("partition"), val.cast("double").alias("v"))
+    )
+
+    def batch_digests(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, grp in pdf.groupby("partition", sort=False):
+                d = build(grp["v"].to_numpy(), compression)
+                rows.append((p, d["means"].tolist(), d["weights"].tolist(),
+                             d["n"], d["vmin"], d["vmax"]))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "partition", "means", "weights", "n", "vmin", "vmax"])
+
+    partial = base.mapInPandas(batch_digests, DIGEST_SCHEMA)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = merge((_row_to_digest(r) for _, r in pdf.iterrows()), compression)
+        return pd.DataFrame([(pdf["partition"].iloc[0], d["means"].tolist(),
+                              d["weights"].tolist(), d["n"], d["vmin"], d["vmax"])],
+                            columns=["partition", "means", "weights", "n", "vmin", "vmax"])
+
+    return partial.groupBy("partition").applyInPandas(merge_group, DIGEST_SCHEMA)
+
+
+def ks_by_partition_tdigest(
+    digests: DataFrame | list[dict], compression: float = 100.0,
+) -> list[tuple[str, float, float]]:
+    """Each partition's KS vs the merged REST, purely from digests.
+
+    Input is the output of :func:`digest_by_partition` (or a list of
+    already-collected digest dicts with a 'partition' key). Returns
+    [(partition, n_rows, ks)] sorted by partition. The collect is
+    aggregate-sized by construction: P digests of ~2·compression
+    doubles.
+    """
+    if isinstance(digests, DataFrame):
+        rows = digests.collect()
+        ds = [dict(_row_to_digest(r), partition=r["partition"]) for r in rows]
+    else:
+        ds = list(digests)
+    out = []
+    for i, d in enumerate(ds):
+        rest = merge((o for j, o in enumerate(ds) if j != i), compression)
+        out.append((d["partition"], d["n"],
+                    ks_between(d, rest) if rest["n"] else math.nan))
+    return sorted(out)
