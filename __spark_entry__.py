@@ -229,6 +229,102 @@ def q_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition").alias("part"), F.col("n_rows"), F.col("ks_est"))
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width length histogram in TALL form (north-star "length
+    histograms"): one groupBy(bucket) pass, partial-aggregable; the
+    wide conditional-sum twin lives in operators/stats.column_stats."""
+    docs = _docs(spark, sf_dir).where(F.col("n_chars").isNotNull())
+    return (
+        docs.groupBy(F.floor(F.col("n_chars") / 50).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-funnel report: how many docs survive each rule and all
+    rules together — ONE aggregate (count-filters fuse into a single
+    scan; no per-rule passes)."""
+    d = _docs(spark, sf_dir)
+    has_text = F.col("text").isNotNull() & (F.char_length("text") > 0)
+    len_ok = F.col("n_chars").between(100, 20_000)
+    lang_ok = F.col("lang").isin("en", "de", "fr", "es")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(has_text.cast("long")).alias("n_has_text"),
+        F.sum(len_ok.cast("long")).alias("n_len_ok"),
+        F.sum(lang_ok.cast("long")).alias("n_lang_ok"),
+        F.sum((has_text & len_ok & lang_ok).cast("long")).alias("n_pass_all"),
+    )
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label embedding statistics with JVM-side higher-order
+    array functions (F.aggregate / F.zip_with — the built-in fast path
+    the ANN operators ride; no Python in the loop): L2 norm and
+    self-dot aggregated per label."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        emb.where(F.col("embedding").isNotNull())
+        .select("label", dot.alias("self_dot"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.avg(F.sqrt(F.col("self_dot"))), 6).alias("avg_norm"),
+             F.round(F.max("self_dot"), 6).alias("max_self_dot"))
+    )
+
+
+def q_top_terms_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency table: for each whitespace token, the
+    number of DOCUMENTS containing it; top 20 by df (term tie-break).
+    This is the exact statistic behind the ngram max_df stop-gram
+    pruning (operators/dedup.py) — explode(array_distinct(split))
+    keeps the fan-out per doc bounded by its distinct-token count, and
+    the groupBy(term) agg combines map-side."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    terms = docs.select(
+        F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("term"))
+    return (
+        terms.where(F.col("term") != "")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+    )
+
+
+def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents through the Iceberg-style snapshot table seam
+    (sources/icetable.py: atomic commit, footer-stats manifest), then
+    answer an aggregate from a PRUNED scan — value-identical to the
+    same SQL on the raw table, proving prune+roundtrip lose nothing.
+    The filter (source, n_chars) hits both partition pruning and
+    min/max stats pruning paths."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from json_schema_spark.sources.icetable import IceTable
+
+    root = tempfile.mkdtemp(prefix="icetab_")
+    # the returned DataFrame reads the table lazily -> clean at exit
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = IceTable.create(
+        spark, root,
+        "doc_id long, text string, lang string, n_chars long", ["source"])
+    t.append(_docs(spark, sf_dir))
+    scanned = t.scan([("source", "in", ["src1", "src7", "src12"]), ("n_chars", ">=", 100)])
+    return (
+        scanned.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"),
+             F.min("doc_id").alias("min_doc_id"))
+    )
+
+
 def q_drift_ks_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS from STORABLE t-digest sketches (operators/tdigest.py):
     rows never shuffle (batch digests -> per-partition merge), digests
@@ -736,6 +832,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_lang": q_drift_psi_lang,
         "drift_ks_sketch": q_drift_ks_sketch,
         "drift_ks_tdigest": q_drift_ks_tdigest,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
+        "top_terms_df": q_top_terms_df,
+        "vector_norms": q_vector_norms,
+        "length_histogram": q_length_histogram,
+        "quality_funnel": q_quality_funnel,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
@@ -837,6 +938,54 @@ def oracle_sql() -> dict[str, str]:
         "ref_lang": """
             SELECT doc_id, lang FROM documents
             WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+        """,
+        "length_histogram": """
+            SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY bucket
+        """,
+        "quality_funnel": """
+            SELECT count(*) AS n_total,
+                   CAST(count(*) FILTER (WHERE text IS NOT NULL AND length(text) > 0) AS BIGINT) AS n_has_text,
+                   CAST(count(*) FILTER (WHERE n_chars BETWEEN 100 AND 20000) AS BIGINT) AS n_len_ok,
+                   CAST(count(*) FILTER (WHERE lang IN ('en','de','fr','es')) AS BIGINT) AS n_lang_ok,
+                   CAST(count(*) FILTER (WHERE text IS NOT NULL AND length(text) > 0
+                         AND n_chars BETWEEN 100 AND 20000
+                         AND lang IN ('en','de','fr','es')) AS BIGINT) AS n_pass_all
+            FROM documents
+        """,
+        "vector_norms": """
+            WITH e AS (
+                SELECT label,
+                       list_sum(list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * x)) AS self_dot
+                FROM embeddings WHERE embedding IS NOT NULL
+            )
+            SELECT label,
+                   count(*) AS n_vecs,
+                   round(avg(sqrt(self_dot)), 6) AS avg_norm,
+                   round(max(self_dot), 6) AS max_self_dot
+            FROM e GROUP BY label
+        """,
+        "top_terms_df": """
+            SELECT term, count(*) AS df FROM (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS term
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE term <> ''
+            GROUP BY term ORDER BY df DESC, term LIMIT 20
+        """,
+        "iceberg_roundtrip": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_doc_id
+            FROM documents
+            WHERE source IN ('src1','src7','src12') AND n_chars >= 100
+            GROUP BY source, lang
         """,
         "heavy_hitters": """
             WITH counts AS (

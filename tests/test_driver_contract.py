@@ -13,6 +13,9 @@ ROWS_ONLY = {
     "ann_ivf_topk": "driver-side numpy k-means quantizer; pytest recall gate",
     "drift_ks_sketch": "percentile_approx sketch has no DuckDB twin; "
                        "pytest tolerance vs exact ks_by_partition",
+    "drift_ks_tdigest": "t-digest CDF has no DuckDB twin; pytest pins "
+                        "<0.05 vs exact ks_by_partition + incremental "
+                        "stored-digest path (tests/test_tdigest.py)",
 }
 
 
