@@ -23,6 +23,8 @@ FULL_SPEC = {
         "drift": [
             {"column": "lang", "test": "chi2", "by": "days(warc_ts)"},
             {"column": "char_length(text)", "test": "ks", "by": "days(warc_ts)"},
+            {"column": "char_length(text)", "test": "tdigest",
+             "by": "days(warc_ts)"},
         ],
         "dedup": [
             {"column": "text", "id": "url", "method": "exact",
@@ -58,6 +60,11 @@ def test_dataset_block(spark, webpages, tmp_path):
     assert chi2["metric"] > 0
 
     ks = rows["drift_ks(char_length(text) by days(warc_ts))"]
+    tdg = rows["drift_tdigest(char_length(text) by days(warc_ts))"]
+    # sketch verdict agrees with the exact KS verdict and its statistic
+    # lands within sketch tolerance
+    assert tdg["pass"] == ks["pass"]
+    assert abs(tdg["metric"] - ks["metric"]) < 0.05
     assert ks["pass"] is True  # text lengths share one generator
     assert 0 <= ks["metric"] < 0.2
 
