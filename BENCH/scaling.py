@@ -53,7 +53,9 @@ def cpu_control(workers: int, per_task: int = 4_000_000, tasks_per_worker: int =
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
     engine = {c: run_level(c, n_docs) for c in LEVELS}
-    control = {c: cpu_control(c) for c in LEVELS}
+    # ceiling = best of 3 (a control rep polluted by a decaying JVM or
+    # page-cache writeback reads as fake machine non-scaling)
+    control = {c: max(cpu_control(c) for _ in range(3)) for c in LEVELS}
 
     def eff(lo: int, hi: int, table, key=None) -> float:
         a = table[lo][key] if key else table[lo]
