@@ -52,7 +52,7 @@ from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any, Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 
 class CommitConflict(RuntimeError):
@@ -70,12 +70,16 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
     (metadata-only read; no row data touched)."""
     import pyarrow.parquet as pq
 
+    from urllib.parse import unquote
+
     parts: dict[str, str] = {}
     for seg in path.split(os.sep):
         if "=" in seg:
             k, _, v = seg.partition("=")
             if k in partition_by:
-                parts[k] = v
+                # Spark %-escapes special chars (':', '/', …) in Hive
+                # partition dir names; manifests store the REAL value
+                parts[k] = unquote(v)
     md = pq.ParquetFile(path).metadata
     stats: dict[str, dict] = {}
     for rg_i in range(md.num_row_groups):
@@ -306,18 +310,29 @@ class IceTable:
         meta = self._read_meta()
         if not entries:
             return self.spark.createDataFrame([], meta["schema"])
+        from pyspark.sql import types as T
+
         reader = self.spark.read
         if meta["partition_by"]:
             # Hive-style dirs under differing commit roots: recover the
             # partition columns from the path (basePath varies per
-            # commit, so Spark's auto-inference can't merge them).
+            # commit, so Spark's auto-inference can't merge them),
+            # un-escape them, and cast to the DECLARED type.
+            declared = {f.name: f.dataType for f in
+                        T._parse_datatype_string(meta["schema"]).fields}
             df = reader.parquet(*[e["path"] for e in entries])
-            for i, pcol in enumerate(meta["partition_by"]):
+
+            # input_file_name() URI-encodes the path, which wraps the
+            # Hive partition escaping -> decode TWICE; url_decode is
+            # form-style, so protect literal '+' before each pass
+            def _dec(c: Column) -> Column:
+                return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+
+            for pcol in meta["partition_by"]:
+                raw = _dec(_dec(
+                    F.regexp_extract(F.input_file_name(), rf"{pcol}=([^/]+)", 1)))
                 df = df.withColumn(
-                    pcol,
-                    F.regexp_extract(F.input_file_name(),
-                                     rf"{pcol}=([^/]+)", 1),
-                )
+                    pcol, raw.cast(declared.get(pcol, T.StringType())))
         else:
             df = reader.parquet(*[e["path"] for e in entries])
         for col, op, lit in (filters or []):

@@ -157,3 +157,30 @@ def test_runner_verdicts_through_icetable(spark, webpages, tmp_path):
     snaps = r1b._verdict_table.snapshots()
     assert len(snaps) == tb.N_DAYS + 1  # 2 + redo + remaining 6
     assert all(s["operation"] == "overwrite" for s in snaps)
+
+
+def test_special_char_partition_values(spark, tmp_path):
+    """Hive path escaping round-trips: ':' (escaped by Spark) and a
+    literal '+' (NOT escaped — must survive url_decode) come back
+    byte-identical, and the recovered column keeps its declared type."""
+    df = spark.createDataFrame(
+        [(1, "2024-03-08 12:00:00"), (2, "a+b"), (3, "x:y/z")],
+        "doc_id long, pcol string",
+    )
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        "doc_id long, pcol string", ["pcol"])
+    t.append(df)
+    got = sorted((r["doc_id"], r["pcol"]) for r in t.scan().collect())
+    assert got == [(1, "2024-03-08 12:00:00"), (2, "a+b"), (3, "x:y/z")]
+    # manifest stores the REAL values too (pruning matches on them)
+    assert len(t.plan_files([("pcol", "=", "a+b")])) == 1
+
+
+def test_partition_column_keeps_declared_type(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, bucket int")
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        "doc_id long, bucket int", ["bucket"])
+    t.append(df)
+    got = t.scan()
+    assert dict(got.dtypes)["bucket"] == "int"
+    assert sorted(r["bucket"] for r in got.collect()) == [10, 20]
