@@ -314,7 +314,8 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     t = IceTable.create(
         spark, root,
-        "doc_id long, text string, lang string, n_chars long", ["source"])
+        "doc_id long, text string, lang string, source string, n_chars long",
+        ["source"])
     t.append(_docs(spark, sf_dir))
     scanned = t.scan([("source", "in", ["src1", "src7", "src12"]), ("n_chars", ">=", 100)])
     return (

@@ -181,9 +181,12 @@ class IceTable:
             return json.load(f)["files"]
 
     def _commit(self, parent_meta: dict, files: list[dict], op: str,
-                summary: dict) -> int:
+                summary: dict, schema: str | None = None) -> int:
         """Write manifest + next metadata version; the O_EXCL create of
-        the metadata file is the atomic optimistic lock."""
+        the metadata file is the atomic optimistic lock. Each snapshot
+        records the schema in force when it committed (time-travel
+        reads see the schema of their era, the Iceberg schema-id
+        contract)."""
         snap_id = (parent_meta.get("current_snapshot_id") or 0) + 1
         man_path = os.path.join(self._meta_dir, f"snap-{snap_id}.manifest.json")
         with open(man_path + ".tmp", "w") as f:
@@ -191,7 +194,7 @@ class IceTable:
         os.replace(man_path + ".tmp", man_path)
 
         meta = {
-            "schema": parent_meta["schema"],
+            "schema": schema or parent_meta["schema"],
             "partition_by": parent_meta["partition_by"],
             "current_snapshot_id": snap_id,
             "snapshots": parent_meta["snapshots"] + [{
@@ -199,6 +202,7 @@ class IceTable:
                 "parent_id": parent_meta.get("current_snapshot_id"),
                 "operation": op,
                 "manifest": os.path.basename(man_path),
+                "schema": schema or parent_meta["schema"],
                 "summary": summary,
                 "timestamp": datetime.now(timezone.utc).isoformat(),
             }],
@@ -239,6 +243,17 @@ class IceTable:
             f.write("0")
         return t
 
+    def _check_columns(self, df: DataFrame, meta: dict) -> None:
+        from pyspark.sql import types as T
+
+        declared = {f.name for f in
+                    T._parse_datatype_string(meta["schema"]).fields}
+        extra = set(df.columns) - declared
+        if extra:
+            raise ValueError(
+                f"columns {sorted(extra)} not in table schema — run "
+                "evolve_schema() first (additive evolution)")
+
     def _stage(self, df: DataFrame, partition_by: list[str]) -> list[dict]:
         stage = os.path.join(self.root, "data", f"commit-{uuid.uuid4().hex}")
         w = df.write.mode("error")
@@ -255,6 +270,7 @@ class IceTable:
         On :class:`CommitConflict` the staged files are still valid —
         callers retry the commit step only."""
         meta = self._read_meta()
+        self._check_columns(df, meta)
         new = self._stage(df, meta["partition_by"])
         parent_files = (self._read_manifest(meta["current_snapshot_id"])
                         if meta["current_snapshot_id"] else [])
@@ -271,6 +287,7 @@ class IceTable:
         meta = self._read_meta()
         if not meta["partition_by"]:
             raise ValueError("overwrite_partitions requires a partitioned table")
+        self._check_columns(df, meta)
         new = self._stage(df, meta["partition_by"])
         touched = {tuple(sorted(e["partition"].items())) for e in new}
         parent_files = (self._read_manifest(meta["current_snapshot_id"])
@@ -281,6 +298,25 @@ class IceTable:
             meta, kept + new, "overwrite",
             {"replaced_partitions": len(touched), "added_files": len(new)},
         )
+
+    def evolve_schema(self, new_schema_ddl: str) -> int:
+        """Additive schema evolution: commit a snapshot with the same
+        files but a widened schema. Columns may only be ADDED (old data
+        files read back with NULLs for new columns via mergeSchema);
+        drops/renames are the catalog's job and are rejected here."""
+        meta = self._read_meta()
+        from pyspark.sql import types as T
+
+        old = {f.name for f in T._parse_datatype_string(meta["schema"]).fields}
+        new = {f.name for f in T._parse_datatype_string(new_schema_ddl).fields}
+        if not old <= new:
+            raise ValueError(
+                f"schema evolution is additive-only; missing {sorted(old - new)}")
+        files = (self._read_manifest(meta["current_snapshot_id"])
+                 if meta["current_snapshot_id"] else [])
+        return self._commit(meta, files, "evolve-schema",
+                            {"added_columns": sorted(new - old)},
+                            schema=new_schema_ddl)
 
     def snapshots(self) -> list[dict]:
         return self._read_meta()["snapshots"]
@@ -308,19 +344,30 @@ class IceTable:
 
         entries = self.plan_files(filters, snapshot_id)
         meta = self._read_meta()
-        if not entries:
-            return self.spark.createDataFrame([], meta["schema"])
         from pyspark.sql import types as T
 
-        reader = self.spark.read
+        # schema of the requested era: time travel reads under the
+        # schema its snapshot committed with (the Iceberg schema-id
+        # contract); .get covers metadata written before evolution
+        schema_ddl = meta["schema"]
+        if snapshot_id is not None:
+            schema_ddl = next(
+                (s.get("schema") or meta["schema"]
+                 for s in meta["snapshots"] if s["id"] == snapshot_id),
+                meta["schema"])
+        declared = T._parse_datatype_string(schema_ddl)
+        declared_types = {f.name: f.dataType for f in declared.fields}
+        if not entries:
+            return self.spark.createDataFrame([], schema_ddl)
+        # mergeSchema: files written before an additive evolution lack
+        # the new columns; the union-schema read NULL-fills them
+        reader = self.spark.read.option("mergeSchema", "true")
+        df = reader.parquet(*[e["path"] for e in entries])
         if meta["partition_by"]:
             # Hive-style dirs under differing commit roots: recover the
             # partition columns from the path (basePath varies per
             # commit, so Spark's auto-inference can't merge them),
             # un-escape them, and cast to the DECLARED type.
-            declared = {f.name: f.dataType for f in
-                        T._parse_datatype_string(meta["schema"]).fields}
-            df = reader.parquet(*[e["path"] for e in entries])
 
             # input_file_name() URI-encodes the path, which wraps the
             # Hive partition escaping -> decode TWICE; url_decode is
@@ -332,9 +379,15 @@ class IceTable:
                 raw = _dec(_dec(
                     F.regexp_extract(F.input_file_name(), rf"{pcol}=([^/]+)", 1)))
                 df = df.withColumn(
-                    pcol, raw.cast(declared.get(pcol, T.StringType())))
-        else:
-            df = reader.parquet(*[e["path"] for e in entries])
+                    pcol, raw.cast(declared_types.get(pcol, T.StringType())))
+        # project to the era's schema: stable column set/order, NULLs
+        # for columns newer than a given data file
+        present = set(df.columns)
+        df = df.select(*[
+            F.col(f.name) if f.name in present
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in declared.fields
+        ])
         for col, op, lit in (filters or []):
             c = F.col(col)
             df = df.filter({"=": c == lit, "<": c < lit, "<=": c <= lit,

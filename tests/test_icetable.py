@@ -184,3 +184,39 @@ def test_partition_column_keeps_declared_type(spark, tmp_path):
     got = t.scan()
     assert dict(got.dtypes)["bucket"] == "int"
     assert sorted(r["bucket"] for r in got.collect()) == [10, 20]
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Additive evolution: old files NULL-fill the new column; the
+    current scan shows the widened schema; time travel to an
+    old snapshot reads under ITS era's schema; extra columns without
+    evolve are rejected; non-additive evolution is rejected."""
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        "doc_id long, url string", [])
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, url string")
+    s1 = t.append(v1)
+
+    # extra column without evolution -> explicit error, not silent drop
+    v2 = spark.createDataFrame([(3, "c", "en")],
+                               "doc_id long, url string, lang string")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        t.append(v2)
+
+    t.evolve_schema("doc_id long, url string, lang string")
+    t.append(v2)
+
+    got = t.scan().orderBy("doc_id")
+    assert got.columns == ["doc_id", "url", "lang"]
+    assert [r["lang"] for r in got.collect()] == [None, None, "en"]
+
+    # time travel: snapshot 1 reads under the 2-column era schema
+    old = t.scan(snapshot_id=s1)
+    assert old.columns == ["doc_id", "url"]
+    assert old.count() == 2
+
+    # non-additive (dropping url) rejected
+    with pytest.raises(ValueError, match="additive"):
+        t.evolve_schema("doc_id long, lang string")
+
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops == ["append", "evolve-schema", "append"]
