@@ -264,11 +264,13 @@ class IceTable:
                                  recursive=True))
         return [_file_entry(p, tuple(partition_by)) for p in files]
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """Stage ``df`` as immutable data files, then commit a new
         snapshot = parent's files + the new ones. Returns snapshot id.
         On :class:`CommitConflict` the staged files are still valid —
-        callers retry the commit step only."""
+        callers retry the commit step only. ``summary`` adds caller
+        keys to the snapshot summary (e.g. a streaming batch id for
+        exactly-once sinks)."""
         meta = self._read_meta()
         self._check_columns(df, meta)
         new = self._stage(df, meta["partition_by"])
@@ -277,7 +279,8 @@ class IceTable:
         return self._commit(
             meta, parent_files + new, "append",
             {"added_files": len(new),
-             "added_rows": sum(e["rows"] for e in new)},
+             "added_rows": sum(e["rows"] for e in new),
+             **(summary or {})},
         )
 
     def overwrite_partitions(self, df: DataFrame) -> int:

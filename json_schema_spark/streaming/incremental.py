@@ -96,3 +96,36 @@ def run_incremental(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_icetable(
+    viol_stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+) -> None:
+    """Sink a (violation) stream into an Iceberg-style snapshot table
+    with exactly-once batch commits.
+
+    Structured Streaming replays the in-flight micro-batch after a
+    crash between sink write and checkpoint commit; a plain parquet
+    sink tolerates that only because files are keyed by batch. Here the
+    commit itself is made idempotent the Iceberg way: each snapshot
+    records its ``stream_batch_id`` in the summary, and a replayed
+    batch id is skipped before any data is staged — the snapshot log
+    doubles as the sink's transaction log.
+    """
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seen = {s["summary"].get("stream_batch_id")
+                for s in table.snapshots()}
+        if batch_id in seen:
+            return  # replay of a committed batch: exactly-once no-op
+        table.append(batch_df, summary={"stream_batch_id": batch_id})
+
+    q = (
+        viol_stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
