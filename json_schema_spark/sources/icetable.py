@@ -49,7 +49,8 @@ import json
 import os
 import uuid
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import date, datetime, timezone
+from decimal import Decimal
 from typing import Any, Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -96,6 +97,12 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
                     continue
+            elif isinstance(mn, (datetime, date)):
+                # JSON-safe, and ISO order == value order, so string
+                # comparison in _cmp still prunes correctly
+                mn, mx = mn.isoformat(), mx.isoformat()
+            elif isinstance(mn, Decimal):
+                mn, mx = float(mn), float(mx)
             prev = stats.get(name)
             if prev is None:
                 stats[name] = {"min": mn, "max": mx,

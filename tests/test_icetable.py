@@ -220,3 +220,41 @@ def test_schema_evolution_additive(spark, tmp_path):
 
     ops = [s["operation"] for s in t.snapshots()]
     assert ops == ["append", "evolve-schema", "append"]
+
+
+def test_write_audit_publish(spark, webpages, tmp_path):
+    """audited_append: spec-passing rows publish, planted-defect rows
+    quarantine as explainable violation rows; nothing lost."""
+    from json_schema_spark.compiler import compile_spec, violations_df
+    from json_schema_spark.plans.write_audit import audited_append
+    from tests.test_compiler import WEB_SPEC
+
+    df = webpages.limit(3000)
+    compiled = compile_spec(WEB_SPEC, df)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields)
+    viol_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                         for f in violations_df(df, compiled,
+                                                id_cols=["url"]).schema.fields)
+    table = IceTable.create(spark, str(tmp_path / "pub"), ddl, [])
+    quar = IceTable.create(spark, str(tmp_path / "quar"), viol_ddl, [])
+
+    summary = audited_append(table, quar, df, compiled, id_cols=["url"])
+
+    n_total = df.count()
+    n_clean = table.scan().count()
+    assert summary["audit_quarantined_rows"] > 0  # planted defects exist
+    assert n_clean + summary["audit_quarantined_rows"] == n_total
+
+    # published rows pass EVERY check; quarantine explains each reject
+    republished = table.scan()
+    recompiled = compile_spec(WEB_SPEC, republished)
+    assert violations_df(republished, recompiled, id_cols=["url"]).count() == 0
+    assert quar.scan().count() == summary["audit_violation_rows"]
+    assert set(quar.scan().select("keyword").distinct().toPandas()["keyword"]) \
+        >= {"required"}  # planted NULL text/ts rows
+
+    # the publish snapshot carries the audit tallies
+    snap = table.snapshots()[-1]
+    assert snap["summary"]["audit_quarantined_rows"] \
+        == summary["audit_quarantined_rows"]
