@@ -46,6 +46,11 @@ def main() -> int:
     ap.add_argument(
         "--skip-dataset-checks", action="store_true",
         help="per-partition pass only; skip the spec's table-level block")
+    ap.add_argument(
+        "--icetable", action="store_true",
+        help="land verdict rows in an Iceberg-style snapshot table "
+             "(atomic commits, time travel; sources/icetable.py) "
+             "instead of plain partitioned parquet")
     args = ap.parse_args()
 
     from json_schema_spark.plans.runner import ValidationRunner
@@ -59,6 +64,7 @@ def main() -> int:
     df = spark.read.parquet(args.input)
     runner = ValidationRunner(
         spark, spec, args.results, run_id=args.run_id, id_cols=(args.id_col,),
+        use_icetable=args.icetable,
     )
     processed = runner.run(df, partition_col=args.partition_col,
                            max_partitions=args.max_partitions)

@@ -51,3 +51,26 @@ def test_cli_run_validation(spark, webpages, tmp_path):
     proc2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert "nothing pending" in proc2.stdout
+
+
+def test_cli_run_validation_icetable(spark, webpages, tmp_path):
+    """--icetable lands verdicts in the snapshot table; resume works."""
+    src = str(tmp_path / "pages")
+    webpages.limit(1200).write.partitionBy("warc_day").mode("overwrite").parquet(src)
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps({
+        "draft": "draft7",
+        "columns": {"url": {"type": "string", "pattern": "^https?://"}},
+        "required": ["url"],
+    }))
+    results = str(tmp_path / "results_ice")
+    cmd = [sys.executable, "bin/run_validation.py",
+           "--input", src, "--spec", str(spec_path), "--results", results,
+           "--run-id", "cli-ice", "--master", "local[4]", "--icetable"]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 1, proc.stderr[-2000:]
+
+    from json_schema_spark.sources.icetable import IceTable
+    t = IceTable(spark, str(tmp_path / "results_ice" / "verdicts_ice"))
+    assert len(t.snapshots()) >= 1  # one overwrite commit per partition
+    assert t.scan().where("check = 'url/pattern'").count() >= 1
