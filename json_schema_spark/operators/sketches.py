@@ -35,12 +35,12 @@ Guarantees (pytest-pinned):
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from json_schema_spark.operators.sketch_base import two_stage_sketch
 
 HLL_P = 12  # 2^12 registers; ~1.6% standard error, 4 KiB per sketch
 
@@ -107,24 +107,17 @@ def hll_by_partition(
                 F.xxhash64(val).alias("h"))  # hash JVM-side
     )
 
-    def batch_sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for pv, grp in pdf.groupby("partition", sort=False):
-                regs = hll_from_hashes(grp["h"].to_numpy(np.int64), p)
-                rows.append((pv, regs.tolist(), len(grp)))
-            if rows:
-                yield pd.DataFrame(rows, columns=["partition", "registers", "n_rows"])
+    def fold(pv: str, grp: pd.DataFrame) -> tuple:
+        regs = hll_from_hashes(grp["h"].to_numpy(np.int64), p)
+        return (pv, regs.tolist(), len(grp))
 
-    partial = base.mapInPandas(batch_sketch, HLL_SCHEMA)
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_rows(pdf: pd.DataFrame) -> tuple:
         regs = hll_merge([np.asarray(r, dtype=np.int32) for r in pdf["registers"]])
-        return pd.DataFrame(
-            [(pdf["partition"].iloc[0], regs.tolist(), int(pdf["n_rows"].sum()))],
-            columns=["partition", "registers", "n_rows"])
+        return (pdf["partition"].iloc[0], regs.tolist(), int(pdf["n_rows"].sum()))
 
-    return partial.groupBy("partition").applyInPandas(merge_group, HLL_SCHEMA)
+    return two_stage_sketch(base, HLL_SCHEMA,
+                            ["partition", "registers", "n_rows"],
+                            fold, merge_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -171,33 +164,22 @@ def mg_topk_by_partition(
                 val.cast("string").alias("v"))
     )
 
-    def batch_summ(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for pv, grp in pdf.groupby("partition", sort=False):
-                counts = grp["v"].value_counts().to_dict()
-                red, off = mg_reduce(counts, m)
-                items = sorted(red)  # deterministic layout
-                rows.append((pv, items, [int(red[i]) for i in items],
-                             int(off), len(grp)))
-            if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "partition", "items", "counts", "offset", "n_rows"])
+    def fold(pv: str, grp: pd.DataFrame) -> tuple:
+        red, off = mg_reduce(grp["v"].value_counts().to_dict(), m)
+        items = sorted(red)  # deterministic layout
+        return (pv, items, [int(red[i]) for i in items], int(off), len(grp))
 
-    partial = base.mapInPandas(batch_summ, MG_SCHEMA)
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        summs = [(dict(zip(r["items"], (int(c) for c in r["counts"]))),
-                  int(r["offset"])) for _, r in pdf.iterrows()]
+    def merge_rows(pdf: pd.DataFrame) -> tuple:
+        summs = [mg_row_to_summary(r) for _, r in pdf.iterrows()]
         red, off = mg_merge(summs, m)
         items = sorted(red)
-        return pd.DataFrame(
-            [(pdf["partition"].iloc[0], items,
-              [int(red[i]) for i in items], int(off),
-              int(pdf["n_rows"].sum()))],
-            columns=["partition", "items", "counts", "offset", "n_rows"])
+        return (pdf["partition"].iloc[0], items,
+                [int(red[i]) for i in items], int(off),
+                int(pdf["n_rows"].sum()))
 
-    return partial.groupBy("partition").applyInPandas(merge_group, MG_SCHEMA)
+    return two_stage_sketch(base, MG_SCHEMA,
+                            ["partition", "items", "counts", "offset", "n_rows"],
+                            fold, merge_rows)
 
 
 def mg_row_to_summary(row) -> tuple[dict[str, int], int]:

@@ -185,26 +185,21 @@ def digest_by_partition(
         .select(part.cast("string").alias("partition"), val.cast("double").alias("v"))
     )
 
-    def batch_digests(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for p, grp in pdf.groupby("partition", sort=False):
-                d = build(grp["v"].to_numpy(), compression)
-                rows.append((p, d["means"].tolist(), d["weights"].tolist(),
-                             d["n"], d["vmin"], d["vmax"]))
-            if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "partition", "means", "weights", "n", "vmin", "vmax"])
+    from json_schema_spark.operators.sketch_base import two_stage_sketch
 
-    partial = base.mapInPandas(batch_digests, DIGEST_SCHEMA)
+    def fold(pv: str, grp: pd.DataFrame) -> tuple:
+        d = build(grp["v"].to_numpy(), compression)
+        return (pv, d["means"].tolist(), d["weights"].tolist(),
+                d["n"], d["vmin"], d["vmax"])
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_rows(pdf: pd.DataFrame) -> tuple:
         d = merge((_row_to_digest(r) for _, r in pdf.iterrows()), compression)
-        return pd.DataFrame([(pdf["partition"].iloc[0], d["means"].tolist(),
-                              d["weights"].tolist(), d["n"], d["vmin"], d["vmax"])],
-                            columns=["partition", "means", "weights", "n", "vmin", "vmax"])
+        return (pdf["partition"].iloc[0], d["means"].tolist(),
+                d["weights"].tolist(), d["n"], d["vmin"], d["vmax"])
 
-    return partial.groupBy("partition").applyInPandas(merge_group, DIGEST_SCHEMA)
+    return two_stage_sketch(base, DIGEST_SCHEMA,
+                            ["partition", "means", "weights", "n", "vmin", "vmax"],
+                            fold, merge_rows)
 
 
 def ks_by_partition_tdigest(

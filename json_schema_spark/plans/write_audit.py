@@ -30,17 +30,28 @@ from json_schema_spark.sources.icetable import IceTable
 from json_schema_spark.spec import ConstraintSpec
 
 
+def _committed_run(t: IceTable, run_id: str) -> bool:
+    return any(s["summary"].get("audit_run_id") == run_id
+               for s in t.snapshots())
+
+
 def audited_append(
     table: IceTable,
     quarantine: IceTable,
     df: DataFrame,
     spec: ConstraintSpec | dict | CompiledSpec,
-    id_cols: list[str] = ["url"],
+    id_cols: tuple[str, ...] = ("url",),
     run_id: str = "audit-0",
 ) -> dict:
     """Append only spec-passing rows to ``table``; quarantine the rest
     as violation rows. Returns the audit summary dict (also recorded
-    in the target snapshot's summary)."""
+    in both snapshots' summaries).
+
+    Idempotent per ``run_id``: each half checks its own snapshot log
+    before committing, so a retry after a mid-call failure (e.g. a
+    CommitConflict on one of the two appends) completes the missing
+    half without duplicating the finished one.
+    """
     compiled = spec if isinstance(spec, CompiledSpec) else compile_spec(spec, df)
     all_pass = F.lit(True)
     for c in compiled.checks:
@@ -50,18 +61,19 @@ def audited_append(
     try:
         clean = df.where(all_pass)
         dirty_rows = df.where(~all_pass)
-        viol = violations_df(dirty_rows, compiled, id_cols=id_cols,
+        viol = violations_df(dirty_rows, compiled, id_cols=list(id_cols),
                              run_id=run_id)
         n_quarantined = viol.count()
-        if n_quarantined:
-            quarantine.append(viol, summary={"run_id": run_id})
         summary = {
             "audit_run_id": run_id,
             "audit_quarantined_rows": int(dirty_rows.count()),
             "audit_violation_rows": int(n_quarantined),
         }
-        snap = table.append(clean, summary=summary)
-        summary["snapshot_id"] = snap
+        # target first: its summary is the audit record of truth
+        if not _committed_run(table, run_id):
+            summary["snapshot_id"] = table.append(clean, summary=summary)
+        if n_quarantined and not _committed_run(quarantine, run_id):
+            quarantine.append(viol, summary={"audit_run_id": run_id})
         return summary
     finally:
         df.unpersist()

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import uuid
 from dataclasses import dataclass
@@ -102,7 +103,10 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
                 # comparison in _cmp still prunes correctly
                 mn, mx = mn.isoformat(), mx.isoformat()
             elif isinstance(mn, Decimal):
-                mn, mx = float(mn), float(mx)
+                # widen OUTWARD: float rounding toward the range's
+                # interior would make pruning non-conservative
+                mn = math.nextafter(float(mn), -math.inf)
+                mx = math.nextafter(float(mx), math.inf)
             prev = stats.get(name)
             if prev is None:
                 stats[name] = {"min": mn, "max": mx,
@@ -130,7 +134,9 @@ def _entry_may_match(entry: dict, col: str, op: str, lit: Any) -> bool:
     if pv is not None:
         # partition values are exact (one value per file)
         v: Any = pv
-        if not isinstance(lit, str):
+        if isinstance(lit, bool):
+            v = pv.lower() == "true"  # bool("false") is True — not that
+        elif not isinstance(lit, str):
             try:
                 v = type(lit)(pv)
             except (TypeError, ValueError):
@@ -195,6 +201,15 @@ class IceTable:
         reads see the schema of their era, the Iceberg schema-id
         contract)."""
         snap_id = (parent_meta.get("current_snapshot_id") or 0) + 1
+        # acquire the version lock BEFORE touching any shared file: a
+        # losing racer must leave the winner's manifest untouched
+        next_v = parent_meta["_version"] + 1
+        meta_path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
+        try:
+            fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version v{next_v} already committed by another writer")
         man_path = os.path.join(self._meta_dir, f"snap-{snap_id}.manifest.json")
         with open(man_path + ".tmp", "w") as f:
             json.dump({"snapshot_id": snap_id, "files": files}, f)
@@ -214,14 +229,6 @@ class IceTable:
                 "timestamp": datetime.now(timezone.utc).isoformat(),
             }],
         }
-        next_v = parent_meta["_version"] + 1
-        meta_path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
-        try:
-            fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            os.unlink(man_path)
-            raise CommitConflict(
-                f"version v{next_v} already committed by another writer")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f, indent=1)
         tmp = os.path.join(self._meta_dir, f".hint-{uuid.uuid4().hex}")
@@ -317,26 +324,37 @@ class IceTable:
         meta = self._read_meta()
         from pyspark.sql import types as T
 
-        old = {f.name for f in T._parse_datatype_string(meta["schema"]).fields}
-        new = {f.name for f in T._parse_datatype_string(new_schema_ddl).fields}
-        if not old <= new:
+        old = {f.name: f.dataType for f in
+               T._parse_datatype_string(meta["schema"]).fields}
+        new = {f.name: f.dataType for f in
+               T._parse_datatype_string(new_schema_ddl).fields}
+        if not set(old) <= set(new):
             raise ValueError(
-                f"schema evolution is additive-only; missing {sorted(old - new)}")
+                "schema evolution is additive-only; missing "
+                f"{sorted(set(old) - set(new))}")
+        retyped = [k for k, dt in old.items() if new[k] != dt]
+        if retyped:
+            raise ValueError(
+                f"schema evolution is additive-only; cannot change the "
+                f"type of existing columns {sorted(retyped)}")
         files = (self._read_manifest(meta["current_snapshot_id"])
                  if meta["current_snapshot_id"] else [])
         return self._commit(meta, files, "evolve-schema",
-                            {"added_columns": sorted(new - old)},
+                            {"added_columns": sorted(set(new) - set(old))},
                             schema=new_schema_ddl)
 
     def snapshots(self) -> list[dict]:
         return self._read_meta()["snapshots"]
 
     def plan_files(self, filters: list[tuple[str, str, Any]] | None = None,
-                   snapshot_id: int | None = None) -> list[dict]:
+                   snapshot_id: int | None = None,
+                   _meta: dict | None = None) -> list[dict]:
         """Manifest-level scan planning: the file entries a read with
         ``filters`` (conjunctive (col, op, literal) triples) must touch.
-        Pure driver-side metadata — no file listing, no data read."""
-        meta = self._read_meta()
+        Pure driver-side metadata — no file listing, no data read.
+        ``_meta`` lets scan() pass its already-resolved metadata so one
+        read pins both the file list and the schema to one snapshot."""
+        meta = _meta if _meta is not None else self._read_meta()
         snap = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
         if snap is None:
             return []
@@ -352,8 +370,8 @@ class IceTable:
         scan(filters) ≡ scan().filter(filters) row-for-row."""
         from pyspark.sql import functions as F
 
-        entries = self.plan_files(filters, snapshot_id)
-        meta = self._read_meta()
+        meta = self._read_meta()  # ONE read pins file list + schema
+        entries = self.plan_files(filters, snapshot_id, _meta=meta)
         from pyspark.sql import types as T
 
         # schema of the requested era: time travel reads under the
@@ -385,9 +403,14 @@ class IceTable:
             def _dec(c: Column) -> Column:
                 return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
 
+            import re as _re
+
             for pcol in meta["partition_by"]:
-                raw = _dec(_dec(
-                    F.regexp_extract(F.input_file_name(), rf"{pcol}=([^/]+)", 1)))
+                # anchor on a path-segment start: unanchored, "id="
+                # would match inside ".../pid=7/..."
+                raw = _dec(_dec(F.regexp_extract(
+                    F.input_file_name(),
+                    rf"(?:^|/){_re.escape(pcol)}=([^/]+)", 1)))
                 df = df.withColumn(
                     pcol, raw.cast(declared_types.get(pcol, T.StringType())))
         # project to the era's schema: stable column set/order, NULLs

@@ -76,7 +76,7 @@ def run_incremental(
     schema: T.StructType,
     output_dir: str,
     checkpoint_dir: str,
-    id_cols: list[str] = ["url"],
+    id_cols: tuple[str, ...] = ("url",),
 ) -> None:
     """One availableNow pass: validate every unseen file, append
     violation rows to ``output_dir``, exactly-once via the streaming
@@ -113,14 +113,30 @@ def stream_to_icetable(
     records its ``stream_batch_id`` in the summary, and a replayed
     batch id is skipped before any data is staged — the snapshot log
     doubles as the sink's transaction log.
+
+    Batch ids are namespaced by the streaming QUERY id (read from the
+    checkpoint's metadata file, where Structured Streaming persists
+    it): a bare batch_id restarts at 0 after a checkpoint reset and
+    would collide with prior snapshots, silently skipping every new
+    batch. The query id survives restarts of the same checkpoint and
+    changes on reset/second streams — exactly the dedup scope wanted.
     """
+    import json as _json
+    import os as _os
+
+    def _query_id() -> str:
+        # written by Structured Streaming at query start, before any
+        # batch reaches foreachBatch
+        with open(_os.path.join(checkpoint_dir, "metadata")) as f:
+            return _json.load(f)["id"]
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"{_query_id()}/{batch_id}"
         seen = {s["summary"].get("stream_batch_id")
                 for s in table.snapshots()}
-        if batch_id in seen:
+        if key in seen:
             return  # replay of a committed batch: exactly-once no-op
-        table.append(batch_df, summary={"stream_batch_id": batch_id})
+        table.append(batch_df, summary={"stream_batch_id": key})
 
     q = (
         viol_stream.writeStream.foreachBatch(commit_batch)

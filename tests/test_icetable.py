@@ -258,3 +258,76 @@ def test_write_audit_publish(spark, webpages, tmp_path):
     snap = table.snapshots()[-1]
     assert snap["summary"]["audit_quarantined_rows"] \
         == summary["audit_quarantined_rows"]
+
+
+def test_commit_conflict_leaves_winner_manifest_untouched(spark, tmp_path, docs):
+    """Review regression: the losing racer must not write (or delete)
+    the winner's manifest — lock acquisition precedes manifest IO."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(docs.where("doc_id < 10"))
+    v = t._current_version()
+    winner_meta = os.path.join(t._meta_dir, f"v{v + 1}.metadata.json")
+    open(winner_meta, "w").write("{}")  # racer claimed the version
+    man2 = os.path.join(t._meta_dir, "snap-2.manifest.json")
+    with pytest.raises(CommitConflict):
+        t.append(docs.where("doc_id >= 10"))
+    assert not os.path.exists(man2)  # loser never touched snapshot 2's manifest
+
+
+def test_boolean_partition_pruning(spark, tmp_path):
+    """Review regression: bool("false") is True — '= False' filters
+    must keep the flag=false files."""
+    df = spark.createDataFrame([(1, True), (2, False), (3, False)],
+                               "doc_id long, flag boolean")
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        "doc_id long, flag boolean", ["flag"])
+    t.append(df)
+    assert sorted(r["doc_id"] for r in
+                  t.scan([("flag", "=", False)]).collect()) == [2, 3]
+    assert [r["doc_id"] for r in t.scan([("flag", "=", True)]).collect()] == [1]
+
+
+def test_suffix_partition_column_names(spark, tmp_path):
+    """Review regression: unanchored regex made 'id=' match inside
+    'pid=7'; every id must come back with its own value."""
+    df = spark.createDataFrame(
+        [(7, 3, "a"), (7, 4, "b"), (8, 3, "c")],
+        "pid int, id int, payload string")
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        "pid int, id int, payload string", ["pid", "id"])
+    t.append(df)
+    got = sorted((r["pid"], r["id"], r["payload"])
+                 for r in t.scan().collect())
+    assert got == [(7, 3, "a"), (7, 4, "b"), (8, 3, "c")]
+    assert t.scan([("id", "=", 3)]).count() == 2
+
+
+def test_evolve_rejects_type_change(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(docs)
+    with pytest.raises(ValueError, match="type of existing columns"):
+        t.evolve_schema("doc_id string, url string, lang string")
+
+
+def test_audited_append_retry_idempotent(spark, webpages, tmp_path):
+    """Review regression: a retry of the same run_id must complete
+    without duplicating either the published or quarantined rows."""
+    from json_schema_spark.compiler import compile_spec, violations_df
+    from json_schema_spark.plans.write_audit import audited_append
+    from tests.test_compiler import WEB_SPEC
+
+    df = webpages.limit(1000)
+    compiled = compile_spec(WEB_SPEC, df)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields)
+    viol_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                         for f in violations_df(df, compiled,
+                                                id_cols=["url"]).schema.fields)
+    table = IceTable.create(spark, str(tmp_path / "pub"), ddl, [])
+    quar = IceTable.create(spark, str(tmp_path / "quar"), viol_ddl, [])
+
+    s1 = audited_append(table, quar, df, compiled, run_id="r-7")
+    n_pub, n_quar = table.scan().count(), quar.scan().count()
+    audited_append(table, quar, df, compiled, run_id="r-7")  # retry
+    assert table.scan().count() == n_pub
+    assert quar.scan().count() == n_quar

@@ -181,8 +181,11 @@ def test_stream_to_icetable_exactly_once(spark, webpages, tmp_path):
     assert table.scan().count() == expected
     snaps = table.snapshots()
     assert len(snaps) == 2  # 4 files / maxFilesPerTrigger=2
-    batch_ids = [s["summary"]["stream_batch_id"] for s in snaps]
-    assert sorted(batch_ids) == [0, 1]
+    # batch ids are namespaced by the streaming query id (checkpoint
+    # reset => new query id => no collision with prior snapshots)
+    batch_ids = sorted(s["summary"]["stream_batch_id"] for s in snaps)
+    qids = {b.split("/")[0] for b in batch_ids}
+    assert len(qids) == 1 and [b.split("/")[1] for b in batch_ids] == ["0", "1"]
 
     # second run, same checkpoint: nothing new
     stream2 = read_page_stream(spark, src, batch_df.schema,
@@ -192,16 +195,13 @@ def test_stream_to_icetable_exactly_once(spark, webpages, tmp_path):
         table, str(tmp_path / "ice_ckpt"))
     assert len(table.snapshots()) == 2
 
-    # simulated crash-replay of batch 1: skipped before staging
-    from json_schema_spark.streaming import incremental as inc
-    def replay():
-        seen = {s["summary"].get("stream_batch_id") for s in table.snapshots()}
-        assert 1 in seen
-    replay()
+    # simulated crash-replay of batch 1 under the SAME query id:
+    # skipped before staging (the idempotence path)
+    key = next(b for b in batch_ids if b.endswith("/1"))
     table_rows_before = table.scan().count()
-    # direct call of the idempotence path
     sample = violations_df(batch_df.limit(10), compiled, id_cols=["url"])
     seen = {s["summary"].get("stream_batch_id") for s in table.snapshots()}
-    if 1 not in seen:
-        table.append(sample, summary={"stream_batch_id": 1})
+    assert key in seen
+    if key not in seen:  # the sink's guard, replicated verbatim
+        table.append(sample, summary={"stream_batch_id": key})
     assert table.scan().count() == table_rows_before
