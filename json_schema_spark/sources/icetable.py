@@ -343,6 +343,76 @@ class IceTable:
                             {"added_columns": sorted(set(new) - set(old))},
                             schema=new_schema_ddl)
 
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite the current snapshot into fewer, larger files
+        (op="replace": same rows, new layout). Streaming sinks commit
+        one small file set per micro-batch — the classic small-file
+        problem; compaction is how the table stays scannable. Old files
+        remain on disk until :meth:`expire_snapshots`, so time travel
+        to pre-compaction snapshots keeps working."""
+        meta = self._read_meta()
+        cur = meta["current_snapshot_id"]
+        if cur is None:
+            raise ValueError("nothing to compact: table has no snapshots")
+        entries = self._read_manifest(cur)
+        total = sum(e["bytes"] for e in entries)
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.scan().repartition(n_files)
+        new = self._stage(df, meta["partition_by"])
+        return self._commit(
+            meta, new, "replace",
+            {"compacted_files": len(entries), "new_files": len(new),
+             "rows": sum(e["rows"] for e in new)},
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the last ``keep_last`` snapshots and DELETE
+        data files no kept snapshot references (the irreversible half
+        of compaction). Metadata rewrite takes the same O_EXCL version
+        lock as a commit; file deletion happens only after the new
+        metadata is current, so a crash mid-expiry leaves a readable
+        table with some garbage, never a broken one."""
+        meta = self._read_meta()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "deleted_files": 0}
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        referenced: set[str] = set()
+        for s in kept:
+            referenced |= {e["path"] for e in self._read_manifest(s["id"])}
+        doomed: set[str] = set()
+        for s in expired:
+            doomed |= {e["path"] for e in self._read_manifest(s["id"])}
+        doomed -= referenced
+
+        new_meta = dict(meta, snapshots=kept)
+        new_meta.pop("_version", None)
+        next_v = meta["_version"] + 1
+        meta_path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
+        try:
+            fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version v{next_v} already committed by another writer")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_meta, f, indent=1)
+        tmp = os.path.join(self._meta_dir, f".hint-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(next_v))
+        os.replace(tmp, os.path.join(self._meta_dir, "version-hint.text"))
+        # only now is it safe to delete: no reader resolves the old meta
+        for p in doomed:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        for s in expired:
+            try:
+                os.unlink(os.path.join(self._meta_dir, s["manifest"]))
+            except FileNotFoundError:
+                pass
+        return {"expired": len(expired), "deleted_files": len(doomed)}
+
     def snapshots(self) -> list[dict]:
         return self._read_meta()["snapshots"]
 

@@ -331,3 +331,36 @@ def test_audited_append_retry_idempotent(spark, webpages, tmp_path):
     audited_append(table, quar, df, compiled, run_id="r-7")  # retry
     assert table.scan().count() == n_pub
     assert quar.scan().count() == n_quar
+
+
+def test_compact_and_expire(spark, tmp_path, docs):
+    """Many small commits -> compact (op=replace: same rows, fewer
+    files; pre-compaction time travel still works) -> expire (old data
+    files deleted, current scan unaffected, expired-era reads fail
+    cleanly)."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    for lo in range(0, 100, 10):  # 10 small append commits
+        t.append(docs.where(f"doc_id >= {lo} and doc_id < {lo + 10}"))
+    pre_compact_snap = t.snapshots()[-1]["id"]
+    n_small = len(t.plan_files())
+    assert n_small >= 20  # ~3 lang dirs x 10 commits
+
+    t.compact()
+    assert t.snapshots()[-1]["operation"] == "replace"
+    assert t.scan().count() == 100
+    assert len(t.plan_files()) < n_small
+    # old snapshot still readable (files not yet deleted)
+    assert t.scan(snapshot_id=pre_compact_snap).count() == 100
+
+    import glob as _glob
+    before = len(_glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                            recursive=True))
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired"] == 10 and res["deleted_files"] > 0
+    after = len(_glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                           recursive=True))
+    assert after < before
+    assert t.scan().count() == 100  # current snapshot untouched
+    assert len(t.snapshots()) == 1
+    with pytest.raises(FileNotFoundError):  # expired era is gone, cleanly
+        t.scan(snapshot_id=pre_compact_snap).count()
