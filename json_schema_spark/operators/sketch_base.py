@@ -30,8 +30,12 @@ def two_stage_sketch(
 
     def batch_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # dropna=False: callers usually pre-filter null partitions,
+            # but the scaffold must not silently drop rows if they don't
+            # (Spark's own groupBy would keep a null group)
             rows = [fold_group(pv, grp)
-                    for pv, grp in pdf.groupby("partition", sort=False)]
+                    for pv, grp in pdf.groupby("partition", sort=False,
+                                               dropna=False)]
             if rows:
                 yield pd.DataFrame(rows, columns=columns)
 

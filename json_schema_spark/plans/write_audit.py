@@ -41,7 +41,8 @@ def audited_append(
     df: DataFrame,
     spec: ConstraintSpec | dict | CompiledSpec,
     id_cols: tuple[str, ...] = ("url",),
-    run_id: str = "audit-0",
+    *,
+    run_id: str,
 ) -> dict:
     """Append only spec-passing rows to ``table``; quarantine the rest
     as violation rows. Returns the audit summary dict (also recorded

@@ -84,19 +84,28 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
                 parts[k] = unquote(v)
     md = pq.ParquetFile(path).metadata
     stats: dict[str, dict] = {}
+    # a column's file-level min/max is valid ONLY if every row group
+    # contributed usable stats — a gap (absent stats, undecodable
+    # bytes) must mark the whole column unknown, or pruning would
+    # claim a range that misses the gappy row group's values
+    incomplete: set[str] = set()
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
             col = rg.column(c_i)
             name = col.path_in_schema.split(".")[0]
+            if "." in col.path_in_schema:
+                continue  # nested leaves never get file-level stats
             s = col.statistics
-            if s is None or not s.has_min_max or "." in col.path_in_schema:
+            if s is None or not s.has_min_max:
+                incomplete.add(name)
                 continue
             mn, mx = s.min, s.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    incomplete.add(name)
                     continue
             elif isinstance(mn, (datetime, date)):
                 # JSON-safe, and ISO order == value order, so string
@@ -115,6 +124,8 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
                 prev["min"] = min(prev["min"], mn)
                 prev["max"] = max(prev["max"], mx)
                 prev["nulls"] += s.null_count or 0
+    for name in incomplete:
+        stats.pop(name, None)
     return {
         "path": path,
         "rows": md.num_rows,
@@ -188,10 +199,34 @@ class IceTable:
         meta["_version"] = v
         return meta
 
-    def _read_manifest(self, snapshot_id: int) -> list[dict]:
-        p = os.path.join(self._meta_dir, f"snap-{snapshot_id}.manifest.json")
-        with open(p) as f:
+    def _read_manifest(self, snapshot_id: int, meta: dict | None = None) -> list[dict]:
+        meta = meta if meta is not None else self._read_meta()
+        entry = next((s for s in meta["snapshots"] if s["id"] == snapshot_id),
+                     None)
+        if entry is None:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} is not in the table's history "
+                "(expired or never existed)")
+        with open(os.path.join(self._meta_dir, entry["manifest"])) as f:
             return json.load(f)["files"]
+
+    def _write_next_metadata(self, parent_meta: dict, meta: dict):
+        """Write the next metadata version under the O_EXCL lock and
+        swap the hint — the ONE commit-protocol implementation every
+        metadata mutation (commit, expiry) goes through."""
+        next_v = parent_meta["_version"] + 1
+        meta_path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
+        try:
+            fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version v{next_v} already committed by another writer")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = os.path.join(self._meta_dir, f".hint-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(next_v))
+        os.replace(tmp, os.path.join(self._meta_dir, "version-hint.text"))
 
     def _commit(self, parent_meta: dict, files: list[dict], op: str,
                 summary: dict, schema: str | None = None) -> int:
@@ -201,16 +236,11 @@ class IceTable:
         reads see the schema of their era, the Iceberg schema-id
         contract)."""
         snap_id = (parent_meta.get("current_snapshot_id") or 0) + 1
-        # acquire the version lock BEFORE touching any shared file: a
-        # losing racer must leave the winner's manifest untouched
-        next_v = parent_meta["_version"] + 1
-        meta_path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
-        try:
-            fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise CommitConflict(
-                f"version v{next_v} already committed by another writer")
-        man_path = os.path.join(self._meta_dir, f"snap-{snap_id}.manifest.json")
+        # manifest names carry a commit-attempt nonce: two racers on
+        # the same parent NEVER collide on a manifest path, so a loser
+        # can clean up its OWN manifest without touching the winner's
+        man_name = f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.manifest.json"
+        man_path = os.path.join(self._meta_dir, man_name)
         with open(man_path + ".tmp", "w") as f:
             json.dump({"snapshot_id": snap_id, "files": files}, f)
         os.replace(man_path + ".tmp", man_path)
@@ -223,18 +253,17 @@ class IceTable:
                 "id": snap_id,
                 "parent_id": parent_meta.get("current_snapshot_id"),
                 "operation": op,
-                "manifest": os.path.basename(man_path),
+                "manifest": man_name,
                 "schema": schema or parent_meta["schema"],
                 "summary": summary,
                 "timestamp": datetime.now(timezone.utc).isoformat(),
             }],
         }
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = os.path.join(self._meta_dir, f".hint-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(next_v))
-        os.replace(tmp, os.path.join(self._meta_dir, "version-hint.text"))
+        try:
+            self._write_next_metadata(parent_meta, meta)
+        except CommitConflict:
+            os.unlink(man_path)  # our own uncommitted manifest only
+            raise
         return snap_id
 
     # -- public API ----------------------------------------------------------
@@ -281,14 +310,16 @@ class IceTable:
     def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """Stage ``df`` as immutable data files, then commit a new
         snapshot = parent's files + the new ones. Returns snapshot id.
-        On :class:`CommitConflict` the staged files are still valid —
-        callers retry the commit step only. ``summary`` adds caller
+        On :class:`CommitConflict`, retry by calling append again (the
+        retry re-stages; the conflict-aborted staging is unreferenced
+        debris that :meth:`remove_orphan_files` sweeps). ``summary``
+        adds caller
         keys to the snapshot summary (e.g. a streaming batch id for
         exactly-once sinks)."""
         meta = self._read_meta()
         self._check_columns(df, meta)
         new = self._stage(df, meta["partition_by"])
-        parent_files = (self._read_manifest(meta["current_snapshot_id"])
+        parent_files = (self._read_manifest(meta["current_snapshot_id"], meta)
                         if meta["current_snapshot_id"] else [])
         return self._commit(
             meta, parent_files + new, "append",
@@ -307,7 +338,7 @@ class IceTable:
         self._check_columns(df, meta)
         new = self._stage(df, meta["partition_by"])
         touched = {tuple(sorted(e["partition"].items())) for e in new}
-        parent_files = (self._read_manifest(meta["current_snapshot_id"])
+        parent_files = (self._read_manifest(meta["current_snapshot_id"], meta)
                         if meta["current_snapshot_id"] else [])
         kept = [e for e in parent_files
                 if tuple(sorted(e["partition"].items())) not in touched]
@@ -337,7 +368,7 @@ class IceTable:
             raise ValueError(
                 f"schema evolution is additive-only; cannot change the "
                 f"type of existing columns {sorted(retyped)}")
-        files = (self._read_manifest(meta["current_snapshot_id"])
+        files = (self._read_manifest(meta["current_snapshot_id"], meta)
                  if meta["current_snapshot_id"] else [])
         return self._commit(meta, files, "evolve-schema",
                             {"added_columns": sorted(set(new) - set(old))},
@@ -354,10 +385,17 @@ class IceTable:
         cur = meta["current_snapshot_id"]
         if cur is None:
             raise ValueError("nothing to compact: table has no snapshots")
-        entries = self._read_manifest(cur)
+        entries = self._read_manifest(cur, meta)
         total = sum(e["bytes"] for e in entries)
         n_files = max(1, -(-total // target_file_bytes))  # ceil
-        df = self.scan().repartition(n_files)
+        df = self.scan()
+        if meta["partition_by"]:
+            # co-locate each partition value in one task: a round-robin
+            # repartition before partitionBy would emit up to
+            # n_files x |partitions| files — WORSE than before
+            df = df.repartition(n_files, *meta["partition_by"])
+        else:
+            df = df.repartition(n_files)
         new = self._stage(df, meta["partition_by"])
         return self._commit(
             meta, new, "replace",
@@ -379,27 +417,15 @@ class IceTable:
         kept, expired = snaps[-keep_last:], snaps[:-keep_last]
         referenced: set[str] = set()
         for s in kept:
-            referenced |= {e["path"] for e in self._read_manifest(s["id"])}
+            referenced |= {e["path"] for e in self._read_manifest(s["id"], meta)}
         doomed: set[str] = set()
         for s in expired:
-            doomed |= {e["path"] for e in self._read_manifest(s["id"])}
+            doomed |= {e["path"] for e in self._read_manifest(s["id"], meta)}
         doomed -= referenced
 
         new_meta = dict(meta, snapshots=kept)
         new_meta.pop("_version", None)
-        next_v = meta["_version"] + 1
-        meta_path = os.path.join(self._meta_dir, f"v{next_v}.metadata.json")
-        try:
-            fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise CommitConflict(
-                f"version v{next_v} already committed by another writer")
-        with os.fdopen(fd, "w") as f:
-            json.dump(new_meta, f, indent=1)
-        tmp = os.path.join(self._meta_dir, f".hint-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(next_v))
-        os.replace(tmp, os.path.join(self._meta_dir, "version-hint.text"))
+        self._write_next_metadata(meta, new_meta)
         # only now is it safe to delete: no reader resolves the old meta
         for p in doomed:
             try:
@@ -412,6 +438,37 @@ class IceTable:
             except FileNotFoundError:
                 pass
         return {"expired": len(expired), "deleted_files": len(doomed)}
+
+    def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
+        """Delete data files and manifests referenced by NO snapshot in
+        the current history — the debris of conflict-aborted or crashed
+        commits (whose staged commit-<uuid> dirs are referenced by
+        nothing) and of expired eras. ``older_than_s`` is the safety
+        grace: files younger than it may belong to an IN-FLIGHT commit
+        that has staged but not yet taken the version lock, so they are
+        left alone (the standard Iceberg remove_orphan_files posture)."""
+        import time as _time
+
+        meta = self._read_meta()
+        referenced: set[str] = set()
+        manifests: set[str] = set()
+        for s in meta["snapshots"]:
+            manifests.add(s["manifest"])
+            referenced |= {e["path"]
+                           for e in self._read_manifest(s["id"], meta)}
+        cutoff = _time.time() - older_than_s
+        deleted = {"data_files": 0, "manifests": 0}
+        for p in glob.glob(os.path.join(self.root, "data", "**", "*.parquet"),
+                           recursive=True):
+            if p not in referenced and os.path.getmtime(p) < cutoff:
+                os.unlink(p)
+                deleted["data_files"] += 1
+        for p in glob.glob(os.path.join(self._meta_dir, "snap-*.manifest.json")):
+            if os.path.basename(p) not in manifests \
+                    and os.path.getmtime(p) < cutoff:
+                os.unlink(p)
+                deleted["manifests"] += 1
+        return deleted
 
     def snapshots(self) -> list[dict]:
         return self._read_meta()["snapshots"]
@@ -428,7 +485,7 @@ class IceTable:
         snap = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
         if snap is None:
             return []
-        entries = self._read_manifest(snap)
+        entries = self._read_manifest(snap, meta)
         for col, op, lit in (filters or []):
             entries = [e for e in entries if _entry_may_match(e, col, op, lit)]
         return entries

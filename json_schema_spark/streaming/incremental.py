@@ -55,9 +55,13 @@ def windowed_violation_counts(
     window is finalized and dropped from the state store — bounded
     state, the only shape that survives an unbounded stream.
     """
+    # positional aliases, as verdict_df does: (column, keyword) pairs
+    # are NOT unique (a $ref target can share a keyword with a
+    # sibling), and duplicate agg names break file sinks
     aggs = [
-        F.sum((~c.predicate).cast("long")).alias(f"{c.column}/{c.keyword}")
-        for c in compiled.checks
+        F.sum((~c.predicate).cast("long"))
+        .alias(f"chk{i}_{c.column}_{c.keyword}".replace(".", "_"))
+        for i, c in enumerate(compiled.checks)
     ] + [F.count(F.lit(1)).alias("n_rows")]
     return (
         stream.where(F.col(ts_col).isNotNull())

@@ -239,7 +239,8 @@ def test_write_audit_publish(spark, webpages, tmp_path):
     table = IceTable.create(spark, str(tmp_path / "pub"), ddl, [])
     quar = IceTable.create(spark, str(tmp_path / "quar"), viol_ddl, [])
 
-    summary = audited_append(table, quar, df, compiled, id_cols=["url"])
+    summary = audited_append(table, quar, df, compiled, id_cols=("url",),
+                             run_id="wap-1")
 
     n_total = df.count()
     n_clean = table.scan().count()
@@ -364,3 +365,29 @@ def test_compact_and_expire(spark, tmp_path, docs):
     assert len(t.snapshots()) == 1
     with pytest.raises(FileNotFoundError):  # expired era is gone, cleanly
         t.scan(snapshot_id=pre_compact_snap).count()
+
+
+def test_remove_orphan_files(spark, tmp_path, docs):
+    """Conflict-aborted commits leave staged-but-unreferenced debris;
+    remove_orphan_files sweeps it (grace period 0 for the test) without
+    touching referenced data."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(docs.where("doc_id < 50"))
+    v = t._current_version()
+    open(os.path.join(t._meta_dir, f"v{v + 1}.metadata.json"), "w").write("{}")
+    with pytest.raises(CommitConflict):
+        t.append(docs.where("doc_id >= 50"))  # stages, then aborts
+    os.unlink(os.path.join(t._meta_dir, f"v{v + 1}.metadata.json"))
+
+    import glob as _glob
+    all_files = _glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                           recursive=True)
+    referenced = {e["path"] for e in t.plan_files()}
+    assert len(all_files) > len(referenced)  # orphans exist
+
+    res = t.remove_orphan_files(older_than_s=0.0)
+    assert res["data_files"] == len(all_files) - len(referenced)
+    assert t.scan().count() == 50  # referenced data untouched
+    remaining = _glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                           recursive=True)
+    assert set(remaining) == referenced
