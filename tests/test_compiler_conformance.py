@@ -63,9 +63,10 @@ def infer_dtype(v):
             # NULL-as-absent convention (SURVEY.md §1.1) — JSON null
             # property semantics are out of typed-column scope
             return None
-        vts = {infer_dtype(x).simpleString() if x is not None and infer_dtype(x) else None
-               for x in v.values()}
-        vts.discard(None)
+        value_dts = [infer_dtype(x) for x in v.values() if x is not None]
+        if any(dt is None for dt in value_dts):
+            return None  # an untypeable value (e.g. recursive nesting)
+        vts = {dt.simpleString() for dt in value_dts}
         if len(vts) > 1:
             return None
         inner = infer_dtype(next((x for x in v.values() if x is not None), 0)) \
