@@ -439,6 +439,29 @@ class IceTable:
                 pass
         return {"expired": len(expired), "deleted_files": len(doomed)}
 
+    def scan_added_since(self, snapshot_id: int,
+                         filters: list[tuple[str, str, Any]] | None = None,
+                         ) -> DataFrame:
+        """Incremental read: only the rows in data files added AFTER
+        ``snapshot_id`` (the Iceberg incremental-scan contract). This
+        is what makes continuous validation O(new data): each run
+        validates scan_added_since(last_validated_snapshot) and
+        records the new snapshot id — history is never rescanned.
+        Files are immutable, so the diff of manifests IS the diff of
+        rows for append-only history; overwrites replace files, whose
+        rows then (correctly) reappear in the diff."""
+        meta = self._read_meta()
+        cur = meta["current_snapshot_id"]
+        old = {e["path"] for e in self._read_manifest(snapshot_id, meta)}
+        entries = [e for e in self.plan_files(filters, cur, _meta=meta)
+                   if e["path"] not in old]
+        declared = meta["schema"]
+        if not entries:
+            return self.spark.createDataFrame([], declared)
+        # delegate projection/partition recovery to scan-on-a-subset:
+        # reuse the same read path with a pinned entry list
+        return self._read_entries(entries, meta, declared, filters)
+
     def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
         """Delete data files and manifests referenced by NO snapshot in
         the current history — the debris of conflict-aborted or crashed
@@ -499,7 +522,6 @@ class IceTable:
 
         meta = self._read_meta()  # ONE read pins file list + schema
         entries = self.plan_files(filters, snapshot_id, _meta=meta)
-        from pyspark.sql import types as T
 
         # schema of the requested era: time travel reads under the
         # schema its snapshot committed with (the Iceberg schema-id
@@ -510,10 +532,21 @@ class IceTable:
                 (s.get("schema") or meta["schema"]
                  for s in meta["snapshots"] if s["id"] == snapshot_id),
                 meta["schema"])
-        declared = T._parse_datatype_string(schema_ddl)
-        declared_types = {f.name: f.dataType for f in declared.fields}
         if not entries:
             return self.spark.createDataFrame([], schema_ddl)
+        return self._read_entries(entries, meta, schema_ddl, filters)
+
+    def _read_entries(self, entries: list[dict], meta: dict,
+                      schema_ddl: str,
+                      filters: list[tuple[str, str, Any]] | None) -> DataFrame:
+        """Read a pinned file-entry list under ``schema_ddl``: merge-
+        schema parquet read, partition-column recovery, projection to
+        the declared order, residual filters."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        declared = T._parse_datatype_string(schema_ddl)
+        declared_types = {f.name: f.dataType for f in declared.fields}
         # mergeSchema: files written before an additive evolution lack
         # the new columns; the union-schema read NULL-fills them
         reader = self.spark.read.option("mergeSchema", "true")

@@ -391,3 +391,24 @@ def test_remove_orphan_files(spark, tmp_path, docs):
     remaining = _glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
                            recursive=True)
     assert set(remaining) == referenced
+
+
+def test_scan_added_since_incremental_read(spark, tmp_path, docs):
+    """Incremental read: only files added after snapshot S — the
+    O(new-data) continuous-validation contract."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    s1 = t.append(docs.where("doc_id < 40"))
+    t.append(docs.where("doc_id >= 40 and doc_id < 80"))
+    t.append(docs.where("doc_id >= 80"))
+
+    inc = t.scan_added_since(s1)
+    got = sorted(r["doc_id"] for r in inc.collect())
+    assert got == list(range(40, 100))  # batch 2 + 3 only, no rescan
+    assert inc.columns == t.scan().columns
+    # filters prune the incremental file set too
+    en = t.scan_added_since(s1, [("lang", "=", "en")])
+    assert sorted(r["doc_id"] for r in en.collect()) \
+        == [i for i in range(40, 100) if i % 3 == 0]
+    # nothing added since the current snapshot
+    cur = t.snapshots()[-1]["id"]
+    assert t.scan_added_since(cur).count() == 0
