@@ -412,3 +412,35 @@ def test_scan_added_since_incremental_read(spark, tmp_path, docs):
     # nothing added since the current snapshot
     cur = t.snapshots()[-1]["id"]
     assert t.scan_added_since(cur).count() == 0
+
+
+def test_late_arrivals_caught_by_snapshot_diff(spark, webpages, tmp_path):
+    """Composition: partition-manifest resume skips a COMPLETED
+    partition, so late-arriving files landing in it would be missed;
+    scan_added_since(last_validated) catches exactly those rows."""
+    from json_schema_spark.compiler import compile_spec, verdict_df
+    from tests.test_compiler import WEB_SPEC
+
+    src = IceTable.create(
+        spark, str(tmp_path / "src"),
+        ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                  for f in webpages.schema.fields),
+        ["warc_day"])
+    first = webpages.limit(2000)
+    s1 = src.append(first)
+
+    # validate everything up to s1; record s1 as the watermark
+    compiled = compile_spec(WEB_SPEC, src.scan())
+    base_rows = verdict_df(src.scan(snapshot_id=s1), compiled).collect()
+    assert sum(r["n_rows"] for r in base_rows) > 0
+
+    # late arrivals: MORE rows for days already validated
+    late = webpages.limit(2500).subtract(first)
+    src.append(late)
+
+    inc = src.scan_added_since(s1)
+    assert inc.count() == late.count()  # only the late files
+    inc_rows = {(r["column"], r["keyword"]): r["n_rows"]
+                for r in verdict_df(inc, compiled).collect()}
+    # incremental verdict covers exactly the late rows
+    assert all(n == late.count() for n in inc_rows.values())
