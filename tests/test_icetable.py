@@ -444,3 +444,49 @@ def test_late_arrivals_caught_by_snapshot_diff(spark, webpages, tmp_path):
                 for r in verdict_df(inc, compiled).collect()}
     # incremental verdict covers exactly the late rows
     assert all(n == late.count() for n in inc_rows.values())
+
+
+def test_runner_snapshot_increment(spark, webpages, tmp_path):
+    """End-to-end continuous validation: the runner validates only the
+    snapshot diff, advances its watermark, re-validates partitions that
+    received late files, and keeps prior verdicts via time travel."""
+    from json_schema_spark.plans.runner import ValidationRunner
+    from tests.test_compiler import WEB_SPEC
+
+    src = IceTable.create(
+        spark, str(tmp_path / "src"),
+        ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                  for f in webpages.schema.fields),
+        ["warc_day"])
+    first = webpages.limit(1500)
+    src.append(first)
+
+    r = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "res"), run_id="inc",
+                         use_icetable=True)
+    out1 = r.run_snapshot_increment(src)
+    assert len(out1["partitions"]) > 0
+    n1 = {x["partition"]: x["n_rows"] for x in r.verdicts().collect()}
+
+    # idempotent no-op when nothing new arrived
+    assert r.run_snapshot_increment(src)["partitions"] == []
+
+    # late arrivals land in existing partitions
+    late = webpages.limit(1800).subtract(first)
+    src.append(late)
+    out2 = r.run_snapshot_increment(src)
+    assert out2["snapshot"] > out1["snapshot"]
+    late_days = {str(r_[0]) for r_ in late.select("warc_day").distinct().collect()}
+    assert set(out2["partitions"]) == late_days
+
+    # latest verdicts cover ONLY the diff rows for re-touched partitions
+    n2 = {x["partition"]: x["n_rows"] for x in r.verdicts().collect()}
+    late_counts = {str(r_[0]): r_[1] for r_ in
+                   late.groupBy("warc_day").count().collect()}
+    for day in late_days:
+        assert n2[day] == late_counts[day]
+    # prior full verdicts preserved via the verdict table's history
+    vt = r._verdict_table
+    pre_late_snap = vt.snapshots()[len(out1["partitions"]) - 1]["id"]
+    hist = {x["partition"]: x["n_rows"]
+            for x in vt.scan(snapshot_id=pre_late_snap).collect()}
+    assert all(hist[p] == n1[p] for p in hist)
