@@ -51,6 +51,11 @@ def main() -> int:
         help="land verdict rows in an Iceberg-style snapshot table "
              "(atomic commits, time travel; sources/icetable.py) "
              "instead of plain partitioned parquet")
+    ap.add_argument(
+        "--input-icetable", action="store_true",
+        help="treat --input as an IceTable root and validate only the "
+             "files added since the last validated snapshot "
+             "(continuous-validation mode; implies --icetable results)")
     args = ap.parse_args()
 
     from json_schema_spark.plans.runner import ValidationRunner
@@ -61,13 +66,22 @@ def main() -> int:
     with open(args.spec) as f:
         spec = ConstraintSpec(json.load(f))
 
-    df = spark.read.parquet(args.input)
     runner = ValidationRunner(
         spark, spec, args.results, run_id=args.run_id, id_cols=(args.id_col,),
-        use_icetable=args.icetable,
+        use_icetable=args.icetable or args.input_icetable,
     )
-    processed = runner.run(df, partition_col=args.partition_col,
-                           max_partitions=args.max_partitions)
+    if args.input_icetable:
+        from json_schema_spark.sources.icetable import IceTable
+
+        source = IceTable(spark, args.input)
+        out = runner.run_snapshot_increment(
+            source, partition_col=args.partition_col)
+        processed = out["partitions"]
+        df = source.scan()
+    else:
+        df = spark.read.parquet(args.input)
+        processed = runner.run(df, partition_col=args.partition_col,
+                               max_partitions=args.max_partitions)
     if not processed:
         print(json.dumps({"run_id": args.run_id, "processed": [], "note": "nothing pending"}))
         return 0

@@ -74,3 +74,42 @@ def test_cli_run_validation_icetable(spark, webpages, tmp_path):
     t = IceTable(spark, str(tmp_path / "results_ice" / "verdicts_ice"))
     assert len(t.snapshots()) >= 1  # one overwrite commit per partition
     assert t.scan().where("check = 'url/pattern'").count() >= 1
+
+
+def test_cli_input_icetable_incremental(spark, webpages, tmp_path):
+    """--input-icetable: first run validates everything, an immediate
+    rerun is a no-op, and new appended files get validated next run."""
+    from json_schema_spark.sources.icetable import IceTable
+
+    src_root = str(tmp_path / "src_ice")
+    src = IceTable.create(
+        spark, src_root,
+        ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                  for f in webpages.schema.fields),
+        ["warc_day"])
+    first = webpages.limit(1000)
+    src.append(first)
+
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps({
+        "draft": "draft7",
+        "columns": {"url": {"type": "string", "pattern": "^https?://"}},
+        "required": ["url"],
+    }))
+    results = str(tmp_path / "res")
+    cmd = [sys.executable, "bin/run_validation.py",
+           "--input", src_root, "--spec", str(spec_path), "--results", results,
+           "--run-id", "cli-inc", "--master", "local[4]", "--input-icetable"]
+    p1 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert p1.returncode == 1, p1.stderr[-2000:]  # planted violations
+    out1 = json.loads(p1.stdout.strip().splitlines()[-1])
+    assert len(out1["processed"]) > 0
+
+    p2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "nothing pending" in p2.stdout
+
+    src.append(webpages.limit(1200).subtract(first))
+    p3 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    out3 = json.loads(p3.stdout.strip().splitlines()[-1])
+    assert len(out3["processed"]) > 0
