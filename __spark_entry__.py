@@ -229,6 +229,24 @@ def q_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition").alias("part"), F.col("n_rows"), F.col("ks_est"))
 
 
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter summaries per source (operators/
+    sketches.py). With m=64 >= |lang domain| no counter is ever
+    evicted, so offset=0 and the sketch counts are EXACT — which lets
+    DuckDB value-check the whole two-stage fold/merge machinery; the
+    approximate (eviction) regime is pytest-pinned separately."""
+    from json_schema_spark.operators.sketches import mg_topk_by_partition
+
+    summ = mg_topk_by_partition(_docs(spark, sf_dir), "lang", "source", m=64)
+    return (
+        summ.select(
+            F.col("partition").alias("part"),
+            F.explode(F.arrays_zip("items", "counts")).alias("z"))
+        .select("part", F.col("z.items").alias("lang"),
+                F.col("z.counts").alias("cnt"))
+    )
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width length histogram in TALL form (north-star "length
     histograms"): one groupBy(bucket) pass, partial-aggregable; the
@@ -837,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_df": q_top_terms_df,
         "vector_norms": q_vector_norms,
         "length_histogram": q_length_histogram,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
         "quality_funnel": q_quality_funnel,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -939,6 +958,12 @@ def oracle_sql() -> dict[str, str]:
         "ref_lang": """
             SELECT doc_id, lang FROM documents
             WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+        """,
+        "heavy_hitters_mg": """
+            SELECT source AS part, lang, count(*) AS cnt
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY source, lang
         """,
         "length_histogram": """
             SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
