@@ -229,6 +229,29 @@ def q_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition").alias("part"), F.col("n_rows"), F.col("ks_est"))
 
 
+def q_tdigest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest in its exact regime: with compression >> |value domain|
+    the k1 size limit never lets a cluster span two distinct values
+    (merge requires combined weight fraction <= pi/compression), so
+    exploding the digest and summing weights per value reproduces the
+    exact per-value counts — a full DuckDB value check of the
+    build/merge arithmetic. The approximate regime (cluster spans,
+    CDF interpolation) is pytest-pinned in tests/test_tdigest.py."""
+    from json_schema_spark.operators.tdigest import digest_by_partition
+
+    d = digest_by_partition(_docs(spark, sf_dir), "n_chars", "source",
+                            compression=200_000.0)
+    return (
+        d.select(F.col("partition").alias("part"),
+                 F.explode(F.arrays_zip("means", "weights")).alias("z"))
+        # identical-value clusters from different Arrow batches may
+        # stay separate (their combined weight exceeds the merge
+        # threshold) — summing per value is part of the exact regime
+        .groupBy("part", F.col("z.means").alias("n_chars"))
+        .agg(F.sum("z.weights").alias("cnt"))
+    )
+
+
 def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitter summaries per source (operators/
     sketches.py). With m=64 >= |lang domain| no counter is ever
@@ -856,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": q_vector_norms,
         "length_histogram": q_length_histogram,
         "heavy_hitters_mg": q_heavy_hitters_mg,
+        "tdigest_exact": q_tdigest_exact,
         "quality_funnel": q_quality_funnel,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -958,6 +982,14 @@ def oracle_sql() -> dict[str, str]:
         "ref_lang": """
             SELECT doc_id, lang FROM documents
             WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+        """,
+        "tdigest_exact": """
+            SELECT source AS part,
+                   CAST(n_chars AS DOUBLE) AS n_chars,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM documents
+            WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            GROUP BY source, n_chars
         """,
         "heavy_hitters_mg": """
             SELECT source AS part, lang, count(*) AS cnt
