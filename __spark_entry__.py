@@ -230,17 +230,22 @@ def q_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tdigest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest in its exact regime: with compression >> |value domain|
-    the k1 size limit never lets a cluster span two distinct values
-    (merge requires combined weight fraction <= pi/compression), so
-    exploding the digest and summing weights per value reproduces the
-    exact per-value counts — a full DuckDB value check of the
-    build/merge arithmetic. The approximate regime (cluster spans,
-    CDF interpolation) is pytest-pinned in tests/test_tdigest.py."""
+    """t-digest in its exact regime: the k1 merge rule joins two
+    clusters only while their combined weight FRACTION is <=
+    ~pi/compression, so with compression >= 8 * n_rows even two
+    singleton clusters (fraction 2/n) can never merge — the digest is
+    exactly the per-value count table at ANY scale factor (compression
+    scales with the input, not the value domain). Exploding it and
+    summing weights per value (identical-value clusters from separate
+    Arrow batches may stay unmerged) is then a full DuckDB value check
+    of the build/merge arithmetic. The approximate regime (cluster
+    spans, CDF interpolation) is pytest-pinned in tests/test_tdigest.py."""
     from json_schema_spark.operators.tdigest import digest_by_partition
 
-    d = digest_by_partition(_docs(spark, sf_dir), "n_chars", "source",
-                            compression=200_000.0)
+    docs = _docs(spark, sf_dir)
+    compression = max(200_000.0, 8.0 * docs.count())
+    d = digest_by_partition(docs, "n_chars", "source",
+                            compression=compression)
     return (
         d.select(F.col("partition").alias("part"),
                  F.explode(F.arrays_zip("means", "weights")).alias("z"))

@@ -75,7 +75,8 @@ def main() -> int:
 
         source = IceTable(spark, args.input)
         out = runner.run_snapshot_increment(
-            source, partition_col=args.partition_col)
+            source, partition_col=args.partition_col,
+            max_partitions=args.max_partitions)
         processed = out["partitions"]
         df = source.scan()
     else:

@@ -188,6 +188,7 @@ class ValidationRunner:
         self,
         source,  # IceTable
         partition_col: str = "warc_day",
+        max_partitions: int | None = None,
     ) -> dict:
         """Continuous validation against an IceTable source: validate
         ONLY the rows in data files added since the last validated
@@ -204,6 +205,12 @@ class ValidationRunner:
         reflects the LATEST increment's rows; with ``use_icetable``
         the previous verdicts remain readable via the verdict table's
         snapshot history (time travel), so nothing is lost.
+
+        ``max_partitions`` budgets one invocation; the watermark only
+        advances once the WHOLE diff is drained, so budgeted runs
+        continue the same diff. An expired watermark snapshot (source
+        history truncated past it) falls back to a full re-validation
+        rather than failing every subsequent run.
         Returns {"snapshot": <new watermark>, "partitions": [...]}.
         """
         state = self.manifest.load()
@@ -211,24 +218,44 @@ class ValidationRunner:
         cur = source._read_meta()["current_snapshot_id"]
         if cur is None or cur == last:
             return {"snapshot": last, "partitions": []}
-        df = (source.scan_added_since(last) if last is not None
-              else source.scan())
-        # the diff may re-touch completed partitions: clear their
-        # completion marks so run() re-validates them over the diff
-        diff_parts = [
-            str(r[0]) for r in df.select(partition_col).distinct().collect()
-            if r[0] is not None
-        ]
-        for p in diff_parts:
-            state["completed"].pop(p, None)
-        state["__snapshot_watermark"] = last
-        self.manifest.save(state)
+        if last is not None:
+            try:
+                df = source.scan_added_since(last)
+            except FileNotFoundError:
+                # the watermark snapshot was expired from the source's
+                # history: the diff is unrecoverable — fall back to a
+                # full re-validation instead of wedging every run
+                last = None
+                df = source.scan()
+        else:
+            df = source.scan()
+        df = df.cache()  # distinct-partitions probe + run() both read it
+        try:
+            # the diff may re-touch completed partitions: clear their
+            # completion marks so run() re-validates them over the diff
+            diff_parts = [
+                str(r[0])
+                for r in df.select(partition_col).distinct().collect()
+                if r[0] is not None
+            ]
+            for p in diff_parts:
+                state["completed"].pop(p, None)
+            state["__snapshot_watermark"] = last
+            self.manifest.save(state)
 
-        processed = self.run(df, partition_col=partition_col)
+            processed = self.run(df, partition_col=partition_col,
+                                 max_partitions=max_partitions)
+            drained = not self.pending_partitions(df, partition_col)
+        finally:
+            df.unpersist()
         state = self.manifest.load()
-        state["__snapshot_watermark"] = cur
+        # advance only once the whole diff is validated: a budgeted
+        # (max_partitions) run leaves the watermark so the next
+        # invocation continues the SAME diff from its partition marks
+        new_mark = cur if drained else last
+        state["__snapshot_watermark"] = new_mark
         self.manifest.save(state)
-        return {"snapshot": cur, "partitions": processed}
+        return {"snapshot": new_mark, "partitions": processed}
 
     # -- dataset-level checks (spec "dataset" block, FIXTURES.md §3) -------
     def run_dataset_checks(

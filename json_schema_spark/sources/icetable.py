@@ -486,11 +486,20 @@ class IceTable:
             if p not in referenced and os.path.getmtime(p) < cutoff:
                 os.unlink(p)
                 deleted["data_files"] += 1
-        for p in glob.glob(os.path.join(self._meta_dir, "snap-*.manifest.json")):
-            if os.path.basename(p) not in manifests \
-                    and os.path.getmtime(p) < cutoff:
-                os.unlink(p)
-                deleted["manifests"] += 1
+        for pat in ("snap-*.manifest.json", "snap-*.manifest.json.tmp"):
+            for p in glob.glob(os.path.join(self._meta_dir, pat)):
+                if os.path.basename(p) not in manifests \
+                        and os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+                    deleted["manifests"] += 1
+        # prune directories emptied by data-file deletion (commit-<uuid>
+        # roots and Hive partition dirs under them)
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
+            # re-listdir: the walk's cached names don't see children
+            # rmdir'd earlier in this same bottom-up pass
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
         return deleted
 
     def snapshots(self) -> list[dict]:
