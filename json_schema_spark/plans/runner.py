@@ -233,13 +233,18 @@ class ValidationRunner:
         try:
             # the diff may re-touch completed partitions: clear their
             # completion marks so run() re-validates them over the diff
-            diff_parts = [
-                str(r[0])
-                for r in df.select(partition_col).distinct().collect()
-                if r[0] is not None
-            ]
-            for p in diff_parts:
-                state["completed"].pop(p, None)
+            # — but NOT when continuing the identical diff (a budgeted
+            # previous invocation): its marks ARE this diff's progress
+            diff_id = f"{last}->{cur}"
+            if state.get("__diff_id") != diff_id:
+                diff_parts = [
+                    str(r[0])
+                    for r in df.select(partition_col).distinct().collect()
+                    if r[0] is not None
+                ]
+                for p in diff_parts:
+                    state["completed"].pop(p, None)
+                state["__diff_id"] = diff_id
             state["__snapshot_watermark"] = last
             self.manifest.save(state)
 
@@ -254,6 +259,8 @@ class ValidationRunner:
         # invocation continues the SAME diff from its partition marks
         new_mark = cur if drained else last
         state["__snapshot_watermark"] = new_mark
+        if drained:
+            state.pop("__diff_id", None)
         self.manifest.save(state)
         return {"snapshot": new_mark, "partitions": processed}
 

@@ -490,3 +490,41 @@ def test_runner_snapshot_increment(spark, webpages, tmp_path):
     hist = {x["partition"]: x["n_rows"]
             for x in vt.scan(snapshot_id=pre_late_snap).collect()}
     assert all(hist[p] == n1[p] for p in hist)
+
+
+def test_snapshot_increment_budgeted_and_expired_watermark(spark, webpages, tmp_path):
+    """max_partitions budgets a run without advancing the watermark
+    until the diff drains; an expired watermark snapshot falls back to
+    full re-validation instead of wedging."""
+    from json_schema_spark.plans.runner import ValidationRunner
+    from tests.test_compiler import WEB_SPEC
+
+    src = IceTable.create(
+        spark, str(tmp_path / "src"),
+        ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                  for f in webpages.schema.fields),
+        ["warc_day"])
+    src.append(webpages.limit(1500))
+
+    r = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "res"), run_id="b",
+                         use_icetable=True)
+    out1 = r.run_snapshot_increment(src, max_partitions=2)
+    assert len(out1["partitions"]) == 2
+    assert out1["snapshot"] is None  # diff not drained: watermark held
+
+    out2 = r.run_snapshot_increment(src)  # drains the rest
+    assert set(out2["partitions"]).isdisjoint(out1["partitions"])
+    assert out2["snapshot"] == src.snapshots()[-1]["id"]
+
+    # expire the watermark snapshot out of the source history
+    src.append(webpages.limit(1600).subtract(webpages.limit(1500)))
+    src.compact()
+    src.expire_snapshots(keep_last=1)
+    out3 = r.run_snapshot_increment(src)  # falls back to full rescan
+    assert len(out3["partitions"]) > 0
+    assert out3["snapshot"] == src.snapshots()[-1]["id"]
+    # all partitions re-validated over the full table
+    n = {x["partition"]: x["n_rows"] for x in r.verdicts().collect()}
+    full = {str(r_[0]): r_[1] for r_ in
+            src.scan().groupBy("warc_day").count().collect()}
+    assert n == full
