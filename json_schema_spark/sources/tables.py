@@ -183,3 +183,27 @@ def lang_dim(spark: SparkSession) -> DataFrame:
     """ISO-639-1-ish allow-list dimension (~broadcast anti-join path,
     FIXTURES.md §2)."""
     return spark.createDataFrame([(c,) for c in ALLOWED_LANGS], ["lang_code"])
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, keys: list[str], n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` bucketed (and bucket-sorted) by ``keys`` — the
+    co-located-join layout for repeated large-scale referential checks.
+
+    A 100 TB fact table anti-joined against a big dimension shuffles
+    BOTH sides on every run; bucketing both tables on the join key at
+    write time makes every subsequent join/aggregation on that key
+    exchange-free (Spark matches bucket specs and plans a zip of
+    pre-sorted buckets). Pay one shuffle at layout time, never again —
+    the same trade Iceberg's bucket partition transform makes.
+
+    Uses saveAsTable (bucket metadata lives in the session catalog;
+    on a cluster, an external metastore). Overwrites an existing table
+    of the same name.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table_name)

@@ -265,3 +265,33 @@ def test_cardinality_profile_and_heavy_hitters(spark):
         assert abs(approx - exact) <= max(1, 0.05 * exact), (c, exact, approx)
     hh = heavy_hitters(docs, "lang", k=2).collect()
     assert len(hh) == 2 and hh[0]["n"] >= hh[1]["n"]
+
+
+def test_bucketed_join_is_exchange_free(spark, webpages, tmp_path):
+    """write_bucketed: both sides bucketed on the join key -> the join
+    plans with ZERO Exchange nodes (co-located buckets), and results
+    equal the plain shuffled join."""
+    from json_schema_spark.sources.tables import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS btest")
+    spark.catalog.setCurrentDatabase("btest")
+    docs = webpages.select("url", "lang").where(F.col("lang").isNotNull())
+    dim = tb.lang_dim(spark).withColumnRenamed("lang_code", "lang")
+
+    write_bucketed(docs, "docs_b", ["lang"], n_buckets=8)
+    write_bucketed(dim, "dim_b", ["lang"], n_buckets=8)
+    t1, t2 = spark.table("docs_b"), spark.table("dim_b")
+
+    joined = t1.join(t2.hint("merge"), "lang")  # force SMJ (no broadcast)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+    expected = docs.join(dim, "lang").count()
+    assert joined.count() == expected
+
+    # same layout also makes groupBy(lang) exchange-free
+    agg = t1.groupBy("lang").count()
+    plan2 = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2, plan2[:2000]
+    spark.sql("DROP TABLE IF EXISTS docs_b")
+    spark.sql("DROP TABLE IF EXISTS dim_b")
