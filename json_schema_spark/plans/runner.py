@@ -105,17 +105,23 @@ class ValidationRunner:
             self.compiled = compile_spec(self.spec, df)
         return self.compiled
 
+    @staticmethod
+    def partition_values(df: DataFrame, partition_col: str) -> list[str]:
+        """Distinct non-null partition values as strings (the shared
+        normalization every partition-set computation uses)."""
+        return sorted(
+            str(r[0])
+            for r in df.select(partition_col).distinct().collect()
+            if r[0] is not None
+        )
+
     def pending_partitions(self, df: DataFrame, partition_col: str) -> list[str]:
         """All partition values minus completed ones. The distinct() is
         partition-metadata-sized; on a partitioned source Catalyst
         answers it from file listing, not a scan."""
-        values = [
-            str(r[0])
-            for r in df.select(partition_col).distinct().collect()
-            if r[0] is not None
-        ]
         done = self.manifest.completed()
-        return sorted(v for v in values if v not in done)
+        return [v for v in self.partition_values(df, partition_col)
+                if v not in done]
 
     # -- the per-partition pass --------------------------------------------
     def run(
@@ -123,12 +129,17 @@ class ValidationRunner:
         df: DataFrame,
         partition_col: str = "warc_day",
         max_partitions: int | None = None,
+        slice_factory=None,
     ) -> list[str]:
         """Validate pending partitions; returns the partitions processed.
 
         ``max_partitions`` exists for tests (simulated interruption)
-        and for budgeted incremental runs.
-        """
+        and for budgeted incremental runs. ``slice_factory(part)``,
+        when given, supplies each partition's DataFrame instead of
+        ``df.where(...)`` — the snapshot-incremental path uses it to
+        validate a re-touched partition's FULL current content through
+        a manifest-pruned read while the pending set still comes from
+        the (smaller) diff."""
         compiled = self._compile(df)
         pending = self.pending_partitions(df, partition_col)
         if max_partitions is not None:
@@ -136,7 +147,14 @@ class ValidationRunner:
 
         for part in pending:
             t0 = time.monotonic()
-            slice_df = df.where(F.col(partition_col).cast("string") == part)
+            if slice_factory is not None:
+                slice_df = slice_factory(part)
+            else:
+                slice_df = df.where(F.col(partition_col).cast("string") == part)
+            # two actions read the slice (violation rows + verdict agg):
+            # cache it — but project input_file_name() FIRST, because it
+            # returns '' once rows come from the InMemoryRelation
+            slice_df = slice_df.withColumn("__file", F.input_file_name()).cache()
 
             viol = violations_df(
                 slice_df, compiled, id_cols=list(self.id_cols),
@@ -156,7 +174,7 @@ class ValidationRunner:
                 F.collect_set(F.col("__file")).alias("files"),
             ]
             row = (
-                slice_df.withColumn("__file", F.input_file_name())
+                slice_df
                 .agg(*aggs).collect()[0]
             )
             wall_ms = int((time.monotonic() - t0) * 1000)
@@ -181,6 +199,7 @@ class ValidationRunner:
             self.manifest.mark(part, {
                 "run_id": self.run_id, "n_rows": row["n_rows"], "wall_ms": wall_ms,
             })
+            slice_df.unpersist()
         return pending
 
     # -- snapshot-incremental pass (source is an IceTable) ------------------
@@ -237,19 +256,22 @@ class ValidationRunner:
             # previous invocation): its marks ARE this diff's progress
             diff_id = f"{last}->{cur}"
             if state.get("__diff_id") != diff_id:
-                diff_parts = [
-                    str(r[0])
-                    for r in df.select(partition_col).distinct().collect()
-                    if r[0] is not None
-                ]
-                for p in diff_parts:
+                for p in self.partition_values(df, partition_col):
                     state["completed"].pop(p, None)
                 state["__diff_id"] = diff_id
             state["__snapshot_watermark"] = last
             self.manifest.save(state)
 
-            processed = self.run(df, partition_col=partition_col,
-                                 max_partitions=max_partitions)
+            # a re-touched partition is validated over its FULL current
+            # content (manifest-pruned read) — diff-only validation
+            # would overwrite its verdict/violations with late-rows-only
+            # results, silently flipping a failing partition to pass
+            processed = self.run(
+                df, partition_col=partition_col,
+                max_partitions=max_partitions,
+                slice_factory=lambda p: source.scan(
+                    [(partition_col, "=", p)], snapshot_id=cur),
+            )
             drained = not self.pending_partitions(df, partition_col)
         finally:
             df.unpersist()
@@ -312,7 +334,11 @@ class ValidationRunner:
             col = d["column"]
             col_expr = F.expr(col) if "(" in col else F.col(col)
             if d.get("test") == "chi2":
-                rows = [r for r in chi2_by_partition(df, col, by_col).collect()
+                # project the (possibly expression-valued) column first:
+                # chi2_by_partition takes a column NAME
+                tagged = df.withColumn("__cat", col_expr)
+                rows = [r for r in
+                        chi2_by_partition(tagged, "__cat", by_col).collect()
                         if r["chi2"] is not None]
                 if not rows:
                     # all-null column/partition: nothing to test -> pass

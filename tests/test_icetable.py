@@ -478,12 +478,14 @@ def test_runner_snapshot_increment(spark, webpages, tmp_path):
     late_days = {str(r_[0]) for r_ in late.select("warc_day").distinct().collect()}
     assert set(out2["partitions"]) == late_days
 
-    # latest verdicts cover ONLY the diff rows for re-touched partitions
+    # re-touched partitions are re-validated over their FULL current
+    # content (diff-only validation would flip a failing partition to
+    # pass when only clean late rows arrive)
     n2 = {x["partition"]: x["n_rows"] for x in r.verdicts().collect()}
-    late_counts = {str(r_[0]): r_[1] for r_ in
-                   late.groupBy("warc_day").count().collect()}
+    full_counts = {str(r_[0]): r_[1] for r_ in
+                   src.scan().groupBy("warc_day").count().collect()}
     for day in late_days:
-        assert n2[day] == late_counts[day]
+        assert n2[day] == full_counts[day]
     # prior full verdicts preserved via the verdict table's history
     vt = r._verdict_table
     pre_late_snap = vt.snapshots()[len(out1["partitions"]) - 1]["id"]

@@ -16,15 +16,12 @@ quarantine, incremental validation never rescans, drift fires on the
 planted DRIFT_DAY, and maintenance does not change query results.
 """
 
-import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from json_schema_spark.compiler import compile_spec
 from json_schema_spark.operators import tdigest as td
 from json_schema_spark.plans.runner import ValidationRunner
 from json_schema_spark.plans.write_audit import audited_append
-from json_schema_spark.sources import tables as tb
 from json_schema_spark.sources.icetable import IceTable
 from tests.test_compiler import WEB_SPEC
 
