@@ -191,6 +191,17 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"), F.col("rank"))
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for the join/agg planning story
+    (north rule: 'skew handled via adaptive salting on hot keys'):
+    max/avg ratio and the salt-bucket count that caps the hottest
+    key's per-task rows. Exact — fully oracle-checked."""
+    from json_schema_spark.operators.stats import skew_report
+
+    return skew_report(_docs(spark, sf_dir), ["lang", "source"],
+                       target_rows_per_task=100)
+
+
 def q_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column cardinality profile (exact side only — the HLL approx
     column is the at-scale path, asserted within 5% in pytest)."""
@@ -884,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": q_vector_norms,
         "length_histogram": q_length_histogram,
         "heavy_hitters_mg": q_heavy_hitters_mg,
+        "skew_report": q_skew_report,
         "tdigest_exact": q_tdigest_exact,
         "quality_funnel": q_quality_funnel,
         "tpch_q1": q_tpch_q1,
@@ -995,6 +1007,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE n_chars IS NOT NULL AND source IS NOT NULL
             GROUP BY source, n_chars
+        """,
+        "skew_report": """
+            WITH c AS (
+                SELECT 'lang' AS key, lang AS k, count(*) AS n
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang
+                UNION ALL
+                SELECT 'source' AS key, source AS k, count(*) AS n
+                FROM documents WHERE source IS NOT NULL GROUP BY source
+            )
+            SELECT key,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   CAST(max(n) AS BIGINT) AS max_key_rows,
+                   round(max(n) / avg(n), 4) AS skew_factor,
+                   round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_share,
+                   CAST(ceil(max(n) / 100.0) AS BIGINT) AS salt_buckets
+            FROM c GROUP BY key
         """,
         "heavy_hitters_mg": """
             SELECT source AS part, lang, count(*) AS cnt

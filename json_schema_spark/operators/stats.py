@@ -176,3 +176,37 @@ def cardinality_profile(df: DataFrame, columns: list[str]) -> DataFrame:
         F.col("s.n_nulls").alias("n_nulls"),
         F.col("n_rows").alias("n_rows"),
     )
+
+
+def skew_report(df: DataFrame, keys: list[str],
+                target_rows_per_task: int = 4_000_000) -> DataFrame:
+    """Join/shuffle-key skew diagnosis: for each candidate key column,
+    the numbers that decide the physical strategy at scale — total and
+    distinct counts, the hottest key's share, the max/avg ratio (skew
+    factor), and the salt-bucket count that would cap the hottest
+    key's per-task rows at ``target_rows_per_task`` (the input to the
+    engine's salted-aggregation path, operators/unique.py, and to AQE
+    skew-join sizing).
+
+    One groupBy per key over the table, everything downstream
+    aggregate-sized. Exact (DuckDB-oracleable) by construction.
+    """
+    out = None
+    for key in keys:
+        counts = (
+            df.where(F.col(key).isNotNull())
+            .groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rep = counts.agg(
+            F.lit(key).alias("key"),
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_key_rows"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+            F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),
+            F.ceil(F.max("n") / F.lit(target_rows_per_task))
+             .cast("long").alias("salt_buckets"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
