@@ -261,9 +261,12 @@ def psi_by_partition(
     part = F.col(partition) if isinstance(partition, str) else partition
     grid = _partition_vs_rest_grid(df, F.col(category), part)
     p_in = F.greatest(F.col("cnt") / F.col("n_part"), F.lit(epsilon))
-    p_out = F.greatest(
-        F.col("cnt_rest") / F.nullif(F.col("n_rest"), F.lit(0)),
-        F.lit(epsilon))
+    # n_rest = 0 (single-partition table): there IS no rest — PSI must
+    # be NULL, not the epsilon-smoothed ~13+ that greatest() over the
+    # null division produced (greatest skips NULLs)
+    p_out = F.when(
+        F.col("n_rest") > 0,
+        F.greatest(F.col("cnt_rest") / F.col("n_rest"), F.lit(epsilon)))
     return (
         grid.groupBy("partition")
         .agg(

@@ -90,7 +90,11 @@ def build(values: np.ndarray, compression: float = 100.0) -> dict:
     if v.size == 0:
         return {"means": np.empty(0), "weights": np.empty(0),
                 "n": 0.0, "vmin": math.nan, "vmax": math.nan}
-    m, w = compress(v, np.ones_like(v), compression)
+    # pre-aggregate duplicates: compress()'s greedy pass is a Python
+    # loop over clusters, so feed it distinct values + counts (bounded
+    # domains collapse from |rows| to |domain| iterations)
+    uniq, counts = np.unique(v, return_counts=True)
+    m, w = compress(uniq, counts.astype(float), compression)
     return {"means": m, "weights": w, "n": float(v.size),
             "vmin": float(v.min()), "vmax": float(v.max())}
 
@@ -124,9 +128,17 @@ def cdf(digest: dict, xs: np.ndarray) -> np.ndarray:
     mids = (np.cumsum(w) - w / 2.0) / n
     xp = np.concatenate(([digest["vmin"]], m, [digest["vmax"]]))
     fp = np.concatenate(([0.0], mids, [1.0]))
-    # collapse duplicate x support (single-cluster / constant columns)
-    xp, idx = np.unique(xp, return_index=True)
-    return np.interp(xs, xp, fp[idx])
+    # collapse duplicate x support keeping the LAST (largest) fp per x:
+    # repeated cluster means carry real mass — keeping the first fp
+    # dropped it (cdf(build([0,0,0,1]), 0) read 0.0 instead of ~0.6).
+    # Point clusters follow the midpoint rule: half their mass shows AT
+    # the mean, all of it just past — the documented sketch bound.
+    xu = np.unique(xp)
+    last = np.searchsorted(xp, xu, side="right") - 1
+    res = np.interp(xs, xu, fp[last])
+    res[xs < xu[0]] = 0.0  # np.interp left-clamps to fp[0], which the
+    # dedup may have raised above 0 (mass at vmin)
+    return res
 
 
 def quantile(digest: dict, qs: np.ndarray) -> np.ndarray:
@@ -147,7 +159,10 @@ def quantile(digest: dict, qs: np.ndarray) -> np.ndarray:
 
 
 def ks_between(a: dict, b: dict) -> float:
-    """max |F_a - F_b| evaluated on the union of both supports."""
+    """max |F_a - F_b| evaluated on the union of both supports PLUS
+    the midpoints between adjacent support points — one CDF can be
+    mid-ramp where the other is flat (discrete-heavy data), and the
+    widest gap then sits strictly between support points."""
     xs = np.unique(np.concatenate([
         np.asarray(a["means"], dtype=float), np.asarray(b["means"], dtype=float),
         np.asarray([a["vmin"], a["vmax"], b["vmin"], b["vmax"]], dtype=float),
@@ -155,6 +170,8 @@ def ks_between(a: dict, b: dict) -> float:
     xs = xs[~np.isnan(xs)]
     if xs.size == 0:
         return math.nan
+    if xs.size > 1:
+        xs = np.unique(np.concatenate([xs, (xs[1:] + xs[:-1]) / 2.0]))
     return float(np.max(np.abs(cdf(a, xs) - cdf(b, xs))))
 
 
@@ -218,9 +235,21 @@ def ks_by_partition_tdigest(
         ds = [dict(_row_to_digest(r), partition=r["partition"]) for r in rows]
     else:
         ds = list(digests)
+    # rest_i = merge(prefix[i-1], suffix[i+1]): 2P merges total instead
+    # of the naive P re-merges of P-1 digests each (O(P^2) driver time
+    # at hundreds of partitions)
+    P = len(ds)
+    prefix: list[dict] = [None] * P
+    suffix: list[dict] = [None] * P
+    for i in range(P):
+        prefix[i] = ds[i] if i == 0 else merge([prefix[i - 1], ds[i]], compression)
+        j = P - 1 - i
+        suffix[j] = ds[j] if j == P - 1 else merge([suffix[j + 1], ds[j]], compression)
     out = []
     for i, d in enumerate(ds):
-        rest = merge((o for j, o in enumerate(ds) if j != i), compression)
+        parts = ([prefix[i - 1]] if i > 0 else []) + \
+                ([suffix[i + 1]] if i < P - 1 else [])
+        rest = merge(parts, compression)
         out.append((d["partition"], d["n"],
                     ks_between(d, rest) if rest["n"] else math.nan))
     return sorted(out)

@@ -295,3 +295,15 @@ def test_bucketed_join_is_exchange_free(spark, webpages, tmp_path):
     assert "Exchange" not in plan2, plan2[:2000]
     spark.sql("DROP TABLE IF EXISTS docs_b")
     spark.sql("DROP TABLE IF EXISTS dim_b")
+
+
+def test_psi_single_partition_is_null(spark):
+    """Review regression: with one partition there IS no rest — PSI
+    must be NULL, not the epsilon-smoothed ~13 the null-skipping
+    greatest() produced."""
+    from json_schema_spark.operators.drift import psi_by_partition
+
+    df = spark.createDataFrame([("p1", "en")] * 50 + [("p1", "de")] * 50,
+                               ["part", "lang"])
+    rows = psi_by_partition(df, "lang", "part").collect()
+    assert len(rows) == 1 and rows[0]["psi"] is None

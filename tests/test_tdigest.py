@@ -132,3 +132,33 @@ def test_incremental_drift_from_stored_digests(spark, drifted, tmp_path):
     ks_ctl = td.ks_between(ctl, rest)
 
     assert ks_new > 5 * ks_ctl and ks_new > 0.2  # planted drift dominates
+
+
+def test_cdf_duplicate_heavy_values():
+    """Review regression: repeated cluster means carry real mass —
+    first-occurrence dedup dropped it (cdf at 0 read 0.0 for [0,0,0,1])."""
+    d = td.build(np.array([0.0, 0.0, 0.0, 1.0]))
+    # midpoint rule: a point cluster shows HALF its mass at its mean
+    # (0.375 here) and all of it just past — the old bug read 0.0
+    assert td.cdf(d, np.array([0.0]))[0] >= 0.35
+    assert td.cdf(d, np.array([0.4]))[0] > 0.5
+    assert td.cdf(d, np.array([-0.1]))[0] == 0.0  # below vmin stays 0
+    a = td.build(np.array([0.0] * 30 + [1.0] * 10))
+    b = td.build(np.array([0.5] * 30 + [1.0] * 10))
+    ks = td.ks_between(a, b)
+    assert ks > 0.5  # true two-sample KS is 0.75; old code read ~0.44
+
+
+def test_ks_by_partition_prefix_suffix_equivalence():
+    """The O(P) prefix/suffix rest-merge must agree with the naive
+    leave-one-out merge within sketch noise."""
+    rng = np.random.RandomState(11)
+    ds = []
+    for p in range(6):
+        v = rng.normal(p * 0.2, 1.0, 2000)
+        ds.append(dict(td.build(v), partition=str(p)))
+    fast = dict((p, ks) for p, _, ks in td.ks_by_partition_tdigest(ds))
+    for i, d in enumerate(ds):
+        rest = td.merge([o for j, o in enumerate(ds) if j != i])
+        naive = td.ks_between(d, rest)
+        assert abs(fast[d["partition"]] - naive) < 0.02, i
