@@ -29,6 +29,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bin(value: Column, lo: Column, hi: Column, n_bins: int) -> Column:
+    """Fixed-width bucket id in [0, n_bins): the ONE binning rule every
+    histogram-CDF path shares (the +1e-12 keeps a degenerate hi == lo
+    range from dividing by zero; least() folds the hi boundary into the
+    last bucket)."""
+    return F.least(
+        F.lit(n_bins - 1),
+        F.floor((value - lo) / ((hi - lo) / n_bins + 1e-12)),
+    )
+
+
 def _partition_vs_rest_grid(
     df: DataFrame, value: Column, partition: Column,
 ) -> DataFrame:
@@ -170,11 +181,7 @@ def ks_by_partition(
         bounds = base.agg(F.min("raw_v").alias("lo"), F.max("raw_v").alias("hi"))
         base = base.crossJoin(F.broadcast(bounds)).select(
             "partition",
-            F.least(
-                F.lit(n_bins - 1),
-                F.floor((F.col("raw_v") - F.col("lo"))
-                        / ((F.col("hi") - F.col("lo")) / n_bins + 1e-12)),
-            ).alias("v"),
+            _bin(F.col("raw_v"), F.col("lo"), F.col("hi"), n_bins).alias("v"),
         )
     else:
         base = base.select("partition", F.col("raw_v").alias("v"))
@@ -214,10 +221,7 @@ def ks_stat_binned(
     base = df.where(grp.isin([group_a, group_b]) & val.isNotNull())
     bounds = base.agg(F.min(val).alias("lo"), F.max(val).alias("hi"))
     binned = base.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.lit(n_bins - 1),
-            F.floor((val - F.col("lo")) / ((F.col("hi") - F.col("lo")) / n_bins + 1e-12)),
-        ).alias("v"),
+        _bin(val, F.col("lo"), F.col("hi"), n_bins).alias("v"),
         (grp == group_a).cast("int").alias("is_a"),
     )
     per_bin = binned.groupBy("v").agg(
