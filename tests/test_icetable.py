@@ -530,3 +530,34 @@ def test_snapshot_increment_budgeted_and_expired_watermark(spark, webpages, tmp_
     full = {str(r_[0]): r_[1] for r_ in
             src.scan().groupBy("warc_day").count().collect()}
     assert n == full
+
+
+def test_evolution_composes_with_maintenance(spark, tmp_path):
+    """Mixed-schema data files (pre/post additive evolution) must
+    survive compaction, partition overwrite, and expiry unchanged."""
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        "doc_id long, p string", ["p"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, p string"))
+    t.evolve_schema("doc_id long, p string, lang string")
+    t.append(spark.createDataFrame([(3, "a", "en")],
+                                   "doc_id long, p string, lang string"))
+
+    def snap():
+        return sorted((r["doc_id"], r["p"], r["lang"])
+                      for r in t.scan().collect())
+
+    expect = [(1, "a", None), (2, "b", None), (3, "a", "en")]
+    assert snap() == expect
+
+    t.compact()  # rewrites old files under the union schema
+    assert snap() == expect
+
+    # overwrite partition 'b' post-evolution
+    t.overwrite_partitions(spark.createDataFrame(
+        [(9, "b", "de")], "doc_id long, p string, lang string"))
+    expect = [(1, "a", None), (3, "a", "en"), (9, "b", "de")]
+    assert snap() == expect
+
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files(older_than_s=0.0)
+    assert snap() == expect
