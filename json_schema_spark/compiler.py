@@ -416,6 +416,23 @@ def _compile_keyword(
         if not isinstance(dt, T.ArrayType):
             return None
         inner = _schema_pred(val, dt.elementType, draft, spec)
+        if draft == "draft2019-09" and (
+                "minContains" in schema or "maxContains" in schema):
+            # 2019-09 count semantics (ENGINE EXTENSION — the
+            # reference's table has no min/maxContains; see
+            # pyvalidator._k_contains_2019). minContains=0 makes
+            # contains vacuous, per spec.
+            lo = int(schema.get("minContains", 1))
+            hi = schema.get("maxContains")
+
+            def counted(c: Column) -> Column:
+                cnt = F.size(F.filter(c, inner))
+                pred = cnt >= F.lit(lo)
+                if hi is not None:
+                    pred = pred & (cnt <= F.lit(int(hi)))
+                return pred
+
+            return counted
         return lambda c: F.exists(c, inner)
 
     if keyword == "minItems":
@@ -630,6 +647,7 @@ _NOOP_KEYWORDS = frozenset({
     "$anchor", "$comment", "$defs", "$id", "$schema", "$vocabulary",
     "default", "definitions", "description", "title", "examples",
     "then", "else", "contentMediaType", "contentEncoding", "deprecated",
+    "minContains", "maxContains",  # driven from the "contains" branch
     "readOnly", "writeOnly", "id", "draft", "exclusiveMinimum_draft4",
 })
 

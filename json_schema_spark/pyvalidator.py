@@ -707,6 +707,30 @@ def _k_contains(v, schema, val, data, path, depth):
     return _err("no array element satisfies `contains`", "contains", path)
 
 
+def _k_contains_2019(v, schema, val, data, path, depth):
+    """2019-09 `contains` counts matches against minContains (default
+    1; 0 makes `contains` vacuous) and maxContains.
+
+    ENGINE EXTENSION BEYOND REFERENCE PARITY: the reference's 2019-09
+    table (src/validators.lisp:657-695) has no minContains/maxContains
+    entries and keeps the >=1 semantics; this engine implements the
+    spec'd count semantics (the keywords only activate when a schema
+    uses them, so reference-suite parity is unaffected)."""
+    if not is_array(data):
+        return []
+    n = sum(1 for item in data if not v._validate(val, item, path, depth + 1))
+    lo = schema.get("minContains", 1)
+    hi = schema.get("maxContains")
+    errs = []
+    if n < lo:
+        errs += _err(f"{n} matching elements < minContains {lo}",
+                     "contains", path)
+    if hi is not None and n > hi:
+        errs += _err(f"{n} matching elements > maxContains {hi}",
+                     "maxContains", path)
+    return errs
+
+
 def _k_min_items(v, schema, val, data, path, depth):
     if not is_array(data):
         return []
@@ -832,7 +856,7 @@ _DISPATCH: dict[str, dict] = {
         # "dependencies" was split into dependentRequired/dependentSchemas
         # in 2019-09; the reference's table (src/validators.lisp:657-695)
         # has no "dependencies" entry, so it is ignored here too.
-        "const": _k_const, "contains": _k_contains,
+        "const": _k_const, "contains": _k_contains_2019,
         "propertyNames": _k_property_names,
         "dependentRequired": _k_dependent_required,
         "dependentSchemas": _k_dependent_schemas,
