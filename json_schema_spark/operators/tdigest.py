@@ -54,33 +54,27 @@ def _k(q: np.ndarray | float, compression: float) -> np.ndarray | float:
 
 
 def compress(means: np.ndarray, weights: np.ndarray, compression: float) -> tuple[np.ndarray, np.ndarray]:
-    """Merge sorted-by-mean clusters greedily subject to the k1 size
-    limit (the paper's merging-digest variant): a run of clusters may
-    merge while k(q_end) - k(q_start) <= 1."""
+    """Cluster sorted-by-mean points subject to the k1 size limit —
+    the CLUSTERING variant of the t-digest: each input lands in bucket
+    floor(k1(q_mid)), so any bucket's k-span is < 1 (the digest
+    invariant) and the whole pass is numpy-vectorized (argsort +
+    cumsum + two bincounts), no Python loop over clusters. Two points
+    whose q_mid gap exceeds pi/compression can never share a bucket,
+    which is what the exact-regime oracle query relies on
+    (compression >= 8n -> adjacent singletons always split)."""
     if means.size == 0:
         return means, weights
     order = np.argsort(means, kind="stable")
-    means, weights = means[order].astype(float), weights[order].astype(float)
-    n = float(weights.sum())
-    out_m: list[float] = []
-    out_w: list[float] = []
-    q0 = 0.0
-    acc_m, acc_w = means[0], weights[0]
-    k0 = _k(q0, compression)
-    for m, w in zip(means[1:], weights[1:]):
-        q2 = q0 + (acc_w + w) / n
-        if _k(q2, compression) - k0 <= 1.0:
-            acc_m += (m - acc_m) * (w / (acc_w + w))  # weighted mean, stable
-            acc_w += w
-        else:
-            out_m.append(acc_m)
-            out_w.append(acc_w)
-            q0 += acc_w / n
-            k0 = _k(q0, compression)
-            acc_m, acc_w = m, w
-    out_m.append(acc_m)
-    out_w.append(acc_w)
-    return np.asarray(out_m), np.asarray(out_w)
+    m = means[order].astype(float)
+    w = weights[order].astype(float)
+    n = float(w.sum())
+    qmid = (np.cumsum(w) - w / 2.0) / n
+    cid = np.floor(_k(qmid, compression)).astype(np.int64)
+    cid -= cid[0]
+    wsum = np.bincount(cid, weights=w)
+    msum = np.bincount(cid, weights=w * m)
+    keep = wsum > 0
+    return msum[keep] / wsum[keep], wsum[keep]
 
 
 def build(values: np.ndarray, compression: float = 100.0) -> dict:
