@@ -207,6 +207,13 @@ SCHEMAS: list[tuple[str, dict | bool, tuple[str, ...]]] = [
      {"items": [{}], "additionalItems": {"type": "integer"}}, ALL),
     ("contains minimum", {"contains": {"minimum": 5}}, D6UP),
     ("contains type", {"contains": {"type": "string"}}, D6UP),
+    # 2019-09 count semantics (engine extension beyond reference parity;
+    # the jsonschema labeler implements them spec-correctly)
+    ("minContains 2", {"contains": {"minimum": 5}, "minContains": 2}, D2019),
+    ("minContains 0 vacuous", {"contains": {"minimum": 5}, "minContains": 0}, D2019),
+    ("maxContains 2", {"contains": {"type": "integer"}, "maxContains": 2}, D2019),
+    ("min+maxContains band",
+     {"contains": {"minimum": 3}, "minContains": 1, "maxContains": 2}, D2019),
     ("minItems 2", {"minItems": 2}, ALL),
     ("maxItems 2", {"maxItems": 2}, ALL),
     ("uniqueItems", {"uniqueItems": True}, ALL),
