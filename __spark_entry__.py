@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from json_schema_spark import compile_spec, verdict_df, violations_df
 from json_schema_spark.operators.drift import chi2_by_partition, ks_by_partition, ks_stat
@@ -403,6 +404,65 @@ def q_drift_ks_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_incremental_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-RUN incremental drift, end to end through STORAGE: write
+    per-source t-digests to an IceTable ("history" run), append the
+    digest of a newly-arrived partition (src0) in a second commit —
+    O(new partition) compute, history is never rescanned — then compute
+    the exact two-sample KS of new-vs-history purely from the STORED
+    digests. Runs in the exact regime (compression >= 8 * n_rows: the
+    k1 merge rule can never join two clusters, so each digest IS its
+    partition's value->count table), which makes the whole
+    rows -> digest -> commit -> read-back -> KS path a full DuckDB
+    value check. The windowed CDF below runs over the value GRID
+    (distinct n_chars), aggregate-sized by construction, so the
+    single-partition window sort is metadata work."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from json_schema_spark.operators.tdigest import DIGEST_SCHEMA, digest_by_partition
+    from json_schema_spark.sources.icetable import IceTable
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull())
+    compression = max(200_000.0, 8.0 * docs.count())
+
+    root = tempfile.mkdtemp(prefix="tdig_store_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = IceTable.create(spark, root, DIGEST_SCHEMA, ["partition"])
+    # run 1: digest + store every historical partition
+    t.append(digest_by_partition(docs.where(F.col("source") != "src0"),
+                                 "n_chars", "source", compression=compression))
+    # run 2 (the incremental step): only the new day is scanned
+    t.append(digest_by_partition(docs.where(F.col("source") == "src0"),
+                                 "n_chars", "source", compression=compression))
+
+    stored = t.scan()
+    cells = (
+        stored.select(
+            F.when(F.col("partition") == "src0", F.lit("new"))
+             .otherwise(F.lit("hist")).alias("side"),
+            F.explode(F.arrays_zip("means", "weights")).alias("z"))
+        .groupBy("side", F.col("z.means").alias("v"))
+        .agg(F.sum("z.weights").alias("cnt"))
+    )
+    pv = (cells.groupBy("v").pivot("side", ["new", "hist"])
+          .agg(F.first("cnt")).na.fill(0.0))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = pv.select(
+        F.sum("new").over(w).alias("cum_new"),
+        F.sum("hist").over(w).alias("cum_hist"))
+    tot = cdf.agg(F.max("cum_new").alias("nn"), F.max("cum_hist").alias("nh"))
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .agg(F.max(F.col("nn").cast("long")).alias("n_new"),
+             F.max(F.col("nh").cast("long")).alias("n_hist"),
+             F.round(F.max(F.abs(F.col("cum_new") / F.col("nn")
+                                 - F.col("cum_hist") / F.col("nh"))), 6).alias("ks"))
+    )
+
+
 def q_drift_psi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the lang mix, each source vs the
     rest (production drift score; epsilon-smoothed so absent categories
@@ -651,6 +711,49 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5: 12 independent hash tables
+    (OR-amplification) x 6 planes + 1-bit multiprobe — tuned to
+    recall >= 0.9 on these near-uniform embeddings (rows-only: the
+    seeded hyperplanes are driver-side PRNG with no SQL twin; recall
+    is pytest-gated AND tracked by the companion ann_lsh_recall
+    query). Scale path: corpus bucketed once per table, per-query
+    candidates n_tables * |corpus|/2^planes * (1+planes)."""
+    from json_schema_spark.operators.similarity import ann_lsh_topk
+
+    emb = _read("embeddings")(spark, sf_dir)
+    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5,
+                        n_planes=6, n_tables=12, dim=64, seed=42)
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY metric: recall of LSH top-5 vs the exact brute-force
+    top-5 over the same 5 queries — one aggregate row. Rows-only (the
+    LSH side has no SQL twin) but bench-tracked so bucketing changes
+    that silently hurt recall show up as a metric regression, not just
+    a speedup."""
+    from json_schema_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    emb = _read("embeddings")(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = ann_bruteforce_topk(emb, queries, k=5) \
+        .select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(emb, queries, k=5, n_planes=6, n_tables=12,
+                          dim=64, seed=42).select("query_id", "neighbor_id")
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+            F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"))
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact results via block-pair
     GEMM (Arrow + BLAS), the scale path for dense all-pairs work."""
@@ -890,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_lang": q_drift_psi_lang,
         "drift_ks_sketch": q_drift_ks_sketch,
         "drift_ks_tdigest": q_drift_ks_tdigest,
+        "drift_incremental_tdigest": q_drift_incremental_tdigest,
         "iceberg_roundtrip": q_iceberg_roundtrip,
         "top_terms_df": q_top_terms_df,
         "vector_norms": q_vector_norms,
@@ -915,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1175,6 +1281,23 @@ def oracle_sql() -> dict[str, str]:
                                  - cum_rest / NULLIF((SELECT n_total FROM g) - n_part, 0))), 6) AS ks
             FROM cdf
             GROUP BY part
+        """,
+        "drift_incremental_tdigest": """
+            WITH t AS (
+              SELECT n_chars AS v,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_new
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            pv AS (SELECT v, sum(is_new) AS cn, sum(1 - is_new) AS ch
+                   FROM t GROUP BY v),
+            cdf AS (SELECT sum(cn) OVER (ORDER BY v) AS cum_n,
+                           sum(ch) OVER (ORDER BY v) AS cum_h
+                    FROM pv),
+            tot AS (SELECT max(cum_n) AS nn, max(cum_h) AS nh FROM cdf)
+            SELECT CAST(max(nn) AS BIGINT) AS n_new,
+                   CAST(max(nh) AS BIGINT) AS n_hist,
+                   round(max(abs(cum_n / nn - cum_h / nh)), 6) AS ks
+            FROM cdf CROSS JOIN tot
         """,
         "drift_ks_chars": """
             WITH t AS (

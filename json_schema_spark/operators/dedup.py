@@ -426,10 +426,14 @@ def connected_components(
     # back to the type-agnostic changed-rows join (a decimal cast of a
     # string label is NULL, which would fake instant convergence).
     import pyspark.sql.types as _T
+    # integral/decimal ONLY: a float/double label casts to decimal(38,0)
+    # with rounding (2.6 -> 3), so a real decrease can leave the rounded
+    # sum unchanged and the loop would declare convergence early;
+    # fractional ids take the exact changed-rows join instead
     numeric_ids = isinstance(
         labels.schema["label"].dataType,
         (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
-         _T.FloatType, _T.DoubleType, _T.DecimalType))
+         _T.DecimalType))
 
     def _sum(lbl_df):
         return lbl_df.agg(

@@ -110,35 +110,51 @@ def ann_lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 8, dim: int = 64, seed: int = 42,
-    multiprobe: bool = True,
+    multiprobe: bool = True, n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket (plus 1-bit-flip neighbor buckets when ``multiprobe``).
+    """Approximate top-k: score only corpus vectors sharing an LSH
+    bucket with the query (plus 1-bit-flip neighbor buckets when
+    ``multiprobe``) in ANY of ``n_tables`` independent hash tables —
+    OR-amplification: one table's hit probability per plane is
+    1 - angle/pi, so recall for a table is ~p^n_planes (plus the
+    multiprobe terms) and across L tables 1 - (1-P)^L. More tables buy
+    recall linearly in cost; more planes cut per-table candidates
+    exponentially — tune (n_planes, n_tables) to the corpus density.
 
-    Scale path: corpus bucketed once (narrow projection), join on
-    bucket instead of crossJoin — per-query work drops from |corpus| to
-    |corpus| / 2^n_planes * (1 + n_planes).
+    Scale path: corpus bucketed once per table (narrow projection,
+    table id folded into the bucket key so tables never collide), join
+    on bucket instead of crossJoin — per-query candidate work is
+    n_tables * |corpus| / 2^n_planes * (1 + n_planes multiprobes).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    def bucket_for(t: int) -> tuple:
+        planes = _hyperplanes(dim, n_planes, seed + 7919 * t)
+        return (lsh_bucket(F.col(vec_col), planes) + F.lit(t << n_planes))
+
+    # two-step: materialize the (expensive, n_tables * n_planes dot
+    # products) bucket array FIRST, then explode_outer a plain column
+    # ref — InferFiltersFromGenerate would otherwise clone the whole
+    # expression into a pushed-down filter (measured 6x on shingles)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         l2norm(F.col(vec_col)).alias("cnorm"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.array(*[bucket_for(t) for t in range(n_tables)]).alias("buckets"),
+    ).select("neighbor_id", "cvec", "cnorm",
+             F.explode_outer("buckets").alias("bucket"))
     qb = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         l2norm(F.col(vec_col)).alias("qnorm"),
-        lsh_bucket(F.col(vec_col), planes).alias("qbucket"),
+        *[bucket_for(t).alias(f"qb{t}") for t in range(n_tables)],
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("qbucket"),
-            *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
-    else:
-        probes = F.array(F.col("qbucket"))
+    probes_per_table = []
+    for t in range(n_tables):
+        probes_per_table.append(F.col(f"qb{t}"))
+        if multiprobe:
+            probes_per_table.extend(
+                F.col(f"qb{t}").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes))
     q = F.broadcast(
-        qb.select("query_id", "qvec", "qnorm", F.explode(probes).alias("bucket"))
+        qb.select("query_id", "qvec", "qnorm",
+                  F.explode(F.array(*probes_per_table)).alias("bucket"))
     )
 
     scored = (

@@ -70,11 +70,15 @@ def compress(means: np.ndarray, weights: np.ndarray, compression: float) -> tupl
     n = float(w.sum())
     qmid = (np.cumsum(w) - w / 2.0) / n
     cid = np.floor(_k(qmid, compression)).astype(np.int64)
-    cid -= cid[0]
-    wsum = np.bincount(cid, weights=w)
-    msum = np.bincount(cid, weights=w * m)
-    keep = wsum > 0
-    return msum[keep] / wsum[keep], wsum[keep]
+    # densify bucket ids before counting: bincount allocates max(id)+1
+    # slots, which is O(compression) even for a tiny batch — fatal when
+    # compression is sized to the table (q_tdigest_exact uses 8n). After
+    # return_inverse the allocation is O(distinct clusters) and, since
+    # empty buckets were dropped anyway, the output is identical.
+    _, inv = np.unique(cid, return_inverse=True)
+    wsum = np.bincount(inv, weights=w)
+    msum = np.bincount(inv, weights=w * m)
+    return msum / wsum, wsum
 
 
 def build(values: np.ndarray, compression: float = 100.0) -> dict:

@@ -156,50 +156,56 @@ class ValidationRunner:
             # returns '' once rows come from the InMemoryRelation
             slice_df = slice_df.withColumn("__file", F.input_file_name()).cache()
 
-            viol = violations_df(
-                slice_df, compiled, id_cols=list(self.id_cols),
-                partition_col=F.lit(part), run_id=self.run_id,
-            )
-            viol_path = os.path.join(self.results_dir, "violations", f"part={part}")
-            viol.write.mode("overwrite").parquet(viol_path)  # idempotent redo
-
-            # single-pass verdict agg + lineage over the SAME slice.
-            # input_file_name() is nondeterministic — project it to a
-            # column BEFORE aggregating (aggregates reject it inline).
-            aggs = [
-                F.sum((~c.predicate).cast("long")).alias(f"v{i}")
-                for i, c in enumerate(compiled.checks)
-            ] + [
-                F.count(F.lit(1)).alias("n_rows"),
-                F.collect_set(F.col("__file")).alias("files"),
-            ]
-            row = (
-                slice_df
-                .agg(*aggs).collect()[0]
-            )
-            wall_ms = int((time.monotonic() - t0) * 1000)
-
-            verdicts = [
-                (
-                    self.run_id, part, f"{c.column}/{c.keyword}",
-                    row[f"v{i}"] == 0, row["n_rows"], row[f"v{i}"],
-                    {"violation_rate": (row[f"v{i}"] / row["n_rows"]) if row["n_rows"] else 0.0},
-                    [f for f in row["files"] if f],
-                    wall_ms,
+            # unpersist in finally: a mid-partition failure (commit
+            # conflict, write error) must not leak the cached slice —
+            # retries would otherwise accumulate cached DataFrames in
+            # executor memory for the rest of the session
+            try:
+                viol = violations_df(
+                    slice_df, compiled, id_cols=list(self.id_cols),
+                    partition_col=F.lit(part), run_id=self.run_id,
                 )
-                for i, c in enumerate(compiled.checks)
-            ]
-            vdf = self.spark.createDataFrame(verdicts, self._VERDICT_DDL)
-            if self._verdict_table is not None:
-                self._verdict_table.overwrite_partitions(vdf.coalesce(1))
-            else:
-                vpath = os.path.join(self.results_dir, "verdicts", f"part={part}")
-                vdf.coalesce(1).write.mode("overwrite").parquet(vpath)
+                viol_path = os.path.join(self.results_dir, "violations", f"part={part}")
+                viol.write.mode("overwrite").parquet(viol_path)  # idempotent redo
 
-            self.manifest.mark(part, {
-                "run_id": self.run_id, "n_rows": row["n_rows"], "wall_ms": wall_ms,
-            })
-            slice_df.unpersist()
+                # single-pass verdict agg + lineage over the SAME slice.
+                # input_file_name() is nondeterministic — project it to a
+                # column BEFORE aggregating (aggregates reject it inline).
+                aggs = [
+                    F.sum((~c.predicate).cast("long")).alias(f"v{i}")
+                    for i, c in enumerate(compiled.checks)
+                ] + [
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.collect_set(F.col("__file")).alias("files"),
+                ]
+                row = (
+                    slice_df
+                    .agg(*aggs).collect()[0]
+                )
+                wall_ms = int((time.monotonic() - t0) * 1000)
+
+                verdicts = [
+                    (
+                        self.run_id, part, f"{c.column}/{c.keyword}",
+                        row[f"v{i}"] == 0, row["n_rows"], row[f"v{i}"],
+                        {"violation_rate": (row[f"v{i}"] / row["n_rows"]) if row["n_rows"] else 0.0},
+                        [f for f in row["files"] if f],
+                        wall_ms,
+                    )
+                    for i, c in enumerate(compiled.checks)
+                ]
+                vdf = self.spark.createDataFrame(verdicts, self._VERDICT_DDL)
+                if self._verdict_table is not None:
+                    self._verdict_table.overwrite_partitions(vdf.coalesce(1))
+                else:
+                    vpath = os.path.join(self.results_dir, "verdicts", f"part={part}")
+                    vdf.coalesce(1).write.mode("overwrite").parquet(vpath)
+
+                self.manifest.mark(part, {
+                    "run_id": self.run_id, "n_rows": row["n_rows"], "wall_ms": wall_ms,
+                })
+            finally:
+                slice_df.unpersist()
         return pending
 
     # -- snapshot-incremental pass (source is an IceTable) ------------------

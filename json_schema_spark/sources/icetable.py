@@ -101,15 +101,25 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
                 incomplete.add(name)
                 continue
             mn, mx = s.min, s.max
-            if isinstance(mn, bytes):
+            kind = "num"
+            if isinstance(mn, str):
+                # pyarrow decodes UTF8 BYTE_ARRAY stats to str itself
+                kind = "str"
+            elif isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
                     incomplete.add(name)
                     continue
+                kind = "str"
             elif isinstance(mn, (datetime, date)):
-                # JSON-safe, and ISO order == value order, so string
-                # comparison in _cmp still prunes correctly
+                # JSON-safe, and ISO order == value order among
+                # same-shape ISO strings; the "ts" kind tag stops
+                # _entry_may_match from lexicographically comparing a
+                # plain string literal (e.g. '2024-01-02') against
+                # these — that comparison is NOT value order once the
+                # literal is shorter than the serialized stat
+                kind = "ts"
                 mn, mx = mn.isoformat(), mx.isoformat()
             elif isinstance(mn, Decimal):
                 # widen OUTWARD: float rounding toward the range's
@@ -118,7 +128,7 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
                 mx = math.nextafter(float(mx), math.inf)
             prev = stats.get(name)
             if prev is None:
-                stats[name] = {"min": mn, "max": mx,
+                stats[name] = {"min": mn, "max": mx, "kind": kind,
                                "nulls": s.null_count or 0}
             else:
                 prev["min"] = min(prev["min"], mn)
@@ -154,7 +164,32 @@ def _entry_may_match(entry: dict, col: str, op: str, lit: Any) -> bool:
                 return True
         return _cmp(op, v, v, lit)
     st = entry["stats"].get(col)
-    if st is None or isinstance(lit, str) != isinstance(st["min"], str):
+    if st is None:
+        return True
+    # stats tagged with their SOURCE kind: only compare a literal
+    # against stats of the same provenance. A string literal vs
+    # timestamp stats (serialized to ISO strings) is NOT value order —
+    # '2024-01-02' < '2024-01-02T00:00:00' lexicographically, yet
+    # Spark's residual filter coerces the literal and matches rows in
+    # that file; pruning it would silently drop rows. Unknown kind
+    # (pre-tag manifests) is only trusted for numeric-vs-numeric.
+    kind = st.get("kind")
+    if isinstance(lit, str):
+        if kind != "str":
+            return True
+        return _cmp(op, st["min"], st["max"], lit)
+    if isinstance(lit, (datetime, date)):
+        if kind != "ts":
+            return True
+        iso = lit.isoformat()
+        # ISO order == value order only among same-shape strings: bail
+        # if tz-suffix presence differs between literal and stats
+        def _tz(s: str) -> bool:
+            return s.endswith("Z") or ("+" in s[10:]) or ("-" in s[10:])
+        if _tz(iso) != _tz(st["min"]) or (len(iso) > 10) != (len(st["min"]) > 10):
+            return True
+        return _cmp(op, st["min"], st["max"], iso)
+    if isinstance(st["min"], str):
         return True
     return _cmp(op, st["min"], st["max"], lit)
 
@@ -410,6 +445,10 @@ class IceTable:
         lock as a commit; file deletion happens only after the new
         metadata is current, so a crash mid-expiry leaves a readable
         table with some garbage, never a broken one."""
+        if keep_last < 1:
+            # snaps[-0:] would slice the WHOLE list — a silent no-op —
+            # and the current snapshot must survive anyway
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         meta = self._read_meta()
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:

@@ -561,3 +561,46 @@ def test_evolution_composes_with_maintenance(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     t.remove_orphan_files(older_than_s=0.0)
     assert snap() == expect
+
+
+def test_temporal_stats_pruning_is_conservative(spark, tmp_path):
+    """ADVICE r2: timestamp stats are serialized to ISO strings in the
+    manifest; a plain-string filter literal must NOT be compared
+    lexicographically against them ('2024-01-02' < '2024-01-02T00:00:00'
+    would prune a file whose rows Spark's coerced residual filter DOES
+    match). scan(filters) must equal scan().filter(...)."""
+    df = spark.sql("""
+        SELECT id AS doc_id,
+               timestamp(date_add(date'2024-01-01', CAST(id / 10 AS INT))) AS ts
+        FROM range(0, 40)
+    """).repartitionByRange(4, "ts")
+    t = IceTable.create(spark, str(tmp_path / "t"), "doc_id long, ts timestamp", [])
+    # Spark's default INT96 timestamps carry no parquet stats at all;
+    # write INT64 micros so the manifest actually harvests ts min/max
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        t.append(df)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    assert len(t.plan_files()) == 4
+    assert any("ts" in e["stats"] for e in t.plan_files())
+    # rows with ts exactly midnight 2024-01-02 exist (ids 10..19)
+    a = t.scan([("ts", "=", "2024-01-02")]).count()
+    b = t.scan().where(F.col("ts") == "2024-01-02").count()
+    assert a == b == 10
+    # same-kind pruning still works: a tz-matching datetime literal
+    # prunes files (stats from TIMESTAMP_MICROS are tz-aware UTC)
+    import datetime as _dt
+    lit = _dt.datetime(2024, 1, 2, tzinfo=_dt.timezone.utc)
+    pruned = t.plan_files([("ts", "=", lit)])
+    assert 0 < len(pruned) < 4
+    assert t.scan([("ts", "=", lit)]).count() == 10
+
+
+def test_expire_snapshots_zero_keep_raises(spark, tmp_path, docs):
+    """ADVICE r2: keep_last=0 sliced snaps[-0:] == the whole list — a
+    silent no-op contradicting the contract. Now a ValueError."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    t.append(docs)
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)

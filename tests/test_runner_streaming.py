@@ -205,3 +205,24 @@ def test_stream_to_icetable_exactly_once(spark, webpages, tmp_path):
     if key not in seen:  # the sink's guard, replicated verbatim
         table.append(sample, summary={"stream_batch_id": key})
     assert table.scan().count() == table_rows_before
+
+
+def test_run_failure_does_not_leak_cached_slice(spark, pages_parquet, tmp_path):
+    """ADVICE r2: a mid-partition failure must unpersist the cached
+    slice (try/finally) — otherwise every retry leaks a cached
+    DataFrame into executor memory for the rest of the session."""
+    df = spark.read.parquet(pages_parquet)
+    r = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "res"), run_id="rf")
+
+    def poison_slice(part):
+        # valid plan, fails at action time
+        return (df.where(F.col("warc_day").cast("string") == part)
+                  .withColumn("url", F.when(F.length("url") >= 0,
+                                            F.raise_error("boom"))
+                                      .otherwise(F.col("url"))))
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    with pytest.raises(Exception, match="boom"):
+        r.run(df, max_partitions=1, slice_factory=poison_slice)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after == before

@@ -162,3 +162,38 @@ def test_ks_by_partition_prefix_suffix_equivalence():
         rest = td.merge([o for j, o in enumerate(ds) if j != i])
         naive = td.ks_between(d, rest)
         assert abs(fast[d["partition"]] - naive) < 0.02, i
+
+
+def test_compress_allocation_independent_of_compression():
+    """ADVICE r2: bincount over raw k1 bucket ids allocates
+    O(compression) slots even for a 3-point batch — fatal when
+    compression is sized to the table (q_tdigest_exact uses 8n, so a
+    10^9-row table meant ~4 GB per Arrow batch). After densifying via
+    np.unique(return_inverse=True) the allocation is O(distinct
+    clusters); with compression=1e9 this either finishes instantly or
+    would have tried to allocate ~8 GB."""
+    import time
+    m = np.array([1.0, 2.0, 3.0])
+    w = np.ones(3)
+    t0 = time.monotonic()
+    mm, ww = td.compress(m, w, 1e9)
+    assert time.monotonic() - t0 < 1.0
+    # exact regime: every point is its own cluster, order preserved
+    assert mm.tolist() == [1.0, 2.0, 3.0]
+    assert ww.tolist() == [1.0, 1.0, 1.0]
+
+
+def test_compress_output_unchanged_by_densify():
+    """The densified bincount must produce byte-identical digests to
+    the per-bucket semantics (empty buckets never contributed)."""
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=5000)
+    uniq, counts = np.unique(v, return_counts=True)
+    m, w = td.compress(uniq, counts.astype(float), 100.0)
+    assert float(w.sum()) == 5000.0
+    assert np.all(np.diff(m) > 0)          # strictly increasing means
+    assert m.size <= 100                   # respects the size bound
+    d = td.build(v, 100.0)
+    q = td.quantile(d, np.array([0.25, 0.5, 0.75]))
+    exact = np.quantile(v, [0.25, 0.5, 0.75])
+    assert np.all(np.abs(q - exact) < 0.05)
