@@ -190,6 +190,7 @@ def minhash_signatures(
 def minhash_candidates(
     df: DataFrame, id_col: str, text_col: str,
     n: int = 3, k: int = 64, bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) with the estimated Jaccard
     (= matching signature fraction).
@@ -197,7 +198,18 @@ def minhash_candidates(
     Plan shape at scale: signature projection (narrow) -> explode to
     b rows/doc -> shuffle on (band, band_hash) — the ONLY wide op —
     -> within-bucket self-join. Bucket sizes are the skew knob; a hot
-    bucket means near-identical docs, which is exactly the signal.
+    bucket means near-identical docs, which is exactly the signal —
+    but an m-doc bucket fans out m^2/2 pairs, and one boilerplate
+    cluster (cookie banners, template pages) can own a straggler task
+    for hours at web scale. ``max_bucket`` caps that: per-(band,bucket)
+    sizes come from one narrow combinable groupBy, the (few, hot)
+    oversized buckets broadcast into a left_anti join, and the
+    self-join's per-task fan-out is bounded by bands * max_bucket^2/2.
+    Recall note: docs inside a dropped bucket can still pair through
+    their other bands; a cluster hot in EVERY band is near-identical
+    boilerplate — exactly what exact/prefix dedup already catches
+    upstream, and what connected-components grouping would collapse to
+    one survivor anyway.
     """
     assert k % bands == 0
     rows = k // bands
@@ -222,6 +234,15 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket is not None:
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -372,3 +372,36 @@ def test_connected_components_float_ids_exact_convergence(spark):
     got = {(r["node"], r["grp"])
            for r in dedup.connected_components(pairs).collect()}
     assert got == {(1.6, 1.6), (1.9, 1.6), (2.2, 1.6), (2.9, 1.6)}
+
+
+def test_minhash_max_bucket_caps_hot_buckets(webpages, spark):
+    """VERDICT r2 item 1: boilerplate-heavy corpora make one LSH band
+    bucket quadratic. max_bucket excludes oversized (band,bucket)
+    groups via a broadcast anti-join; pairs among ordinary near-dups
+    survive, and a cap above every bucket size changes nothing."""
+    base = (
+        webpages.where(F.col("text").isNotNull() & (F.char_length("text") > 20))
+        .withColumn("doc_id", F.monotonically_increasing_id())
+        .limit(400).select("doc_id", "text"))
+    # plant a 60-doc boilerplate cluster (identical text -> identical
+    # signature -> every band shares one bucket of >= 60 docs)
+    boiler = spark.range(0, 60).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("cookie banner accept all cookies to continue to site").alias("text"))
+    docs = base.unionByName(boiler)
+    docs.persist()
+    uncapped = dedup.minhash_candidates(docs, "doc_id", "text", n=3, k=64,
+                                        bands=16)
+    capped = dedup.minhash_candidates(docs, "doc_id", "text", n=3, k=64,
+                                      bands=16, max_bucket=50)
+    u = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    c = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    boiler_pairs = {(a, b) for (a, b) in u if a >= 1_000_000 and b >= 1_000_000}
+    assert len(boiler_pairs) == 60 * 59 // 2      # quadratic blowout exists
+    assert c.isdisjoint(boiler_pairs)             # cap removes it
+    assert c == u - boiler_pairs                  # ...and ONLY it
+    # a cap larger than any bucket is a no-op
+    nocap = dedup.minhash_candidates(docs, "doc_id", "text", n=3, k=64,
+                                     bands=16, max_bucket=10_000)
+    assert {(r["doc_a"], r["doc_b"]) for r in nocap.collect()} == u
+    docs.unpersist()
