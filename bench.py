@@ -91,11 +91,22 @@ def main() -> None:
     # per-query numbers are steady-state and comparable across rounds
     next(iter(qs.values()))(spark, sf_dir).collect()
 
+    # median of 3 runs per query (VERDICT r2: single-run sweeps sit
+    # inside the 47-60 s box-noise floor; medians + spread make
+    # round-over-round deltas readable). Each rep builds a FRESH
+    # DataFrame (fn call) so AQE stage caching can't skip work.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = round(samples[-1] - samples[0], 3)
 
     # 8M docs: enough rows that the ~0.3s fixed per-job cost amortizes
     # (1M docs finishes in ~1s and understates throughput ~3x)
@@ -118,16 +129,28 @@ def main() -> None:
     pass_res = json.loads(out.stdout.strip().splitlines()[-1])
     docs_per_sec, wall = pass_res["docs_per_sec"], pass_res["wall_s"]
 
+    # fold in the latest skew-soak results if BENCH/skew.py has run
+    # (straggler-balance evidence for the mitigated dedup family)
+    skew = None
+    skew_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "skew_results.json")
+    if os.path.exists(skew_path):
+        with open(skew_path) as f:
+            skew = json.load(f)
+
     print(json.dumps({
         "metric": "headline query wall time (sf) + constraint-pass docs/sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "query_spread": spread,
+        "bench_reps": reps,
         "sf": sf_dir,
         "docs_per_sec": round(docs_per_sec),
         "n_docs": n_docs,
         "constraint_pass_wall_s": round(wall, 3),
         "cpus": int(cpus),
+        **({"skew_soak": skew} if skew else {}),
     }))
 
 

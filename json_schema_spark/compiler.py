@@ -275,6 +275,16 @@ def _compile_keyword(
     if keyword == "pattern":
         if not _is_string(dt):
             return None
+        if _PCRE_FALLBACK.search(val) and _pcre_module() is not None:
+            # PCRE-only construct: Java rlike would silently mismatch
+            # (POSIX [[:alpha:]] parses as a literal char class) or
+            # throw at RUNTIME in an executor ((?P<..> named groups,
+            # \K) — route this one keyword through the Arrow-batched
+            # PCRE UDF (round-2 verdict item 4; the reference runs
+            # cl-ppcre, src/validators.lisp:586-591, so PCRE semantics
+            # ARE the parity target)
+            udf = _pcre_search_udf(val)
+            return lambda c: udf(c)
         java_pattern = translate_regex(val)
         return lambda c: c.rlike(java_pattern)  # unanchored search, :586-591
 
@@ -701,6 +711,49 @@ def _schema_pred(schema: Any, dt: T.DataType, draft: str, spec: ConstraintSpec) 
 # ---------------------------------------------------------------------------
 # regex dialect shim: PCRE (ppcre) -> Java regex
 # ---------------------------------------------------------------------------
+
+# constructs where Java regex diverges from the reference's cl-ppcre:
+# \p{..}/\h/\v/possessive fail Python re validation (can't be checked
+# driver-side), POSIX [[:alpha:]] silently parses as a literal char
+# class in Java, (?P<..>/(?P= and \K throw PatternSyntaxException at
+# executor runtime. Any of these routes the keyword to the PCRE UDF.
+_PCRE_FALLBACK = re.compile(
+    r"\\[pPhHvVK]"           # property classes, horiz/vert space, \K
+    r"|\[\[:\^?\w+:\]\]"     # POSIX bracket expressions
+    r"|\(\?P[<=]"            # PCRE/Python named-group syntax
+    r"|[*+?}]\+"             # possessive quantifiers
+)
+
+
+def _pcre_module():
+    """The PCRE-compatible `regex` module, or None (import-gated: the
+    rlike tolerance path remains the fallback without it)."""
+    try:
+        import regex
+        return regex
+    except ImportError:  # pragma: no cover - regex ships in this env
+        return None
+
+
+def _pcre_search_udf(pattern: str):
+    """Arrow-batched unanchored PCRE search (the `pattern` keyword's
+    semantics, src/validators.lisp:586-591) for patterns Java regex
+    can't express. Compiles driver-side first so a bad spec fails at
+    compile time, not in an executor task."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd  # type-hint resolution under PEP 563
+    _pcre_module().compile(pattern)  # driver-side validation
+
+    @pandas_udf("boolean")
+    def _search(col: pd.Series) -> pd.Series:
+        import regex as _rx
+        rx = _rx.compile(pattern)
+        return col.map(lambda s: bool(rx.search(s)) if s is not None else None)
+
+    return _search
+
 
 def translate_regex(pattern: str) -> str:
     """Translate the common PCRE constructs the reference's `pattern`

@@ -40,6 +40,7 @@ with the reference, not the abstract spec — FIXTURES.md §4):
 
 from __future__ import annotations
 
+import functools
 import ipaddress
 import json
 import math
@@ -402,11 +403,32 @@ def _k_const(v, schema, val, data, path, depth):
     return _err(f"{data!r} != const {val!r}", "const", path)
 
 
+@functools.lru_cache(maxsize=1024)
+def _compile_pcre(pattern: str):
+    """Compiled matcher with PCRE fallback: Python `re` first; on
+    constructs it lacks (\\p{..}, \\h/\\v, possessive quantifiers) or
+    that it silently mis-parses (POSIX [[:alpha:]]), the PCRE-
+    compatible `regex` module — the reference runs cl-ppcre
+    (src/validators.lisp:586-591), so PCRE semantics are the parity
+    target. Mirrors the compiler path's _PCRE_FALLBACK routing."""
+    from json_schema_spark.compiler import _PCRE_FALLBACK, _pcre_module
+
+    rx = _pcre_module()
+    if rx is not None and _PCRE_FALLBACK.search(pattern):
+        return rx.compile(pattern)
+    try:
+        return re.compile(pattern)
+    except re.error:
+        if rx is None:
+            raise
+        return rx.compile(pattern)
+
+
 def _k_pattern(v, schema, val, data, path, depth):
     if not is_string(data):
         return []
     # unanchored SEARCH (ppcre:scan, src/validators.lisp:586-591)
-    return [] if re.search(val, data) else _err(
+    return [] if _compile_pcre(val).search(data) else _err(
         f"{data!r} does not match pattern {val!r}", "pattern", path)
 
 
@@ -526,7 +548,7 @@ def _k_pattern_properties(v, schema, val, data, path, depth):
     errors = []
     for pat, sub in val.items():
         for k, dv in data.items():
-            if re.search(pat, k):
+            if _compile_pcre(pat).search(k):
                 subs = v._validate(sub, dv, f"{path}/{k}", depth + 1)
                 if subs:
                     errors.append(ValidationError(
@@ -538,7 +560,7 @@ def _k_pattern_properties(v, schema, val, data, path, depth):
 def _matched_keys(schema: dict, data: dict) -> set:
     known = set(schema.get("properties", {}).keys())
     for pat in schema.get("patternProperties", {}).keys():
-        known |= {k for k in data if re.search(pat, k)}
+        known |= {k for k in data if _compile_pcre(pat).search(k)}
     return known
 
 

@@ -179,6 +179,73 @@ def synth_webpages(
     )
 
 
+def synth_skewed_webpages(
+    spark: SparkSession, n_rows: int, seed: int = 42,
+    partitions: int | None = None,
+    hot_url_pct: int = 5, hot_domain_pct: int = 40, boiler_pct: int = 25,
+) -> DataFrame:
+    """Deliberately SKEWED web-page corpus for the scale/straggler
+    soak (VERDICT r2 item 1) — same deterministic JVM-side generation
+    discipline as :func:`synth_webpages`, with the pathologies a real
+    crawl shows and a uniform corpus can't exercise:
+
+    * one hot URL holding ``hot_url_pct``% of ALL rows (the salted
+      uniqueness check's worst case: a single groupBy key with
+      hundreds of thousands of rows);
+    * one hot domain at ``hot_domain_pct``% mass and lang 'en' at 50%
+      (hot shuffle/join keys);
+    * ``boiler_pct``% boilerplate near-dup text: a shared template
+      plus one unique trailing token per doc — pairwise Jaccard ~0.9
+      across MILLIONS of docs, the LSH band-bucket quadratic blowout
+      that minhash_candidates(max_bucket=...) exists to cap.
+    """
+    base = spark.range(0, n_rows, 1,
+                       partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    day = F.pmod(_h(seed + 17, i), F.lit(N_DAYS))
+
+    r100 = F.pmod(_h(seed + 11, i), F.lit(100))
+    domain = (
+        F.when(r100 < hot_domain_pct, F.lit("hot.example.com"))
+        .otherwise(F.concat(
+            F.lit("site-"),
+            F.pmod(_h(seed + 12, i), F.lit(5000)).cast("string"),
+            F.lit(".example.org")))
+    )
+    url = (
+        F.when(F.pmod(_h(seed + 13, i), F.lit(100)) < hot_url_pct,
+               F.lit("https://hot.example.com/landing"))
+        .otherwise(F.concat(F.lit("https://"), domain, F.lit("/p/"),
+                            i.cast("string")))
+    )
+    lang = (
+        F.when(F.pmod(_h(seed + 14, i), F.lit(100)) < 50, F.lit("en"))
+        .otherwise(F.element_at(
+            F.array(*[F.lit(c) for c in ALLOWED_LANGS[1:]]),
+            (F.pmod(_h(seed + 15, i), F.lit(len(ALLOWED_LANGS) - 1)) + 1)
+            .cast("int")))
+    )
+    boiler = F.concat(
+        F.lit("we use cookies to improve your experience accept all "
+              "cookies to continue to the site or manage preferences "
+              "in settings ref "),
+        i.cast("string"),
+    )
+    text = F.when(F.pmod(_h(seed + 16, i), F.lit(100)) < boiler_pct,
+                  boiler).otherwise(_text_expr(i, seed))
+    warc_ts = (
+        F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+        + F.make_dt_interval(day, F.lit(0), F.lit(0),
+                             F.pmod(_h(seed + 18, i), F.lit(86400)).cast("int"))
+    )
+    return base.select(
+        i.alias("doc_id"), url.alias("url"), domain.alias("domain"),
+        warc_ts.alias("warc_ts"), text.alias("text"), lang.alias("lang"),
+        F.to_date(F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+                  + F.make_dt_interval(day)).alias("warc_day"),
+    )
+
+
 def lang_dim(spark: SparkSession) -> DataFrame:
     """ISO-639-1-ish allow-list dimension (~broadcast anti-join path,
     FIXTURES.md §2)."""

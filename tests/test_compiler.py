@@ -176,3 +176,60 @@ def test_multiple_of_huge_divisor_compiles(spark):
             {"draft": "draft7", "columns": {"v": {"multipleOf": divisor}}}, df)
         from json_schema_spark import verdict_df
         verdict_df(df, compiled).collect()  # must run, not raise
+
+
+def test_pcre_fallback_patterns_route_to_arrow_udf(spark):
+    """VERDICT r2 item 4: PCRE-only patterns (\\p{L} property classes,
+    possessive quantifiers, POSIX [[:alpha:]]) must evaluate with
+    cl-ppcre semantics through the Arrow UDF — NOT be waved through to
+    rlike. [[:alpha:]] is the smoking gun: Java regex silently parses
+    it as a literal character class, so rlike alone mismatches."""
+    df = spark.createDataFrame(
+        [("héllo",), ("123",), ("abc",), (":[", ), (None,)],
+        "s string")
+    spec = {"draft": "draft7", "columns": {
+        "s": {"pattern": r"^[[:alpha:]]+$"}}}
+    compiled = compile_spec(spec, df)
+    ok = {r["s"]: None for r in df.where(
+        compiled.checks[0].predicate).collect()}
+    # PCRE: héllo and abc are all-alpha; '123' and ':[' are not;
+    # NULL passes vacuously (absent)
+    assert set(ok) == {"héllo", "abc", None}
+    # rlike alone WOULD have mismatched: Java parses [[:alpha:]] as a
+    # nested literal character class (no POSIX support), so its accept
+    # set differs from PCRE's on these rows
+    java = {r["s"] for r in df.where(
+        F.col("s").rlike(r"^[[:alpha:]]+$")).collect()}
+    assert java != {s for s in ok if s is not None}
+    assert "abc" not in java  # PCRE accepts 'abc'; Java does not
+
+    # \p{L} + possessive quantifier: route + correct semantics
+    spec2 = {"draft": "draft7", "columns": {"s": {"pattern": r"^\p{L}++$"}}}
+    compiled2 = compile_spec(spec2, df)
+    ok2 = {r["s"] for r in df.where(
+        compiled2.checks[0].predicate & F.col("s").isNotNull()).collect()}
+    assert ok2 == {"héllo", "abc"}
+
+
+def test_pcre_fallback_dynamic_json_path(spark):
+    """The pyvalidator (dynamic JSON) twin must agree on PCRE-only
+    patterns — including inside patternProperties keys."""
+    from json_schema_spark.pyvalidator import Validator
+
+    v = Validator({"pattern": r"^\p{L}++$"}, draft="draft7")
+    assert v.validate("héllo")[0] is True
+    assert v.validate("123")[0] is False
+    vp = Validator({"patternProperties": {r"^[[:alpha:]]+$": {"type": "integer"}}},
+                   draft="draft7")
+    assert vp.validate({"abc": 1})[0] is True
+    assert vp.validate({"abc": "nope"})[0] is False
+    assert vp.validate({":[": "ignored-key-no-match"})[0] is True
+
+
+def test_bad_pcre_pattern_fails_at_compile_time(spark):
+    """A genuinely invalid pattern must raise on the DRIVER at
+    compile_spec time, never inside an executor task."""
+    df = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(Exception):
+        compile_spec({"draft": "draft7",
+                      "columns": {"s": {"pattern": r"(?P<broken"}}}, df)
