@@ -130,6 +130,7 @@ class ValidationRunner:
         partition_col: str = "warc_day",
         max_partitions: int | None = None,
         slice_factory=None,
+        batch_size: int = 1,
     ) -> list[str]:
         """Validate pending partitions; returns the partitions processed.
 
@@ -139,11 +140,26 @@ class ValidationRunner:
         ``df.where(...)`` — the snapshot-incremental path uses it to
         validate a re-touched partition's FULL current content through
         a manifest-pruned read while the pending set still comes from
-        the (smaller) diff."""
+        the (smaller) diff.
+
+        ``batch_size`` > 1 processes K pending partitions per Spark
+        job (VERDICT r2 item 5): the verdict aggregation groups by
+        partition and violations land in ONE dynamic-partition-
+        overwrite write, so end-to-end latency is O(P / K) sequential
+        jobs instead of O(P) — while the manifest stays per-partition
+        (the checkpoint/resume granularity is unchanged; a crash mid-
+        chunk redoes only that chunk, idempotently). Incompatible with
+        ``slice_factory`` (which is inherently per-partition)."""
         compiled = self._compile(df)
         pending = self.pending_partitions(df, partition_col)
         if max_partitions is not None:
             pending = pending[:max_partitions]
+
+        if batch_size > 1 and slice_factory is None:
+            for i in range(0, len(pending), batch_size):
+                self._run_chunk(df, compiled, partition_col,
+                                pending[i:i + batch_size])
+            return pending
 
         for part in pending:
             t0 = time.monotonic()
@@ -207,6 +223,75 @@ class ValidationRunner:
             finally:
                 slice_df.unpersist()
         return pending
+
+    def _run_chunk(self, df: DataFrame, compiled: CompiledSpec,
+                   partition_col: str, chunk: list[str]) -> None:
+        """One Spark job for K partitions: grouped verdict agg + one
+        dynamic-partition-overwrite violations write. Produces the
+        exact same files/rows the serial path writes per partition."""
+        t0 = time.monotonic()
+        slice_df = (
+            df.where(F.col(partition_col).cast("string").isin(list(chunk)))
+            .withColumn("__file", F.input_file_name())
+            .withColumn("__part", F.col(partition_col).cast("string"))
+            .cache()
+        )
+        try:
+            viol = violations_df(
+                slice_df, compiled, id_cols=list(self.id_cols),
+                partition_col=F.col("__part"), run_id=self.run_id,
+            )
+            # same part=<P> dir layout the serial path writes, via ONE
+            # dynamic overwrite (only the chunk's partitions replaced)
+            (viol.withColumn("part", F.col("partition"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("part")
+             .parquet(os.path.join(self.results_dir, "violations")))
+
+            aggs = [
+                F.sum((~c.predicate).cast("long")).alias(f"v{i}")
+                for i, c in enumerate(compiled.checks)
+            ] + [
+                F.count(F.lit(1)).alias("n_rows"),
+                F.collect_set(F.col("__file")).alias("files"),
+            ]
+            rows = {r["__part"]: r
+                    for r in slice_df.groupBy("__part").agg(*aggs).collect()}
+            wall_ms = int((time.monotonic() - t0) * 1000)
+
+            verdicts = []
+            for part in chunk:
+                row = rows.get(part)
+                n = row["n_rows"] if row else 0
+                files = [f for f in (row["files"] if row else []) if f]
+                for i, c in enumerate(compiled.checks):
+                    nv = row[f"v{i}"] if row else 0
+                    verdicts.append((
+                        self.run_id, part, f"{c.column}/{c.keyword}",
+                        nv == 0, n, nv,
+                        {"violation_rate": (nv / n) if n else 0.0},
+                        files, wall_ms,
+                    ))
+            vdf = self.spark.createDataFrame(verdicts, self._VERDICT_DDL)
+            if self._verdict_table is not None:
+                self._verdict_table.overwrite_partitions(vdf.coalesce(1))
+            else:
+                (vdf.withColumn("part", F.col("partition"))
+                 .coalesce(1).write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("part")
+                 .parquet(os.path.join(self.results_dir, "verdicts")))
+
+            for part in chunk:
+                row = rows.get(part)
+                self.manifest.mark(part, {
+                    "run_id": self.run_id,
+                    "n_rows": row["n_rows"] if row else 0,
+                    "wall_ms": wall_ms,
+                })
+        finally:
+            slice_df.unpersist()
 
     # -- snapshot-incremental pass (source is an IceTable) ------------------
     def run_snapshot_increment(

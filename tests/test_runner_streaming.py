@@ -226,3 +226,37 @@ def test_run_failure_does_not_leak_cached_slice(spark, pages_parquet, tmp_path):
         r.run(df, max_partitions=1, slice_factory=poison_slice)
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after == before
+
+
+def test_batched_run_identical_to_serial(spark, pages_parquet, tmp_path):
+    """VERDICT r2 item 5: batch_size=K processes K partitions per
+    Spark job (grouped verdict agg + one dynamic-partition-overwrite
+    violations write) and must produce byte-identical results to the
+    serial loop — with the manifest still per-partition, so resume
+    composes with batching."""
+    df = spark.read.parquet(pages_parquet)
+
+    rs = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "serial"), run_id="r")
+    rs.run(df)
+    rb = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "batched"), run_id="r")
+    # interruption after the first chunk, then a batched resume
+    first = rb.run(df, max_partitions=3, batch_size=3)
+    assert len(first) == 3 and rb.manifest.completed() == set(first)
+    rb2 = ValidationRunner(spark, WEB_SPEC, str(tmp_path / "batched"), run_id="r")
+    second = rb2.run(df, batch_size=4)
+    assert set(first).isdisjoint(second)
+    assert len(first) + len(second) == tb.N_DAYS
+
+    def vkey(r):
+        return (r["partition"], r["check"])
+
+    a = {vkey(x): (x["pass"], x["n_rows"], x["n_violations"],
+                   sorted(x["input_files"]))
+         for x in rs.verdicts().collect()}
+    b = {vkey(x): (x["pass"], x["n_rows"], x["n_violations"],
+                   sorted(x["input_files"]))
+         for x in rb2.verdicts().collect()}
+    assert a == b
+    va = sorted(repr(r) for r in rs.violations().drop("part").collect())
+    vb = sorted(repr(r) for r in rb2.violations().drop("part").collect())
+    assert va == vb and len(va) > 0
