@@ -313,6 +313,248 @@ SCHEMAS: list[tuple[str, dict | bool, tuple[str, ...]]] = [
      {"not": {"minLength": 3}}, ALL),
 ]
 
+# ---------------------------------------------------------------------------
+# $ref WITH SIBLINGS (round-3 extension): the reference conjoins sibling
+# keywords with the $ref target in every draft (it skips the official
+# suite's "ref overrides any sibling keywords" case, t/draft7.lisp:69-70)
+# while stock jsonschema IGNORES siblings in draft<=7. Labeling rewrites
+# each {$ref, siblings...} node into {"allOf": [{$ref}, {siblings}]}
+# (conjunction made explicit), which jsonschema evaluates identically in
+# every draft. definitions/$defs stay at their node so '#/...' pointers
+# still resolve.
+# ---------------------------------------------------------------------------
+
+_KEEP_AT_NODE = {"definitions", "$defs", "$id", "id", "$schema"}
+
+
+def _conjoin_ref_siblings(schema):
+    if isinstance(schema, list):
+        return [_conjoin_ref_siblings(s) for s in schema]
+    if not isinstance(schema, dict):
+        return schema
+    out = {k: _conjoin_ref_siblings(v) for k, v in schema.items()}
+    if "$ref" in out and len(out.keys() - _KEEP_AT_NODE - {"$ref"}) > 0:
+        kept = {k: out[k] for k in out if k in _KEEP_AT_NODE}
+        rest = {k: out[k] for k in out
+                if k not in _KEEP_AT_NODE and k != "$ref"}
+        return {**kept, "allOf": [{"$ref": out["$ref"]}, rest]}
+    return out
+
+
+REF_SIBLING_SCHEMAS: list[tuple[str, dict, tuple[str, ...]]] = [
+    ("ref with sibling maximum",
+     {"definitions": {"pos": {"minimum": 0}},
+      "$ref": "#/definitions/pos", "maximum": 5},
+     ("draft4", "draft6", "draft7")),
+    ("ref with sibling type",
+     {"definitions": {"short": {"maxLength": 3}},
+      "$ref": "#/definitions/short", "type": "string"},
+     ("draft4", "draft6", "draft7")),
+    ("ref chain with siblings at each hop",
+     {"definitions": {"a": {"$ref": "#/definitions/b", "multipleOf": 2},
+                      "b": {"minimum": 2}},
+      "$ref": "#/definitions/a", "maximum": 100},
+     ("draft4", "draft6", "draft7")),
+    ("ref in properties with sibling",
+     {"definitions": {"int": {"type": "integer"}},
+      "properties": {"a": {"$ref": "#/definitions/int", "minimum": 2}}},
+     ("draft4", "draft6", "draft7")),
+    ("ref to false schema",
+     {"definitions": {"no": False}, "$ref": "#/definitions/no"},
+     ("draft6", "draft7")),
+    ("ref to empty schema with sibling",
+     {"definitions": {"any": {}}, "$ref": "#/definitions/any",
+      "minProperties": 1},
+     ("draft4", "draft6", "draft7")),
+    ("2019 ref with siblings (spec-conjunctive)",
+     {"$defs": {"s": {"type": "string"}}, "$ref": "#/$defs/s",
+      "minLength": 2}, D2019),
+    ("2019 anchor ref with sibling",
+     {"$defs": {"s": {"$anchor": "pos", "minimum": 0}},
+      "$ref": "#pos", "multipleOf": 2}, D2019),
+    ("ref inside allOf with outer keywords",
+     {"definitions": {"pos": {"minimum": 0}},
+      "allOf": [{"$ref": "#/definitions/pos"}, {"maximum": 10}],
+      "type": "number"}, ("draft4", "draft6", "draft7")),
+    ("escaped-pointer ref with sibling",
+     {"definitions": {"a/b": {"type": "integer"}},
+      "$ref": "#/definitions/a~1b", "minimum": 1},
+     ("draft4", "draft6", "draft7")),
+]
+
+
+# ---------------------------------------------------------------------------
+# format keyword (round-3 extension): labeled by an INDEPENDENT
+# re-implementation of the reference's format table semantics
+# (src/formats.lisp) — NOT stock jsonschema's format checker, whose
+# RFC-strict email/idn-email would mislabel the reference's loose
+# "contains @" semantics; and NOT the engine's own formats.py (that
+# would be circular). Every checker below is written directly from the
+# cited formats.lisp behavior with stdlib primitives.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import re as _re
+
+
+def _f_date(s):  # src/formats.lisp:19-24 (regex + real calendar)
+    if not _re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+        return False
+    try:
+        _dt.date(int(s[0:4]), int(s[5:7]), int(s[8:10]))
+        return True
+    except ValueError:
+        return False
+
+
+_TIME_F = r"(\d{2}):(\d{2}):(\d{2})(\.\d+)?([Zz]|[+-]\d{2}:\d{2})"
+
+
+def _f_time(s):  # :75-84 — RFC-3339 partial-time, leap second allowed
+    m = _re.fullmatch(_TIME_F, s)
+    return bool(m) and int(m[1]) <= 23 and int(m[2]) <= 59 and int(m[3]) <= 60
+
+
+def _f_date_time(s):  # :27-32
+    m = _re.fullmatch(r"(\d{4}-\d{2}-\d{2})[Tt ]" + _TIME_F, s)
+    return (bool(m) and _f_date(m[1]) and int(m[2]) <= 23
+            and int(m[3]) <= 59 and int(m[4]) <= 60)
+
+
+def _f_duration(s):  # :35-40 — ISO-8601 duration
+    return bool(_re.fullmatch(
+        r"P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?"
+        r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?", s))
+
+
+def _f_email(s):  # :43-45 — deliberately loose
+    return "@" in s
+
+
+def _f_hostname(s):  # :11-12,48-53
+    return bool(_re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9.\-]{0,254}", s)
+                and all(len(l) < 64 for l in s.split("."))
+                and not s.endswith("-"))
+
+
+def _f_ipv4(s):  # :56-58 — dotted quad, no leading zeros
+    o = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+    return bool(_re.fullmatch(rf"({o}\.){{3}}{o}", s))
+
+
+def _f_ipv6(s):  # :61-65 — groups + <=8 colon-group guard
+    if s.count(":") > 8:
+        return False
+    import ipaddress
+    try:
+        ipaddress.IPv6Address(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _f_json_pointer(s):  # :68-72
+    if _re.search(r"~(?![01])", s):
+        return False
+    return s == "" or s.startswith("/")
+
+
+def _f_regex(s):  # :101-105 — value compiles
+    try:
+        _re.compile(s)
+        return True
+    except _re.error:
+        return False
+
+
+def _f_uri(s):  # :108-113 — parses with a non-empty scheme
+    import urllib.parse
+    try:
+        return bool(urllib.parse.urlsplit(s).scheme)
+    except ValueError:
+        return False
+
+
+def _f_uri_reference(s):  # :15-16,116-125 — allowed character set
+    return bool(_re.fullmatch(
+        r"[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=%]*", s)) and "\\" not in s
+
+
+_F_COMMON = {
+    "date-time": _f_date_time, "email": _f_email, "idn-email": _f_email,
+    "hostname": _f_hostname, "ipv4": _f_ipv4, "ipv6": _f_ipv6,
+    "uri": _f_uri, "regex": _f_regex,
+}
+# per-draft tables (src/formats.lisp:137-189); formats absent from a
+# draft's table pass VACUOUSLY (dispatcher, src/validators.lisp:364-366)
+_F_TABLES = {
+    "draft4": {**_F_COMMON, "json-pointer": _f_json_pointer},
+    "draft6": {**_F_COMMON, "json-pointer": _f_json_pointer,
+               "uri-reference": _f_uri_reference},
+    "draft7": {**_F_COMMON, "date": _f_date, "time": _f_time,
+               "json-pointer": _f_json_pointer,
+               "uri-reference": _f_uri_reference},
+    "draft2019-09": {**_F_COMMON, "date": _f_date, "time": _f_time,
+                     "duration": _f_duration,
+                     "json-pointer": _f_json_pointer,
+                     "uri-reference": _f_uri_reference},
+}
+
+FORMAT_INSTANCES = [
+    # dates
+    "2024-01-01", "2020-02-29", "2021-02-29", "2020-02-30", "2024-13-01",
+    "2024-00-10", "24-01-01", "2024-1-1", "2024-01-01T00:00:00Z",
+    # date-times
+    "2024-01-01T12:30:45Z", "2024-01-01t23:59:60z",
+    "2024-01-01 12:30:45+05:30", "2024-01-01T12:30:45.123456789Z",
+    "2024-01-01T24:00:00Z", "2024-01-01T12:60:00Z", "2024-01-01T12:30:45",
+    "2024-02-30T12:00:00Z",
+    # times
+    "12:30:45Z", "23:59:60+00:00", "12:30:45.5Z", "24:00:00Z", "1:30:45Z",
+    "12:30:45",
+    # durations
+    "P1Y", "PT1H30M", "P1DT12H", "P1W", "P", "PT", "P1H", "-P1Y",
+    "PT0.5S",
+    # emails (loose!)
+    "a@b", "user@example.com", "no-at-sign", "a@", "@b", "@",
+    # hostnames
+    "example.com", "a-b.example", "-bad.start", "bad.end-", "host_name",
+    "127.0.0.1", "a" * 63 + ".com", "b" * 64 + ".com",
+    # ipv4
+    "255.255.255.255", "256.1.1.1", "1.2.3", "01.2.3.4", "1.2.3.4.5",
+    # ipv6
+    "::1", "::", "2001:db8::8a2e:370:7334", "1:2:3:4:5:6:7:8",
+    "1:2:3:4:5:6:7:8:9", "g::1", "1::2::3",
+    # json-pointer
+    "", "/foo/bar", "/foo~01", "/foo~1bar", "foo", "/~2", "/~",
+    # regex
+    "^a+$", "a[", "a+b*", "\\d{2,4}", "(",
+    # uri / uri-reference
+    "https://example.com/x?q=1#f", "ftp://host/file", "//no-scheme",
+    "example.com/path", "/relative/path", "#frag", "a b", "back\\slash",
+    "?q=2",
+    # non-strings: format is type-gated -> vacuous pass
+    1, True, None, [], {"a": 1},
+]
+
+# formats generated per draft INCLUDING drafts whose table lacks them
+# (vacuous-dispatch coverage: e.g. `time` in draft4 passes everything)
+FORMAT_NAMES = [
+    "date", "time", "date-time", "duration", "email", "idn-email",
+    "hostname", "ipv4", "ipv6", "json-pointer", "regex", "uri",
+    "uri-reference",
+]
+
+
+def _format_label(draft: str, name: str, data) -> bool:
+    if not isinstance(data, str):
+        return True  # type-gated
+    checker = _F_TABLES[draft].get(name)
+    if checker is None:
+        return True  # absent from the draft's table: vacuous
+    return checker(data)
+
+
 def label(draft: str, desc: str, schema, data) -> bool:
     return VALIDATORS[draft](schema).is_valid(data)
 
@@ -334,6 +576,30 @@ def main() -> None:
             n += len(tests)
             groups.append({"description": desc, "schema": schema,
                            "tests": tests})
+        # $ref-with-siblings: labeled through the conjunction rewrite
+        for desc, schema, drafts in REF_SIBLING_SCHEMAS:
+            if draft not in drafts:
+                continue
+            labeler = _conjoin_ref_siblings(schema)
+            tests = [{
+                "description": f"instance {json.dumps(d, sort_keys=True)[:60]}",
+                "data": d,
+                "valid": label(draft, desc, labeler, d),
+            } for d in INSTANCES]
+            n += len(tests)
+            groups.append({"description": desc, "schema": schema,
+                           "tests": tests})
+        # format keyword: reference-parity labeler over string edges
+        for name in FORMAT_NAMES:
+            tests = [{
+                "description": f"instance {json.dumps(d, sort_keys=True)[:60]}",
+                "data": d,
+                "valid": _format_label(draft, name, d),
+            } for d in FORMAT_INSTANCES]
+            n += len(tests)
+            suffix = "" if name in _F_TABLES[draft] else " (vacuous: not in draft table)"
+            groups.append({"description": f"format {name}{suffix}",
+                           "schema": {"format": name}, "tests": tests})
         out = OUT_DIR / f"gen_{draft}.json"
         out.write_text(json.dumps(groups, indent=1, sort_keys=False))
         print(f"{out.name}: {len(groups)} groups, {n} cases")
