@@ -319,9 +319,13 @@ class Validator:
     document."""
 
     def __init__(self, schema: Any, draft: str = "draft7",
-                 registry: SpecRegistry | None = None):
+                 registry: SpecRegistry | None = None,
+                 strict_unevaluated: bool = False):
         self.schema = schema
         self.draft = draft
+        # opt-in full 2019-09 unevaluated* annotation tracking (engine
+        # extension; default False = reference parity)
+        self.strict_unevaluated = strict_unevaluated
         self.registry = registry or SpecRegistry(root=schema, draft=draft)
         self._base_stack: list[str] = [""]
         if isinstance(schema, dict):
@@ -587,12 +591,125 @@ def _k_additional_properties(v, schema, val, data, path, depth):
     return errors
 
 
+# ---- full in-place-applicator annotation tracking (round-3 DOCUMENTED
+# ENGINE EXTENSION, opt-in via Validator(strict_unevaluated=True); the
+# default stays reference parity — the reference implements
+# unevaluatedProperties only against direct `properties`,
+# src/validators.lisp:606-629, and skips unevaluatedItems entirely,
+# t/draft2019-09.lisp:83-87) ------------------------------------------
+
+def _evaluated_prop_keys(v, schema, data, depth) -> set:
+    """Keys 'evaluated' per 2019-09 annotation semantics: direct
+    properties / patternProperties / additionalProperties plus keys
+    evaluated by SUCCESSFUL in-place applicator branches (allOf always
+    — a failing branch fails the whole schema anyway — anyOf/oneOf
+    only where the branch validates, if/then/else as applied,
+    dependentSchemas for present keys, $ref targets)."""
+    if depth > 100 or not isinstance(schema, dict):
+        return set()
+    keys = set()
+    keys |= {k for k in schema.get("properties", {}) if k in data}
+    for pat in schema.get("patternProperties", {}):
+        keys |= {k for k in data if _compile_pcre(pat).search(k)}
+    if "additionalProperties" in schema:
+        keys |= set(data)
+    for sub in schema.get("allOf", []):
+        keys |= _evaluated_prop_keys(v, sub, data, depth + 1)
+    for comb in ("anyOf", "oneOf"):
+        for sub in schema.get(comb, []):
+            if not v._validate(sub, data, "", depth + 1):
+                keys |= _evaluated_prop_keys(v, sub, data, depth + 1)
+    if "if" in schema:
+        if not v._validate(schema["if"], data, "", depth + 1):
+            keys |= _evaluated_prop_keys(v, schema["if"], data, depth + 1)
+            if "then" in schema:
+                keys |= _evaluated_prop_keys(v, schema["then"], data, depth + 1)
+        elif "else" in schema:
+            keys |= _evaluated_prop_keys(v, schema["else"], data, depth + 1)
+    for k, sub in schema.get("dependentSchemas", {}).items():
+        if k in data:
+            keys |= _evaluated_prop_keys(v, sub, data, depth + 1)
+    if "$ref" in schema:
+        try:
+            keys |= _evaluated_prop_keys(
+                v, v._resolve_ref(schema["$ref"]), data, depth + 1)
+        except Exception:
+            pass
+    return keys
+
+
+def _evaluated_item_prefix(v, schema, data, depth) -> int:
+    """Largest evaluated prefix length per 2019-09 annotation
+    semantics: uniform `items` evaluates everything, tuple `items`
+    its length (all, with `additionalItems` present), merged as max
+    across successful in-place applicator branches. (`contains` does
+    NOT evaluate items in 2019-09 — that arrived in 2020-12.)"""
+    if depth > 100 or not isinstance(schema, dict):
+        return 0
+    n = 0
+    items = schema.get("items", _SENTINEL)
+    if items is not _SENTINEL:
+        if isinstance(items, list):
+            n = len(data) if "additionalItems" in schema \
+                else min(len(items), len(data))
+        else:
+            n = len(data)
+    for sub in schema.get("allOf", []):
+        n = max(n, _evaluated_item_prefix(v, sub, data, depth + 1))
+    for comb in ("anyOf", "oneOf"):
+        for sub in schema.get(comb, []):
+            if not v._validate(sub, data, "", depth + 1):
+                n = max(n, _evaluated_item_prefix(v, sub, data, depth + 1))
+    if "if" in schema:
+        if not v._validate(schema["if"], data, "", depth + 1):
+            n = max(n, _evaluated_item_prefix(v, schema["if"], data, depth + 1))
+            if "then" in schema:
+                n = max(n, _evaluated_item_prefix(v, schema["then"], data, depth + 1))
+        elif "else" in schema:
+            n = max(n, _evaluated_item_prefix(v, schema["else"], data, depth + 1))
+    if "$ref" in schema:
+        try:
+            n = max(n, _evaluated_item_prefix(
+                v, v._resolve_ref(schema["$ref"]), data, depth + 1))
+        except Exception:
+            pass
+    return n
+
+
+def _k_unevaluated_items(v, schema, val, data, path, depth):
+    """2019-09 unevaluatedItems — ONLY active in strict mode (the
+    reference skips the keyword, t/draft2019-09.lisp:83-87; in parity
+    mode it is an annotation no-op like the reference's skip list)."""
+    if not getattr(v, "strict_unevaluated", False) or not is_array(data):
+        return []
+    start = _evaluated_item_prefix(v, schema, data, depth)
+    extra = list(range(start, len(data)))
+    if val is False:
+        return _err(f"unevaluated items at {extra!r} not allowed",
+                    "unevaluatedItems", path) if extra else []
+    if val is True:
+        return []
+    errors = []
+    for i in extra:
+        subs = v._validate(val, data[i], f"{path}/{i}", depth + 1)
+        if subs:
+            errors.append(ValidationError(
+                f"unevaluated item {i} invalid", "unevaluatedItems",
+                f"{path}/{i}", subs))
+    return errors
+
+
 def _k_unevaluated_properties(v, schema, val, data, path, depth):
     """PARTIAL like the reference (src/validators.lisp:606-629): only
-    diffs against direct `properties`."""
+    diffs against direct `properties`. With
+    ``Validator(strict_unevaluated=True)`` (documented engine
+    extension), full in-place-applicator annotation tracking."""
     if not is_object(data):
         return []
-    known = set(schema.get("properties", {}).keys())
+    if getattr(v, "strict_unevaluated", False):
+        known = _evaluated_prop_keys(v, schema, data, depth)
+    else:
+        known = set(schema.get("properties", {}).keys())
     extra = [k for k in data if k not in known]
     if val is False:
         return _err(f"unevaluated properties {extra!r} not allowed",
@@ -883,6 +1000,7 @@ _DISPATCH: dict[str, dict] = {
         "dependentRequired": _k_dependent_required,
         "dependentSchemas": _k_dependent_schemas,
         "unevaluatedProperties": _k_unevaluated_properties,
+        "unevaluatedItems": _k_unevaluated_items,
         "if": _k_if,
     },
     # draft7 (:698-736)
