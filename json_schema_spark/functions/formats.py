@@ -120,9 +120,17 @@ def fmt_ipv4(col: Column) -> Column:
 
 
 def fmt_ipv6(col: Column) -> Column:
-    """IPv6 plus the reference's <=8 colon-group guard
-    (src/formats.lisp:61-65)."""
-    return col.rlike(_IPV6_RE) & (F.size(F.split(col, ":")) <= F.lit(9))
+    """IPv6 per reference semantics (src/formats.lisp:61-65): quri-
+    style parse — which ACCEPTS RFC-4291 IPv4-embedded tails like
+    ::ffff:1.2.3.4 (the official suite the reference runs unskipped
+    labels them valid) and rejects zone ids — plus the reference's
+    split(':')-parts <= 8 guard (quri PR#34 workaround). The
+    IPv4-embedded tail is handled by normalizing a ':'-preceded valid
+    dotted quad to '0:0' before the group regex; an invalid tail
+    (999.x) is left alone and fails the regex."""
+    norm = F.regexp_replace(
+        col, rf"(?<=:)({_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}$", "0:0")
+    return norm.rlike(_IPV6_RE) & (F.size(F.split(col, ":")) <= F.lit(8))
 
 
 def fmt_json_pointer(col: Column) -> Column:

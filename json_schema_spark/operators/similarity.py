@@ -106,6 +106,36 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow-batched bucket computation for ALL tables at once: one
+    numpy GEMM (batch x dim) @ (dim x tables*planes) replaces
+    tables*planes interpreted higher-order dot expressions per row —
+    the measured dense-linear-algebra rule (block-pair GEMM beats
+    Column-expression dots ~5x; at 12 tables x 6 planes the Column
+    form was ~8 s for a 2k corpus, this is sub-second). Table id is
+    folded into the high bits so tables never collide and 1-bit
+    multiprobe flips (low bits) stay within a table."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array([
+        plane
+        for t in range(n_tables)
+        for plane in _hyperplanes(dim, n_planes, seed + 7919 * t)
+    ])  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    offsets = (np.arange(n_tables, dtype=np.int64) << n_planes)
+
+    @pandas_udf("array<long>")
+    def _buckets(col: pd.Series) -> pd.Series:
+        X = np.vstack(col.to_numpy()).astype(np.float64)       # (n, dim)
+        proj = (X @ P.T) > 0                                    # (n, T*b)
+        B = (proj.reshape(len(X), n_tables, n_planes) @ weights) + offsets
+        return pd.Series(list(B))
+
+    return _buckets
+
+
 def ann_lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -126,35 +156,31 @@ def ann_lsh_topk(
     on bucket instead of crossJoin — per-query candidate work is
     n_tables * |corpus| / 2^n_planes * (1 + n_planes multiprobes).
     """
-    def bucket_for(t: int) -> tuple:
-        planes = _hyperplanes(dim, n_planes, seed + 7919 * t)
-        return (lsh_bucket(F.col(vec_col), planes) + F.lit(t << n_planes))
-
-    # two-step: materialize the (expensive, n_tables * n_planes dot
-    # products) bucket array FIRST, then explode_outer a plain column
-    # ref — InferFiltersFromGenerate would otherwise clone the whole
+    buckets = lsh_buckets_udf(dim, n_planes, n_tables, seed)
+    # two-step: materialize the bucket array FIRST (one Arrow GEMM for
+    # all tables), then explode_outer a plain column ref —
+    # InferFiltersFromGenerate would otherwise clone the generator
     # expression into a pushed-down filter (measured 6x on shingles)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         l2norm(F.col(vec_col)).alias("cnorm"),
-        F.array(*[bucket_for(t) for t in range(n_tables)]).alias("buckets"),
+        buckets(F.col(vec_col)).alias("buckets"),
     ).select("neighbor_id", "cvec", "cnorm",
              F.explode_outer("buckets").alias("bucket"))
-    qb = queries.select(
+    qe = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         l2norm(F.col(vec_col)).alias("qnorm"),
-        *[bucket_for(t).alias(f"qb{t}") for t in range(n_tables)],
-    )
-    probes_per_table = []
-    for t in range(n_tables):
-        probes_per_table.append(F.col(f"qb{t}"))
-        if multiprobe:
-            probes_per_table.extend(
-                F.col(f"qb{t}").bitwiseXOR(F.lit(1 << p))
-                for p in range(n_planes))
+        buckets(F.col(vec_col)).alias("buckets"),
+    ).select("query_id", "qvec", "qnorm",
+             F.explode_outer("buckets").alias("qb"))
+    # 1-bit flips touch only the low n_planes bits — the table id in
+    # the high bits survives, so probes stay within their table
+    probes = [F.col("qb")] + (
+        [F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        if multiprobe else [])
     q = F.broadcast(
-        qb.select("query_id", "qvec", "qnorm",
-                  F.explode(F.array(*probes_per_table)).alias("bucket"))
+        qe.select("query_id", "qvec", "qnorm",
+                  F.explode(F.array(*probes)).alias("bucket"))
     )
 
     scored = (

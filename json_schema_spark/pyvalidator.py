@@ -211,7 +211,11 @@ def _fmt_ipv4(s: str) -> bool:
 
 
 def _fmt_ipv6(s: str) -> bool:
-    if s.count(":") > 8:  # reference's extra guard (src/formats.lisp:61-65)
+    # reference's split-parts guard (src/formats.lisp:61-65, the quri
+    # PR#34 workaround): '::2:3:4:5:6:7:8' (9 parts) is rejected even
+    # though RFC-valid; zone ids ('%eth0') are rejected — quri never
+    # accepted them, while Python's ipaddress does
+    if len(s.split(":")) > 8 or "%" in s:
         return False
     try:
         ipaddress.IPv6Address(s)

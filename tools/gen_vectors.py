@@ -23,8 +23,14 @@ the parity semantics apply at any nesting depth:
 * `$ref` siblings: the reference does not suppress sibling keywords in
   draft<=7 (it skips the suite's "ref overrides any sibling keywords"
   case); schemas with $ref+siblings are simply not generated here.
-* `format`/`unevaluatedProperties` are covered by the hand-written
-  vectors (reference-parity semantics differ from jsonschema's).
+* `format` groups (round 3) are labeled by an independent
+  reimplementation of the reference's per-draft format tables (see
+  _F_TABLES below) — NOT jsonschema's RFC-strict checker;
+  `$ref`-with-siblings groups (round 3) are labeled through an
+  allOf-conjunction rewrite (_conjoin_ref_siblings) reproducing the
+  reference's siblings-conjoined semantics in draft<=7;
+  `unevaluatedProperties` stays with the hand-written vectors
+  (reference-parity partial semantics).
 
 Run: python tools/gen_vectors.py   (rewrites tests/vectors/gen_*.json)
 """
@@ -442,8 +448,8 @@ def _f_ipv4(s):  # :56-58 — dotted quad, no leading zeros
     return bool(_re.fullmatch(rf"({o}\.){{3}}{o}", s))
 
 
-def _f_ipv6(s):  # :61-65 — groups + <=8 colon-group guard
-    if s.count(":") > 8:
+def _f_ipv6(s):  # :61-65 — quri-style parse + split-parts <= 8 guard
+    if len(s.split(":")) > 8 or "%" in s:
         return False
     import ipaddress
     try:
@@ -524,7 +530,9 @@ FORMAT_INSTANCES = [
     "255.255.255.255", "256.1.1.1", "1.2.3", "01.2.3.4", "1.2.3.4.5",
     # ipv6
     "::1", "::", "2001:db8::8a2e:370:7334", "1:2:3:4:5:6:7:8",
-    "1:2:3:4:5:6:7:8:9", "g::1", "1::2::3",
+    "1:2:3:4:5:6:7:8:9", "g::1", "1::2::3", "::ffff:1.2.3.4",
+    "1:2:3:4:5:6:1.2.3.4", "fe80::1%eth0", "::2:3:4:5:6:7:8",
+    "0001::8",
     # json-pointer
     "", "/foo/bar", "/foo~01", "/foo~1bar", "foo", "/~2", "/~",
     # regex
