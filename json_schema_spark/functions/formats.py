@@ -141,8 +141,17 @@ def fmt_json_pointer(col: Column) -> Column:
 
 
 def fmt_uri(col: Column) -> Column:
-    """Parses as URI with a non-empty scheme (src/formats.lisp:108-113)."""
-    return F.try_parse_url(col, F.lit("PROTOCOL")).isNotNull()
+    """Parses as URI with a non-empty scheme (src/formats.lisp:108-113).
+
+    quri (and Python's urlsplit) accept ANY scheme-prefixed URI —
+    `mailto:a@b`, `urn:x`, even `fe80::1%eth0` (scheme 'fe80') —
+    while Spark's parse_url only handles `proto://` URLs, so the
+    check is the scheme grammar plus urlsplit's single parse failure
+    (mismatched [ ] in the authority). Stays fully codegen'd."""
+    scheme_ok = col.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    auth = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    bad_bracket = auth.contains("[") != auth.contains("]")  # XOR
+    return scheme_ok & ~bad_bracket
 
 
 def fmt_uri_reference(col: Column) -> Column:
