@@ -145,6 +145,57 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
     }
 
 
+# -- per-file Bloom filters (point-lookup pruning) --------------------------
+# At 10^12 rows, "find this url" through min/max stats alone touches
+# every file whose [min,max] straddles the key — nearly all of them for
+# high-cardinality columns. A per-file Bloom on designated columns
+# (IceTable.create(..., bloom_cols=["url"])) prunes to the files that
+# MIGHT contain the key: ~10 bits/row, ~1% false positives, never a
+# false negative (pruning stays conservative). Bits live in the
+# manifest entry here; a production catalog would put them in sidecar
+# files (Apache Iceberg's puffin format does exactly this).
+
+_BLOOM_MAX_BITS = 1 << 17  # cap manifest growth; fpp degrades, never drops rows
+_BLOOM_K = 7
+
+
+def _bloom_hashes(value: Any) -> tuple[int, int]:
+    import hashlib as _hl
+
+    d = _hl.blake2b(str(value).encode("utf-8"), digest_size=16).digest()
+    return (int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little") | 1)
+
+
+def _bloom_build(values, n_rows: int) -> dict:
+    m = max(64, min(_BLOOM_MAX_BITS, 10 * max(1, n_rows)))
+    bits = bytearray((m + 7) // 8)
+    for v in values:
+        if v is None:
+            continue
+        h1, h2 = _bloom_hashes(v)
+        for i in range(_BLOOM_K):
+            b = (h1 + i * h2) % m
+            bits[b >> 3] |= 1 << (b & 7)
+    import base64
+
+    return {"m": m, "k": _BLOOM_K,
+            "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_might_contain(bloom: dict, value: Any) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    m, k = bloom["m"], bloom["k"]
+    h1, h2 = _bloom_hashes(value)
+    for i in range(k):
+        b = (h1 + i * h2) % m
+        if not (bits[b >> 3] >> (b & 7)) & 1:
+            return False
+    return True
+
+
 def _entry_may_match(entry: dict, col: str, op: str, lit: Any) -> bool:
     """Conservative file-level predicate: False ONLY when the file
     provably contains no matching row. Unknown columns / missing stats
@@ -163,6 +214,11 @@ def _entry_may_match(entry: dict, col: str, op: str, lit: Any) -> bool:
             except (TypeError, ValueError):
                 return True
         return _cmp(op, v, v, lit)
+    bl = entry.get("blooms", {}).get(col)
+    if (bl is not None and op == "=" and isinstance(lit, (str, int))
+            and not isinstance(lit, bool)
+            and not _bloom_might_contain(bl, lit)):
+        return False  # definitely absent (Bloom has no false negatives)
     st = entry["stats"].get(col)
     if st is None:
         return True
@@ -283,6 +339,7 @@ class IceTable:
         meta = {
             "schema": schema or parent_meta["schema"],
             "partition_by": parent_meta["partition_by"],
+            "bloom_cols": parent_meta.get("bloom_cols", []),
             "current_snapshot_id": snap_id,
             "snapshots": parent_meta["snapshots"] + [{
                 "id": snap_id,
@@ -304,12 +361,19 @@ class IceTable:
     # -- public API ----------------------------------------------------------
     @classmethod
     def create(cls, spark: SparkSession, root: str, schema_ddl: str,
-               partition_by: Iterable[str] = ()) -> "IceTable":
+               partition_by: Iterable[str] = (),
+               bloom_cols: Iterable[str] = ()) -> "IceTable":
+        """``bloom_cols``: string/int columns that get a per-file Bloom
+        filter in the manifest — point-lookup (=) pruning on
+        high-cardinality keys (url at 10^12 rows) where min/max stats
+        can't discriminate. Conservative: ~1% false-positive KEEPS,
+        never a false drop."""
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=True)
         meta = {
             "schema": schema_ddl,
             "partition_by": list(partition_by),
+            "bloom_cols": list(bloom_cols),
             "current_snapshot_id": None,
             "snapshots": [],
         }
@@ -332,7 +396,8 @@ class IceTable:
                 f"columns {sorted(extra)} not in table schema — run "
                 "evolve_schema() first (additive evolution)")
 
-    def _stage(self, df: DataFrame, partition_by: list[str]) -> list[dict]:
+    def _stage(self, df: DataFrame, partition_by: list[str],
+               bloom_cols: list[str] | None = None) -> list[dict]:
         stage = os.path.join(self.root, "data", f"commit-{uuid.uuid4().hex}")
         w = df.write.mode("error")
         if partition_by:
@@ -340,7 +405,31 @@ class IceTable:
         w.parquet(stage)
         files = sorted(glob.glob(os.path.join(stage, "**", "*.parquet"),
                                  recursive=True))
-        return [_file_entry(p, tuple(partition_by)) for p in files]
+        entries = [_file_entry(p, tuple(partition_by)) for p in files]
+        # per-file Bloom filters for the table's designated point-lookup
+        # columns: one extra columnar read of just those columns per NEW
+        # file, at write time only. (This loop is driver-side — at real
+        # scale the same bloom is computed distributed: read the staged
+        # dir, groupBy(input_file_name()), fold bits in a pandas UDF —
+        # the stored artifact is identical.)
+        for e in entries:
+            blooms = {}
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(e["path"])
+            present = [c for c in (bloom_cols or [])
+                       if c in pf.schema_arrow.names]
+            if present:
+                tbl = pq.read_table(e["path"], columns=present)
+                for c in present:
+                    vals = tbl[c].to_pylist()
+                    if all(v is None or (isinstance(v, (str, int))
+                                         and not isinstance(v, bool))
+                           for v in vals):
+                        blooms[c] = _bloom_build(vals, e["rows"])
+            if blooms:
+                e["blooms"] = blooms
+        return entries
 
     def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """Stage ``df`` as immutable data files, then commit a new
@@ -353,7 +442,8 @@ class IceTable:
         exactly-once sinks)."""
         meta = self._read_meta()
         self._check_columns(df, meta)
-        new = self._stage(df, meta["partition_by"])
+        new = self._stage(df, meta["partition_by"],
+                          meta.get("bloom_cols"))
         parent_files = (self._read_manifest(meta["current_snapshot_id"], meta)
                         if meta["current_snapshot_id"] else [])
         return self._commit(
@@ -371,7 +461,8 @@ class IceTable:
         if not meta["partition_by"]:
             raise ValueError("overwrite_partitions requires a partitioned table")
         self._check_columns(df, meta)
-        new = self._stage(df, meta["partition_by"])
+        new = self._stage(df, meta["partition_by"],
+                          meta.get("bloom_cols"))
         touched = {tuple(sorted(e["partition"].items())) for e in new}
         parent_files = (self._read_manifest(meta["current_snapshot_id"], meta)
                         if meta["current_snapshot_id"] else [])
@@ -431,7 +522,8 @@ class IceTable:
             df = df.repartition(n_files, *meta["partition_by"])
         else:
             df = df.repartition(n_files)
-        new = self._stage(df, meta["partition_by"])
+        new = self._stage(df, meta["partition_by"],
+                          meta.get("bloom_cols"))
         return self._commit(
             meta, new, "replace",
             {"compacted_files": len(entries), "new_files": len(new),

@@ -604,3 +604,64 @@ def test_expire_snapshots_zero_keep_raises(spark, tmp_path, docs):
     t.append(docs)
     with pytest.raises(ValueError, match="keep_last"):
         t.expire_snapshots(keep_last=0)
+
+
+def test_bloom_point_lookup_pruning(spark, tmp_path):
+    """bloom_cols: per-file Bloom filters prune point lookups on
+    high-cardinality columns where min/max stats can't discriminate —
+    and pruning stays a pure optimization (scan(filters) == full
+    filter) including under false positives."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        # urls interleave across files after repartition(8) by hash,
+        # so every file's [min,max] straddles most lookups — stats
+        # alone cannot prune these
+        F.concat(F.lit("https://example.com/p/"),
+                 F.md5(F.col("id").cast("string"))).alias("url"),
+        F.lit("en").alias("lang"))
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA_URL,
+                        [], bloom_cols=["url"])
+    t.append(df.repartition(8))
+    assert len(t.plan_files()) == 8
+    assert all("url" in e.get("blooms", {}) for e in t.plan_files())
+
+    lookups = [r["url"] for r in
+               df.where(F.col("doc_id").isin(3, 777, 1500)).collect()]
+    pruned_counts = []
+    for u in lookups:
+        hits = t.plan_files([("url", "=", u)])
+        pruned_counts.append(len(hits))
+        # correctness: the pruned scan finds the row
+        assert t.scan([("url", "=", u)]).count() == 1
+    # each key lives in exactly 1 file; ~1% fpp makes >2 hits absurd
+    assert all(c <= 2 for c in pruned_counts), pruned_counts
+    # a key NOT in the table prunes everything (or nearly: fpp)
+    assert len(t.plan_files([("url", "=", "https://no.such/key")])) <= 1
+    # range ops ignore the bloom (stats only) — still conservative
+    assert t.scan([("url", ">=", "https://")]).count() == 2000
+
+
+SCHEMA_URL = "doc_id long, url string, lang string"
+
+
+def test_bloom_survives_maintenance_and_int_keys(spark, tmp_path):
+    """Blooms recompute for files written by overwrite/compact (same
+    _stage path) and work for integer keys."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA_URL,
+                        ["lang"], bloom_cols=["doc_id"])
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u-"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+    t.append(df.repartition(4))
+    assert t.scan([("doc_id", "=", 123)]).count() == 1
+    n_before = len(t.plan_files([("doc_id", "=", 123)]))
+    assert n_before < len(t.plan_files())
+    # overwrite partition 'en' -> new files carry fresh blooms
+    t.overwrite_partitions(df.where("lang = 'en'")
+                           .withColumn("url", F.lit("fixed")))
+    assert all("doc_id" in e.get("blooms", {}) for e in t.plan_files())
+    assert t.scan([("doc_id", "=", 123)]).count() == 1
+    t.compact()
+    assert t.scan([("doc_id", "=", 123)]).count() == 1
+    assert t.scan().count() == 500
