@@ -117,8 +117,13 @@ cached / ~4.9/s uncached (single document, single core, Common Lisp).
 _Measured {date.today().isoformat()} on a 32-core (no SMT) container,
 PySpark 4.1.2, 125 GiB RAM; input fully page-cached._
 """
-    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
+    # write to SCALING.md: BASELINE.md is hand-curated (it carries the
+    # skew-soak and batched-runner sections too) — overwriting it from
+    # here clobbered those once (round 3); merge numbers by hand
+    with open(os.path.join(HERE, "SCALING.md"), "w") as f:
         f.write(md)
+    with open(os.path.join(HERE, "scaling_last.json"), "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
