@@ -183,6 +183,23 @@ def _bloom_build(values, n_rows: int) -> dict:
             "bits": base64.b64encode(bytes(bits)).decode()}
 
 
+def _bloom_load(path: str, _cache: dict = {}) -> dict:
+    """Lazy sidecar read with a small positive cache (sidecars are
+    immutable, named by their data file). Missing/corrupt sidecar =>
+    no bloom => conservative keep."""
+    if path in _cache:
+        return _cache[path]
+    try:
+        with open(path) as f:
+            blooms = json.load(f)
+    except (OSError, ValueError):
+        blooms = {}
+    if len(_cache) > 4096:
+        _cache.clear()
+    _cache[path] = blooms
+    return blooms
+
+
 def _bloom_might_contain(bloom: dict, value: Any) -> bool:
     import base64
 
@@ -214,11 +231,11 @@ def _entry_may_match(entry: dict, col: str, op: str, lit: Any) -> bool:
             except (TypeError, ValueError):
                 return True
         return _cmp(op, v, v, lit)
-    bl = entry.get("blooms", {}).get(col)
-    if (bl is not None and op == "=" and isinstance(lit, (str, int))
-            and not isinstance(lit, bool)
-            and not _bloom_might_contain(bl, lit)):
-        return False  # definitely absent (Bloom has no false negatives)
+    if (op == "=" and isinstance(lit, (str, int))
+            and not isinstance(lit, bool) and "bloom_ref" in entry):
+        bl = _bloom_load(entry["bloom_ref"]).get(col)
+        if bl is not None and not _bloom_might_contain(bl, lit):
+            return False  # definitely absent (no false negatives)
     st = entry["stats"].get(col)
     if st is None:
         return True
@@ -428,7 +445,18 @@ class IceTable:
                            for v in vals):
                         blooms[c] = _bloom_build(vals, e["rows"])
             if blooms:
-                e["blooms"] = blooms
+                # SIDECAR, not inline (the Iceberg-puffin trade): the
+                # manifest is rewritten whole on EVERY commit, so
+                # 16 KiB of bits per file inline would turn each
+                # commit's metadata IO from O(entries) to O(data-ish).
+                # The sidecar is immutable next to its data file —
+                # written once, referenced by path, read lazily only
+                # for '=' lookups on bloom columns.
+                side = e["path"] + ".bloom.json"
+                with open(side + ".tmp", "w") as f:
+                    json.dump(blooms, f)
+                os.replace(side + ".tmp", side)
+                e["bloom_ref"] = side
         return entries
 
     def append(self, df: DataFrame, summary: dict | None = None) -> int:
@@ -563,6 +591,10 @@ class IceTable:
                 os.unlink(p)
             except FileNotFoundError:
                 pass
+            try:  # a data file's bloom sidecar dies with it
+                os.unlink(p + ".bloom.json")
+            except FileNotFoundError:
+                pass
         for s in expired:
             try:
                 os.unlink(os.path.join(self._meta_dir, s["manifest"]))
@@ -617,6 +649,10 @@ class IceTable:
             if p not in referenced and os.path.getmtime(p) < cutoff:
                 os.unlink(p)
                 deleted["data_files"] += 1
+                try:  # bloom sidecar is debris of the same commit
+                    os.unlink(p + ".bloom.json")
+                except FileNotFoundError:
+                    pass
         for pat in ("snap-*.manifest.json", "snap-*.manifest.json.tmp"):
             for p in glob.glob(os.path.join(self._meta_dir, pat)):
                 if os.path.basename(p) not in manifests \

@@ -623,7 +623,10 @@ def test_bloom_point_lookup_pruning(spark, tmp_path):
                         [], bloom_cols=["url"])
     t.append(df.repartition(8))
     assert len(t.plan_files()) == 8
-    assert all("url" in e.get("blooms", {}) for e in t.plan_files())
+    assert all("bloom_ref" in e for e in t.plan_files())
+    import json as _json
+    assert all("url" in _json.load(open(e["bloom_ref"]))
+               for e in t.plan_files())
 
     lookups = [r["url"] for r in
                df.where(F.col("doc_id").isin(3, 777, 1500)).collect()]
@@ -660,8 +663,44 @@ def test_bloom_survives_maintenance_and_int_keys(spark, tmp_path):
     # overwrite partition 'en' -> new files carry fresh blooms
     t.overwrite_partitions(df.where("lang = 'en'")
                            .withColumn("url", F.lit("fixed")))
-    assert all("doc_id" in e.get("blooms", {}) for e in t.plan_files())
+    assert all("bloom_ref" in e for e in t.plan_files())
     assert t.scan([("doc_id", "=", 123)]).count() == 1
     t.compact()
     assert t.scan([("doc_id", "=", 123)]).count() == 1
     assert t.scan().count() == 500
+
+
+def test_bloom_sidecar_lifecycle(spark, tmp_path):
+    """Bloom bits live in immutable sidecars (manifest stays small —
+    entries carry a path, not 16 KiB of bits, so per-commit metadata
+    IO stays O(entries)); sidecars die with their data file on expiry
+    and orphan cleanup, and a MISSING sidecar degrades to keep-the-
+    file, never to wrong results."""
+    import json as _json
+
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA_URL,
+                        ["lang"], bloom_cols=["url"])
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u-"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+    t.append(df)
+    entries = t.plan_files()
+    # manifest entries are small: bits are NOT inline
+    assert all("blooms" not in e for e in entries)
+    sidecars = [e["bloom_ref"] for e in entries]
+    assert all(os.path.exists(p) for p in sidecars)
+
+    # deleting a sidecar leaves results correct (conservative keep)
+    os.unlink(sidecars[0])
+    from json_schema_spark.sources.icetable import _bloom_load
+    _bloom_load.__defaults__[0].clear()  # drop the positive cache
+    assert t.scan([("url", "=", "u-3")]).count() == 1
+
+    # expiry deletes the expired files' sidecars too
+    t.overwrite_partitions(df.withColumn("url", F.concat(F.lit("v-"), F.col("doc_id"))))
+    t.expire_snapshots(keep_last=1)
+    live = {e["path"] for e in t.plan_files()}
+    for p in sidecars[1:]:
+        data = p[: -len(".bloom.json")]
+        assert os.path.exists(p) == (data in live)
