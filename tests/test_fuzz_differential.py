@@ -89,3 +89,50 @@ def test_engine_matches_parity_oracle_explore(data, pick):
     draft, desc = _KEYS[pick]
     assert (_ENGINE[(draft, desc)].is_valid(data)
             == _ORACLE[(draft, desc)].is_valid(data))
+
+
+# --- strict unevaluated* mode vs stock jsonschema (round 3) -----------------
+# In strict mode the engine claims SPEC 2019-09 annotation semantics for
+# unevaluatedProperties/unevaluatedItems — so the differential oracle is
+# STOCK Draft201909Validator (no parity extension needed: these schemas
+# avoid the documented parity divergences).
+from jsonschema import Draft201909Validator  # noqa: E402
+
+_STRICT_SCHEMAS = [
+    {"properties": {"a": {}}, "patternProperties": {"^b": {}},
+     "unevaluatedProperties": False},
+    {"allOf": [{"properties": {"x": {"type": "integer"}}},
+               {"patternProperties": {"^y": {}}}],
+     "unevaluatedProperties": {"type": "string"}},
+    {"anyOf": [{"properties": {"a": {}}, "required": ["a"]},
+               {"properties": {"b": {}}, "required": ["b"]}],
+     "unevaluatedProperties": False},
+    {"if": {"required": ["a"]}, "then": {"properties": {"a": {}, "b": {}}},
+     "else": {"properties": {"c": {}}}, "unevaluatedProperties": False},
+    {"$defs": {"base": {"properties": {"a": {}}}},
+     "$ref": "#/$defs/base", "unevaluatedProperties": False},
+    {"dependentSchemas": {"a": {"properties": {"b": {}}}},
+     "properties": {"a": {}}, "unevaluatedProperties": False},
+    {"items": [{"type": "integer"}], "unevaluatedItems": False},
+    {"items": [{}], "additionalItems": {"type": "integer"},
+     "unevaluatedItems": False},
+    {"allOf": [{"items": [{}, {}]}], "unevaluatedItems": {"type": "string"}},
+    {"anyOf": [{"items": [{}, {}], "minItems": 2}, {"items": [{}]}],
+     "unevaluatedItems": False},
+    {"if": {"minItems": 2}, "then": {"items": [{}, {}]},
+     "else": {"items": [{}]}, "unevaluatedItems": False},
+]
+_STRICT_ENGINE = [Validator(s, draft="draft2019-09", strict_unevaluated=True)
+                  for s in _STRICT_SCHEMAS]
+_STRICT_ORACLE = [Draft201909Validator(s) for s in _STRICT_SCHEMAS]
+
+
+@settings(max_examples=500, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=_json,
+       pick=st.integers(min_value=0, max_value=len(_STRICT_SCHEMAS) - 1))
+def test_strict_unevaluated_matches_spec_oracle(data, pick):
+    got = _STRICT_ENGINE[pick].is_valid(data)
+    want = _STRICT_ORACLE[pick].is_valid(data)
+    assert got == want, (
+        f"{_STRICT_SCHEMAS[pick]}: engine={got} oracle={want} data={data!r}")
