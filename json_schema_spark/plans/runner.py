@@ -131,6 +131,7 @@ class ValidationRunner:
         max_partitions: int | None = None,
         slice_factory=None,
         batch_size: int = 1,
+        batch_slice_factory=None,
     ) -> list[str]:
         """Validate pending partitions; returns the partitions processed.
 
@@ -148,17 +149,21 @@ class ValidationRunner:
         overwrite write, so end-to-end latency is O(P / K) sequential
         jobs instead of O(P) — while the manifest stays per-partition
         (the checkpoint/resume granularity is unchanged; a crash mid-
-        chunk redoes only that chunk, idempotently). Incompatible with
-        ``slice_factory`` (which is inherently per-partition)."""
+        chunk redoes only that chunk, idempotently). A caller whose
+        slices need a custom read (the snapshot-incremental path's
+        pruned source scans) supplies ``batch_slice_factory(parts) ->
+        DataFrame`` as the chunk-level twin of ``slice_factory``."""
         compiled = self._compile(df)
         pending = self.pending_partitions(df, partition_col)
         if max_partitions is not None:
             pending = pending[:max_partitions]
 
-        if batch_size > 1 and slice_factory is None:
+        if batch_size > 1 and (slice_factory is None
+                               or batch_slice_factory is not None):
             for i in range(0, len(pending), batch_size):
                 self._run_chunk(df, compiled, partition_col,
-                                pending[i:i + batch_size])
+                                pending[i:i + batch_size],
+                                batch_slice_factory)
             return pending
 
         for part in pending:
@@ -225,13 +230,18 @@ class ValidationRunner:
         return pending
 
     def _run_chunk(self, df: DataFrame, compiled: CompiledSpec,
-                   partition_col: str, chunk: list[str]) -> None:
+                   partition_col: str, chunk: list[str],
+                   batch_slice_factory=None) -> None:
         """One Spark job for K partitions: grouped verdict agg + one
         dynamic-partition-overwrite violations write. Produces the
         exact same files/rows the serial path writes per partition."""
         t0 = time.monotonic()
+        base = (batch_slice_factory(list(chunk))
+                if batch_slice_factory is not None
+                else df.where(
+                    F.col(partition_col).cast("string").isin(list(chunk))))
         slice_df = (
-            df.where(F.col(partition_col).cast("string").isin(list(chunk)))
+            base
             .withColumn("__file", F.input_file_name())
             .withColumn("__part", F.col(partition_col).cast("string"))
             .cache()
@@ -299,6 +309,7 @@ class ValidationRunner:
         source,  # IceTable
         partition_col: str = "warc_day",
         max_partitions: int | None = None,
+        batch_size: int = 1,
     ) -> dict:
         """Continuous validation against an IceTable source: validate
         ONLY the rows in data files added since the last validated
@@ -362,6 +373,9 @@ class ValidationRunner:
                 max_partitions=max_partitions,
                 slice_factory=lambda p: source.scan(
                     [(partition_col, "=", p)], snapshot_id=cur),
+                batch_size=batch_size,
+                batch_slice_factory=lambda parts: source.scan(
+                    [(partition_col, "in", list(parts))], snapshot_id=cur),
             )
             drained = not self.pending_partitions(df, partition_col)
         finally:

@@ -704,3 +704,34 @@ def test_bloom_sidecar_lifecycle(spark, tmp_path):
     for p in sidecars[1:]:
         data = p[: -len(".bloom.json")]
         assert os.path.exists(p) == (data in live)
+
+
+def test_runner_snapshot_increment_batched(spark, webpages, tmp_path):
+    """Batched snapshot-incremental: batch_size=K reads each chunk's
+    FULL current partition content through ONE pruned multi-partition
+    source scan ('in' filter) and must produce verdicts identical to
+    the serial incremental path — including re-validated late-arrival
+    partitions."""
+    from json_schema_spark.plans.runner import ValidationRunner
+    from tests.test_compiler import WEB_SPEC
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in webpages.schema.fields)
+    results = {}
+    for mode, bs in (("serial", 1), ("batched", 3)):
+        src = IceTable.create(spark, str(tmp_path / f"src_{mode}"), ddl,
+                              ["warc_day"])
+        first = webpages.limit(1500)
+        src.append(first)
+        r = ValidationRunner(spark, WEB_SPEC,
+                             str(tmp_path / f"res_{mode}"), run_id="inc",
+                             use_icetable=True)
+        r.run_snapshot_increment(src, batch_size=bs)
+        src.append(webpages.limit(1800).subtract(first))  # late arrivals
+        out = r.run_snapshot_increment(src, batch_size=bs)
+        assert len(out["partitions"]) > 0
+        results[mode] = {
+            (x["partition"], x["check"]):
+                (x["pass"], x["n_rows"], x["n_violations"])
+            for x in r.verdicts().collect()}
+    assert results["serial"] == results["batched"]
