@@ -11,8 +11,11 @@ that a real Iceberg catalog drops in behind the same four calls
 (``create / append / overwrite_partitions / scan``):
 
     <root>/data/commit-<uuid>/[part=.../]*.parquet   immutable data files
-    <root>/metadata/snap-<N>.manifest.json           per-snapshot file list
-                                                     + per-file column stats
+    <root>/metadata/snap-<N>-<nonce>.manifest.json   immutable manifest
+                                                     (file list + stats);
+                                                     snapshots hold LISTS
+                                                     of these, reused
+                                                     across commits
     <root>/metadata/v<N>.metadata.json               schema, partition spec,
                                                      snapshot log, current id
     <root>/metadata/version-hint.text                current version pointer
@@ -34,12 +37,15 @@ Correctness properties (all pytest-pinned in tests/test_icetable.py):
   before Spark ever lists them. At 10^12 docs this is the difference
   between touching 3 of 100k files and listing all of them.
 
-Scale notes: manifests hold one JSON object per data file — at real
-scale Iceberg splits manifests and adds a manifest list; this seam
-keeps one manifest per snapshot (bounded: metadata read is one file
-per scan) and documents the split as the catalog's job. Stats are
-collected footer-only, so ``append`` costs one Spark write + one
-driver-side footer sweep of the NEW files only — never a re-scan.
+Scale notes (round 3): snapshots reference a **manifest LIST** of
+immutable manifest files — an append reuses every parent manifest by
+name and writes ONE new manifest holding only the new entries, so
+commit metadata IO is O(new files + #manifests), never O(table
+files); a dynamic-partition overwrite rewrites only the manifests
+that contain a touched partition. Stats are collected footer-only,
+so ``append`` costs one Spark write + one driver-side footer sweep of
+the NEW files only — never a re-scan. Designated ``bloom_cols`` get
+per-file Bloom sidecars (puffin-style) for point-lookup pruning.
 """
 
 from __future__ import annotations
@@ -151,9 +157,9 @@ def _file_entry(path: str, partition_by: tuple[str, ...]) -> dict:
 # high-cardinality columns. A per-file Bloom on designated columns
 # (IceTable.create(..., bloom_cols=["url"])) prunes to the files that
 # MIGHT contain the key: ~10 bits/row, ~1% false positives, never a
-# false negative (pruning stays conservative). Bits live in the
-# manifest entry here; a production catalog would put them in sidecar
-# files (Apache Iceberg's puffin format does exactly this).
+# false negative (pruning stays conservative). Bits live in immutable
+# sidecar files next to each data file (the Iceberg-puffin shape);
+# manifest entries carry only the sidecar path.
 
 _BLOOM_MAX_BITS = 1 << 17  # cap manifest growth; fpp degrades, never drops rows
 _BLOOM_K = 7
@@ -307,6 +313,14 @@ class IceTable:
         meta["_version"] = v
         return meta
 
+    @staticmethod
+    def _snap_manifests(snap_entry: dict) -> list[str]:
+        """A snapshot's manifest names (legacy single-'manifest'
+        entries read as a one-element list)."""
+        if "manifests" in snap_entry:
+            return list(snap_entry["manifests"])
+        return [snap_entry["manifest"]]
+
     def _read_manifest(self, snapshot_id: int, meta: dict | None = None) -> list[dict]:
         meta = meta if meta is not None else self._read_meta()
         entry = next((s for s in meta["snapshots"] if s["id"] == snapshot_id),
@@ -315,8 +329,11 @@ class IceTable:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} is not in the table's history "
                 "(expired or never existed)")
-        with open(os.path.join(self._meta_dir, entry["manifest"])) as f:
-            return json.load(f)["files"]
+        files: list[dict] = []
+        for name in self._snap_manifests(entry):
+            with open(os.path.join(self._meta_dir, name)) as f:
+                files.extend(json.load(f)["files"])
+        return files
 
     def _write_next_metadata(self, parent_meta: dict, meta: dict):
         """Write the next metadata version under the O_EXCL lock and
@@ -336,42 +353,82 @@ class IceTable:
             f.write(str(next_v))
         os.replace(tmp, os.path.join(self._meta_dir, "version-hint.text"))
 
-    def _commit(self, parent_meta: dict, files: list[dict], op: str,
-                summary: dict, schema: str | None = None) -> int:
-        """Write manifest + next metadata version; the O_EXCL create of
-        the metadata file is the atomic optimistic lock. Each snapshot
-        records the schema in force when it committed (time-travel
-        reads see the schema of their era, the Iceberg schema-id
-        contract)."""
-        snap_id = (parent_meta.get("current_snapshot_id") or 0) + 1
+    def _write_manifest(self, snap_id: int, files: list[dict]) -> str:
         # manifest names carry a commit-attempt nonce: two racers on
         # the same parent NEVER collide on a manifest path, so a loser
-        # can clean up its OWN manifest without touching the winner's
-        man_name = f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.manifest.json"
-        man_path = os.path.join(self._meta_dir, man_name)
-        with open(man_path + ".tmp", "w") as f:
+        # can clean up its OWN manifests without touching the winner's
+        name = f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.manifest.json"
+        path = os.path.join(self._meta_dir, name)
+        with open(path + ".tmp", "w") as f:
             json.dump({"snapshot_id": snap_id, "files": files}, f)
-        os.replace(man_path + ".tmp", man_path)
+        os.replace(path + ".tmp", path)
+        return name
 
-        meta = {
-            "schema": schema or parent_meta["schema"],
-            "partition_by": parent_meta["partition_by"],
-            "bloom_cols": parent_meta.get("bloom_cols", []),
-            "current_snapshot_id": snap_id,
-            "snapshots": parent_meta["snapshots"] + [{
-                "id": snap_id,
-                "parent_id": parent_meta.get("current_snapshot_id"),
-                "operation": op,
-                "manifest": man_name,
-                "schema": schema or parent_meta["schema"],
-                "summary": summary,
-                "timestamp": datetime.now(timezone.utc).isoformat(),
-            }],
-        }
+    def _commit(self, parent_meta: dict, op: str, summary: dict,
+                schema: str | None = None, *,
+                new_entries: list[dict] = (),
+                drop_pred=None, replace_all: bool = False) -> int:
+        """Manifest-LIST commit (the Iceberg metadata-scale shape):
+        a snapshot references a list of immutable manifest files.
+
+        * ``append`` reuses every parent manifest BY NAME and writes
+          one new manifest holding only the new entries — metadata IO
+          is O(new files + #manifests), never O(table files).
+        * ``drop_pred`` (dynamic-partition overwrite) rewrites ONLY
+          the parent manifests that actually contain dropped entries;
+          untouched manifests are reused by name.
+        * ``replace_all`` (compaction) starts from an empty list.
+
+        The O_EXCL create of the next metadata version remains the
+        atomic optimistic lock; each snapshot records the schema in
+        force when it committed (time-travel reads see the schema of
+        their era, the Iceberg schema-id contract)."""
+        snap_id = (parent_meta.get("current_snapshot_id") or 0) + 1
+        created: list[str] = []
+        manifests: list[str] = []
         try:
+            if not replace_all and parent_meta.get("current_snapshot_id"):
+                parent_snap = next(
+                    s for s in parent_meta["snapshots"]
+                    if s["id"] == parent_meta["current_snapshot_id"])
+                for name in self._snap_manifests(parent_snap):
+                    if drop_pred is None:
+                        manifests.append(name)
+                        continue
+                    with open(os.path.join(self._meta_dir, name)) as f:
+                        entries = json.load(f)["files"]
+                    kept = [e for e in entries if not drop_pred(e)]
+                    if len(kept) == len(entries):
+                        manifests.append(name)  # untouched: reuse
+                    elif kept:
+                        nm = self._write_manifest(snap_id, kept)
+                        created.append(nm)
+                        manifests.append(nm)
+                    # fully-dropped manifests simply disappear
+            if new_entries:
+                nm = self._write_manifest(snap_id, list(new_entries))
+                created.append(nm)
+                manifests.append(nm)
+
+            meta = {
+                "schema": schema or parent_meta["schema"],
+                "partition_by": parent_meta["partition_by"],
+                "bloom_cols": parent_meta.get("bloom_cols", []),
+                "current_snapshot_id": snap_id,
+                "snapshots": parent_meta["snapshots"] + [{
+                    "id": snap_id,
+                    "parent_id": parent_meta.get("current_snapshot_id"),
+                    "operation": op,
+                    "manifests": manifests,
+                    "schema": schema or parent_meta["schema"],
+                    "summary": summary,
+                    "timestamp": datetime.now(timezone.utc).isoformat(),
+                }],
+            }
             self._write_next_metadata(parent_meta, meta)
         except CommitConflict:
-            os.unlink(man_path)  # our own uncommitted manifest only
+            for nm in created:  # our own uncommitted manifests only
+                os.unlink(os.path.join(self._meta_dir, nm))
             raise
         return snap_id
 
@@ -472,13 +529,14 @@ class IceTable:
         self._check_columns(df, meta)
         new = self._stage(df, meta["partition_by"],
                           meta.get("bloom_cols"))
-        parent_files = (self._read_manifest(meta["current_snapshot_id"], meta)
-                        if meta["current_snapshot_id"] else [])
+        # manifest-list append: parent manifests reused by NAME, one new
+        # manifest for the new entries — metadata IO O(new), not O(table)
         return self._commit(
-            meta, parent_files + new, "append",
+            meta, "append",
             {"added_files": len(new),
              "added_rows": sum(e["rows"] for e in new),
              **(summary or {})},
+            new_entries=new,
         )
 
     def overwrite_partitions(self, df: DataFrame) -> int:
@@ -492,13 +550,14 @@ class IceTable:
         new = self._stage(df, meta["partition_by"],
                           meta.get("bloom_cols"))
         touched = {tuple(sorted(e["partition"].items())) for e in new}
-        parent_files = (self._read_manifest(meta["current_snapshot_id"], meta)
-                        if meta["current_snapshot_id"] else [])
-        kept = [e for e in parent_files
-                if tuple(sorted(e["partition"].items())) not in touched]
+        # only parent manifests CONTAINING a touched partition get
+        # rewritten (filtered); the rest are reused by name
         return self._commit(
-            meta, kept + new, "overwrite",
+            meta, "overwrite",
             {"replaced_partitions": len(touched), "added_files": len(new)},
+            new_entries=new,
+            drop_pred=lambda e:
+                tuple(sorted(e["partition"].items())) in touched,
         )
 
     def evolve_schema(self, new_schema_ddl: str) -> int:
@@ -522,9 +581,8 @@ class IceTable:
             raise ValueError(
                 f"schema evolution is additive-only; cannot change the "
                 f"type of existing columns {sorted(retyped)}")
-        files = (self._read_manifest(meta["current_snapshot_id"], meta)
-                 if meta["current_snapshot_id"] else [])
-        return self._commit(meta, files, "evolve-schema",
+        # same files, wider schema: every parent manifest reused verbatim
+        return self._commit(meta, "evolve-schema",
                             {"added_columns": sorted(set(new) - set(old))},
                             schema=new_schema_ddl)
 
@@ -553,9 +611,10 @@ class IceTable:
         new = self._stage(df, meta["partition_by"],
                           meta.get("bloom_cols"))
         return self._commit(
-            meta, new, "replace",
+            meta, "replace",
             {"compacted_files": len(entries), "new_files": len(new),
              "rows": sum(e["rows"] for e in new)},
+            new_entries=new, replace_all=True,
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -595,11 +654,19 @@ class IceTable:
                 os.unlink(p + ".bloom.json")
             except FileNotFoundError:
                 pass
+        kept_manifests: set[str] = set()
+        for s in kept:
+            kept_manifests.update(self._snap_manifests(s))
         for s in expired:
-            try:
-                os.unlink(os.path.join(self._meta_dir, s["manifest"]))
-            except FileNotFoundError:
-                pass
+            # manifests may be SHARED with kept snapshots (reuse-by-
+            # name): delete only the ones no kept snapshot references
+            for name in self._snap_manifests(s):
+                if name in kept_manifests:
+                    continue
+                try:
+                    os.unlink(os.path.join(self._meta_dir, name))
+                except FileNotFoundError:
+                    pass
         return {"expired": len(expired), "deleted_files": len(doomed)}
 
     def scan_added_since(self, snapshot_id: int,
@@ -639,7 +706,7 @@ class IceTable:
         referenced: set[str] = set()
         manifests: set[str] = set()
         for s in meta["snapshots"]:
-            manifests.add(s["manifest"])
+            manifests.update(self._snap_manifests(s))
             referenced |= {e["path"]
                            for e in self._read_manifest(s["id"], meta)}
         cutoff = _time.time() - older_than_s

@@ -735,3 +735,61 @@ def test_runner_snapshot_increment_batched(spark, webpages, tmp_path):
                 (x["pass"], x["n_rows"], x["n_violations"])
             for x in r.verdicts().collect()}
     assert results["serial"] == results["batched"]
+
+
+def test_manifest_list_reuse(spark, tmp_path, docs):
+    """Manifest-LIST commits: append reuses every parent manifest BY
+    NAME and adds exactly one new manifest (metadata IO O(new), not
+    O(table)); dynamic-partition overwrite rewrites only manifests
+    containing a touched partition; compaction starts fresh."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    t.append(docs.where("doc_id < 30"))
+    t.append(docs.where("doc_id >= 30 and doc_id < 60"))
+    t.append(docs.where("doc_id >= 60"))
+    snaps = t.snapshots()
+    m1 = t._snap_manifests(snaps[0])
+    m2 = t._snap_manifests(snaps[1])
+    m3 = t._snap_manifests(snaps[2])
+    # each append = parent's manifests reused verbatim + exactly 1 new
+    assert m2[:len(m1)] == m1 and len(m2) == len(m1) + 1
+    assert m3[:len(m2)] == m2 and len(m3) == len(m2) + 1
+    assert t.scan().count() == 100
+
+    # overwrite of lang=en: every parent manifest contains some 'en'
+    # files here, so all are rewritten-filtered + 1 new; but the KEY
+    # property is correctness + no shared-manifest corruption: older
+    # snapshots still read their original manifests untouched
+    t.overwrite_partitions(docs.where("lang = 'en'")
+                           .withColumn("url", F.lit("fixed")))
+    assert t.scan().count() == 100
+    assert t.scan(snapshot_id=snaps[1]["id"]).count() == 60  # time travel intact
+
+    # expiry deletes only manifests no kept snapshot references
+    t.expire_snapshots(keep_last=1)
+    for name in t._snap_manifests(t.snapshots()[-1]):
+        assert os.path.exists(os.path.join(t._meta_dir, name))
+    assert t.scan().count() == 100
+    t.remove_orphan_files(older_than_s=0.0)
+    assert t.scan().count() == 100
+
+
+def test_manifest_list_partial_overwrite_rewrites_minimum(spark, tmp_path):
+    """A partition-grouped layout: overwriting ONE partition reuses the
+    other partitions' manifests by name (no rewrite)."""
+    t = IceTable.create(spark, str(tmp_path / "t"), SCHEMA, ["lang"])
+    mk = lambda lang, lo: spark.range(lo, lo + 10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u-"), F.col("id")).alias("url"),
+        F.lit(lang).alias("lang"))
+    t.append(mk("en", 0))    # manifest A: en only
+    t.append(mk("de", 100))  # manifest B: de only
+    before = t._snap_manifests(t.snapshots()[-1])
+    t.overwrite_partitions(mk("de", 200))
+    after = t._snap_manifests(t.snapshots()[-1])
+    # the en-only manifest survives BY NAME; the de manifest is gone
+    # (fully dropped), replaced by the new de manifest
+    assert before[0] in after and before[1] not in after
+    assert len(after) == 2
+    got = {(r["lang"], r["doc_id"]) for r in t.scan().collect()}
+    assert got == ({("en", i) for i in range(10)}
+                   | {("de", i) for i in range(200, 210)})
