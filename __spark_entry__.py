@@ -1574,7 +1574,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, lang FROM rated WHERE bucket < keep_below
         """,
-        "url_canonicalize": """
+        "url_canonicalize": r"""
             WITH u0 AS (
               SELECT doc_id,
                      'HTTPS://ExAmple.COM:443/' || lang || '/doc/' ||
