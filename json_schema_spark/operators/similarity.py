@@ -128,10 +128,17 @@ def lsh_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
 
     @pandas_udf("array<long>")
     def _buckets(col: pd.Series) -> pd.Series:
-        X = np.vstack(col.to_numpy()).astype(np.float64)       # (n, dim)
-        proj = (X @ P.T) > 0                                    # (n, T*b)
-        B = (proj.reshape(len(X), n_tables, n_planes) @ weights) + offsets
-        return pd.Series(list(B))
+        # NULL vectors -> NULL bucket array (explode_outer then emits
+        # one NULL-bucket row, which no equi-join ever matches)
+        mask = col.notna().to_numpy()
+        vals: list = [None] * len(col)
+        if mask.any():
+            X = np.vstack(col[mask].to_numpy()).astype(np.float64)
+            proj = (X @ P.T) > 0                                # (n, T*b)
+            B = (proj.reshape(len(X), n_tables, n_planes) @ weights) + offsets
+            for i, b in zip(np.flatnonzero(mask), B):
+                vals[i] = b
+        return pd.Series(vals, dtype=object)
 
     return _buckets
 

@@ -405,3 +405,17 @@ def test_minhash_max_bucket_caps_hot_buckets(webpages, spark):
                                      bands=16, max_bucket=10_000)
     assert {(r["doc_a"], r["doc_b"]) for r in nocap.collect()} == u
     docs.unpersist()
+
+
+def test_ann_lsh_null_embeddings_survive(spark, embeddings):
+    """NULL embedding rows must not crash the GEMM bucket UDF and must
+    simply produce no candidates (NULL bucket never equi-joins)."""
+    withnull = embeddings.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(99999, None)],
+                              "vec_id long, embedding array<float>"))
+    queries = withnull.where(F.col("vec_id") < 3)
+    got = similarity.ann_lsh_topk(withnull, queries, k=5,
+                                  n_planes=6, n_tables=4)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["neighbor_id"] != 99999 for r in rows)
