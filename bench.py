@@ -129,29 +129,62 @@ def main() -> None:
     pass_res = json.loads(out.stdout.strip().splitlines()[-1])
     docs_per_sec, wall = pass_res["docs_per_sec"], pass_res["wall_s"]
 
-    # fold in the latest skew-soak results if BENCH/skew.py has run
-    # (straggler-balance evidence for the mitigated dedup family)
-    skew = None
-    skew_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH", "skew_results.json")
+    # summarize the latest skew-soak (BENCH/skew.py) as TWO scalars —
+    # the full report stays in BENCH/skew_results.json. VERDICT r3:
+    # inlining the 7 KB blob pushed the output line past the driver's
+    # 2000-char tail capture and made BENCH_r03.json unparseable.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    skew_scalars = {}
+    skew_path = os.path.join(bench_dir, "skew_results.json")
     if os.path.exists(skew_path):
         with open(skew_path) as f:
             skew = json.load(f)
+        skew_scalars = {
+            "skew_worst_ratio": skew.get("worst_ratio_mitigated_jobs"),
+            "skew_pass_4x": skew.get("pass_no_straggler_4x"),
+        }
+    # same two-scalar treatment for the 1M-vector ANN soak
+    # (BENCH/ann_scale.py; full report in BENCH/ann_scale.json)
+    ann_path = os.path.join(bench_dir, "ann_scale.json")
+    if os.path.exists(ann_path):
+        with open(ann_path) as f:
+            ann = json.load(f)
+        skew_scalars["ann1m_recall_lsh"] = ann["lsh"]["recall"]
+        skew_scalars["ann1m_recall_ivf"] = ann["ivf"]["recall"]
 
-    print(json.dumps({
-        "metric": "headline query wall time (sf) + constraint-pass docs/sec",
+    line = {
+        "metric": "query wall sec (sf) + constraint-pass docs/sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "query_spread": spread,
-        "bench_reps": reps,
         "sf": sf_dir,
         "docs_per_sec": round(docs_per_sec),
         "n_docs": n_docs,
         "constraint_pass_wall_s": round(wall, 3),
         "cpus": int(cpus),
-        **({"skew_soak": skew} if skew else {}),
-    }))
+        **skew_scalars,
+    }
+    # full detail (per-query spread etc.) goes to a side artifact, NOT
+    # the contract line
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+        json.dump({**line, "query_spread": spread, "bench_reps": reps},
+                  f, indent=1)
+
+    # HARD GUARD: the driver captures only the last 2000 chars of
+    # stdout and json-parses the final line — a line longer than that
+    # gets its head truncated and the round loses its bench artifact.
+    # Degrade gracefully: coarser rounding, then drop optional fields.
+    out_s = json.dumps(line)
+    if len(out_s) > 1900:
+        line["queries"] = {k: round(v, 2) for k, v in times.items()}
+        out_s = json.dumps(line)
+    if len(out_s) > 1900:
+        for k in ("skew_worst_ratio", "skew_pass_4x",
+                  "constraint_pass_wall_s", "metric"):
+            line.pop(k, None)
+        out_s = json.dumps(line)
+    print(out_s)
 
 
 if __name__ == "__main__":

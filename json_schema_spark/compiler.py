@@ -200,6 +200,7 @@ DRAFT_KEYWORDS: dict[str, frozenset] = {
     # 2019-09; the reference's table (:657-695) drops it, so we do too.
     "draft2019-09": (_CORE_KEYWORDS - {"dependencies"}) | _DRAFT6_PLUS | {
         "if", "dependentRequired", "dependentSchemas", "unevaluatedProperties",
+        "unevaluatedItems",  # strict-mode only; parity default = no-op
     },
 }
 DRAFT_KEYWORDS["draft3"] = _CORE_KEYWORDS
@@ -598,9 +599,30 @@ def _compile_keyword(
     if keyword == "unevaluatedProperties":
         # 2019-09, PARTIAL in the reference — only diffs against direct
         # `properties` (src/validators.lisp:606-629; suite skipped
-        # t/draft2019-09.lisp:83-87). We match that partial behavior.
+        # t/draft2019-09.lisp:83-87). We match that partial behavior by
+        # default; with spec-level `"strict_unevaluated": true` (the
+        # r3 DOCUMENTED ENGINE EXTENSION, mirror of
+        # pyvalidator._k_unevaluated_properties) the evaluated-key set
+        # is computed with full in-place-applicator annotation
+        # tracking, entirely as Column expressions — still one codegen
+        # pass, no UDF.
         if not isinstance(dt, T.MapType):
             return None
+
+        if _strict_unevaluated(spec):
+            ev = _evaluated_keys_fn(schema, dt, draft, spec)
+
+            def unev_strict(c: Column) -> Column:
+                ks = F.array_except(F.map_keys(c), ev(c))
+                if val is False:
+                    return F.size(ks) == F.lit(0)
+                if val is True:
+                    return F.lit(True)
+                p = _schema_pred(val, dt.valueType, draft, spec)
+                return F.forall(ks, lambda k: p(F.element_at(c, k)))
+
+            return unev_strict
+
         known = list(schema.get("properties", {}).keys())
 
         def unev(c: Column) -> Column:
@@ -611,6 +633,24 @@ def _compile_keyword(
             return F.forall(ks, lambda k: p(F.element_at(c, k)))
 
         return unev
+
+    if keyword == "unevaluatedItems":
+        # 2019-09 unevaluatedItems — the reference SKIPS the keyword
+        # (t/draft2019-09.lisp:83-87), so parity default is a no-op;
+        # strict mode (same opt-in flag) applies `val` to every item
+        # past the evaluated prefix, mirror of
+        # pyvalidator._k_unevaluated_items.
+        if not isinstance(dt, T.ArrayType) or not _strict_unevaluated(spec):
+            return None
+        if val is True:
+            return None
+        prefix = _evaluated_item_prefix_fn(schema, dt, draft, spec)
+        if val is False:
+            return lambda c: F.size(c) <= prefix(c)
+        p = _schema_pred(val, dt.elementType, draft, spec)
+        return lambda c: F.forall(
+            F.slice(c, prefix(c) + F.lit(1),
+                    F.greatest(F.size(c) - prefix(c), F.lit(0))), p)
 
     # ---- combinators ---------------------------------------------------
     if keyword == "allOf":  # :267-273
@@ -676,6 +716,127 @@ def _fold_or(cols: list[Column]) -> Column:
     for c in cols[1:]:
         acc = acc | c
     return acc
+
+
+def _strict_unevaluated(spec: ConstraintSpec) -> bool:
+    """Spec-level opt-in for full 2019-09 annotation tracking
+    (`{"strict_unevaluated": true, ...}`) — the compiler-path twin of
+    ``Validator(strict_unevaluated=True)``. Default off = reference
+    parity (partial unevaluatedProperties, unevaluatedItems skipped)."""
+    return bool(spec.raw.get("strict_unevaluated"))
+
+
+def _empty_str_array() -> Column:
+    return F.array().cast("array<string>")
+
+
+def _evaluated_keys_fn(schema: Any, dt: T.MapType, draft: str,
+                       spec: ConstraintSpec, depth: int = 0) -> PredFn:
+    """Column twin of pyvalidator._evaluated_prop_keys: an
+    array<string> of keys 'evaluated' per 2019-09 annotation semantics
+    — direct properties / patternProperties / additionalProperties
+    plus keys evaluated by SUCCESSFUL in-place applicator branches
+    (allOf always, anyOf/oneOf only where the branch validates for
+    THIS row, if/then/else as applied, dependentSchemas for present
+    keys, $ref targets). Branch success is itself a compiled predicate
+    so the whole set stays one codegen'd expression."""
+    if depth > 50 or not isinstance(schema, dict):
+        return lambda c: _empty_str_array()
+    parts: list[PredFn] = []
+    statics = list(schema.get("properties", {}).keys())
+    if statics:
+        parts.append(lambda c: F.array(*[F.lit(k) for k in statics]))
+    for pat in schema.get("patternProperties", {}):
+        jpat = translate_regex(pat)
+        parts.append(lambda c, jp=jpat: F.filter(
+            F.map_keys(c), lambda k: k.rlike(jp)))
+    if "additionalProperties" in schema:
+        parts.append(lambda c: F.map_keys(c))
+    for sub in schema.get("allOf", []):
+        parts.append(_evaluated_keys_fn(sub, dt, draft, spec, depth + 1))
+    for comb in ("anyOf", "oneOf"):
+        for sub in schema.get(comb, []):
+            ok = _schema_pred(sub, dt, draft, spec)
+            ek = _evaluated_keys_fn(sub, dt, draft, spec, depth + 1)
+            parts.append(lambda c, ok=ok, ek=ek: F.when(
+                ok(c), ek(c)).otherwise(_empty_str_array()))
+    if "if" in schema:
+        ip = _schema_pred(schema["if"], dt, draft, spec)
+        ik = _evaluated_keys_fn(schema["if"], dt, draft, spec, depth + 1)
+        tk = (_evaluated_keys_fn(schema["then"], dt, draft, spec, depth + 1)
+              if "then" in schema else None)
+        ek = (_evaluated_keys_fn(schema["else"], dt, draft, spec, depth + 1)
+              if "else" in schema else None)
+
+        def ite_keys(c: Column, ip=ip, ik=ik, tk=tk, ek=ek) -> Column:
+            then_arr = F.concat(ik(c), tk(c)) if tk is not None else ik(c)
+            else_arr = ek(c) if ek is not None else _empty_str_array()
+            return F.when(ip(c), then_arr).otherwise(else_arr)
+
+        parts.append(ite_keys)
+    for k, sub in schema.get("dependentSchemas", {}).items():
+        ek = _evaluated_keys_fn(sub, dt, draft, spec, depth + 1)
+        parts.append(lambda c, k=k, ek=ek: F.when(
+            F.map_contains_key(c, F.lit(k)), ek(c)
+        ).otherwise(_empty_str_array()))
+    if "$ref" in schema:
+        target = spec.registry.resolve(schema["$ref"])
+        parts.append(_evaluated_keys_fn(target, dt, draft, spec, depth + 1))
+    if not parts:
+        return lambda c: _empty_str_array()
+    if len(parts) == 1:
+        return parts[0]
+    return lambda c: F.concat(*[p(c) for p in parts])
+
+
+def _evaluated_item_prefix_fn(schema: Any, dt: T.ArrayType, draft: str,
+                              spec: ConstraintSpec, depth: int = 0) -> PredFn:
+    """Column twin of pyvalidator._evaluated_item_prefix: the largest
+    evaluated prefix length (int Column). Uniform `items` evaluates
+    everything; tuple `items` its length (everything with
+    `additionalItems` present); merged as max across successful
+    in-place applicator branches. `contains` does NOT evaluate items
+    in 2019-09 (that arrived in 2020-12)."""
+    if depth > 50 or not isinstance(schema, dict):
+        return lambda c: F.lit(0)
+    parts: list[PredFn] = []
+    if "items" in schema:
+        items = schema["items"]
+        if isinstance(items, list) and "additionalItems" not in schema:
+            parts.append(lambda c, n=len(items): F.least(F.lit(n), F.size(c)))
+        else:
+            parts.append(lambda c: F.size(c))
+    for sub in schema.get("allOf", []):
+        parts.append(_evaluated_item_prefix_fn(sub, dt, draft, spec, depth + 1))
+    for comb in ("anyOf", "oneOf"):
+        for sub in schema.get(comb, []):
+            ok = _schema_pred(sub, dt, draft, spec)
+            pf = _evaluated_item_prefix_fn(sub, dt, draft, spec, depth + 1)
+            parts.append(lambda c, ok=ok, pf=pf: F.when(
+                ok(c), pf(c)).otherwise(F.lit(0)))
+    if "if" in schema:
+        ip = _schema_pred(schema["if"], dt, draft, spec)
+        i_pf = _evaluated_item_prefix_fn(schema["if"], dt, draft, spec, depth + 1)
+        t_pf = (_evaluated_item_prefix_fn(schema["then"], dt, draft, spec, depth + 1)
+                if "then" in schema else None)
+        e_pf = (_evaluated_item_prefix_fn(schema["else"], dt, draft, spec, depth + 1)
+                if "else" in schema else None)
+
+        def ite_prefix(c: Column, ip=ip, i_pf=i_pf, t_pf=t_pf, e_pf=e_pf) -> Column:
+            then_n = (F.greatest(i_pf(c), t_pf(c))
+                      if t_pf is not None else i_pf(c))
+            else_n = e_pf(c) if e_pf is not None else F.lit(0)
+            return F.when(ip(c), then_n).otherwise(else_n)
+
+        parts.append(ite_prefix)
+    if "$ref" in schema:
+        target = spec.registry.resolve(schema["$ref"])
+        parts.append(_evaluated_item_prefix_fn(target, dt, draft, spec, depth + 1))
+    if not parts:
+        return lambda c: F.lit(0)
+    if len(parts) == 1:
+        return parts[0]
+    return lambda c: F.greatest(*[p(c) for p in parts])
 
 
 def _schema_pred(schema: Any, dt: T.DataType, draft: str, spec: ConstraintSpec) -> PredFn:

@@ -80,7 +80,18 @@ def fmt_date_time(col: Column) -> Column:
         & (F.substring(col, 15, 2).cast("int") <= 59)
         & (F.substring(col, 18, 2).cast("int") <= 60)  # leap second
     )
-    return col.rlike(_DATETIME_RE) & date_ok & in_range
+    return col.rlike(_DATETIME_RE) & date_ok & in_range & _offset_ok(col)
+
+
+# ADVICE r4: the numeric UTC offset is a time-of-day too — RFC 3339
+# time-numoffset is hour<=23 / minute<=59 and the reference's
+# local-time parse rejects '+99:99' (the old try_to_timestamp path
+# rejected out-of-range offsets; the regex alone admits any \d{2})
+def _offset_ok(col: Column) -> Column:
+    off_h = F.regexp_extract(col, r"[+-](\d{2}):(\d{2})$", 1)
+    off_m = F.regexp_extract(col, r"[+-](\d{2}):(\d{2})$", 2)
+    return (off_h == "") | (
+        (off_h.cast("int") <= 23) & (off_m.cast("int") <= 59))
 
 
 def fmt_time(col: Column) -> Column:
@@ -91,7 +102,7 @@ def fmt_time(col: Column) -> Column:
         & (F.substring(col, 4, 2).cast("int") <= 59)
         & (F.substring(col, 7, 2).cast("int") <= 60)  # leap second
     )
-    return col.rlike(_TIME_RE) & in_range
+    return col.rlike(_TIME_RE) & in_range & _offset_ok(col)
 
 
 def fmt_duration(col: Column) -> Column:

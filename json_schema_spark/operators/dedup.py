@@ -236,13 +236,20 @@ def minhash_candidates(
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket is not None:
-        big = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .where(F.col("__bsz") > max_bucket)
-            .select("band", "bucket")
+        # VERDICT r3 "watch item": the old shape (groupBy bucket sizes
+        # -> broadcast left_anti) recomputed the ENTIRE signature
+        # lineage a second time for the size scan, taxing clean corpora
+        # that have no hot bucket at all. A window count partitioned on
+        # the join keys does the same filter inside the exchange the
+        # self-join needs anyway — one shuffle of (band,bucket) rows,
+        # no second minhash pass, and both join sides reuse it
+        # (ReusedExchange).
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
         )
-        banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")

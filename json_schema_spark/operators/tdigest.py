@@ -62,8 +62,13 @@ def compress(means: np.ndarray, weights: np.ndarray, compression: float) -> tupl
     whose q_mid gap exceeds pi/compression can never share a bucket,
     which is what the exact-regime oracle query relies on
     (compression >= 8n -> adjacent singletons always split)."""
+    # drop zero-weight centroids up front (a merged digest may carry
+    # them; they would land in a bucket as 0-weight mass and a bucket
+    # holding ONLY such centroids divides 0/0 -> NaN mean)
+    keep = np.asarray(weights, dtype=float) > 0
+    means, weights = np.asarray(means)[keep], np.asarray(weights)[keep]
     if means.size == 0:
-        return means, weights
+        return means.astype(float), weights.astype(float)
     order = np.argsort(means, kind="stable")
     m = means[order].astype(float)
     w = weights[order].astype(float)

@@ -158,6 +158,14 @@ class ValidationRunner:
         if max_partitions is not None:
             pending = pending[:max_partitions]
 
+        if batch_size > 1 and slice_factory is not None \
+                and batch_slice_factory is None:
+            # ADVICE r3: silently falling back to the serial loop gave
+            # a batching caller O(P) jobs with no signal
+            raise ValueError(
+                "batch_size > 1 with slice_factory requires a "
+                "batch_slice_factory (chunk-level slice reader); "
+                "pass one or drop batch_size to run serially")
         if batch_size > 1 and (slice_factory is None
                                or batch_slice_factory is not None):
             for i in range(0, len(pending), batch_size):
@@ -269,6 +277,25 @@ class ValidationRunner:
             rows = {r["__part"]: r
                     for r in slice_df.groupBy("__part").agg(*aggs).collect()}
             wall_ms = int((time.monotonic() - t0) * 1000)
+
+            # ADVICE r3 (medium): dynamic overwrite replaces only the
+            # partitions PRESENT in viol — a chunk partition with zero
+            # violation rows keeps its stale part=<P> files from a
+            # prior pass (the serial path overwrites every dir
+            # unconditionally, and violations() does no run_id filter).
+            # Explicitly overwrite those dirs with an empty frame so
+            # batched output == serial output row-for-row. Zero-viol
+            # partitions are read off the already-collected verdict
+            # aggregate — no extra scan of viol.
+            empty_viol = self.spark.createDataFrame([], viol.schema)
+            for part in chunk:
+                row = rows.get(part)
+                if row is None or all(
+                        (row[f"v{i}"] or 0) == 0
+                        for i in range(len(compiled.checks))):
+                    empty_viol.write.mode("overwrite").parquet(
+                        os.path.join(self.results_dir, "violations",
+                                     f"part={part}"))
 
             verdicts = []
             for part in chunk:

@@ -181,16 +181,28 @@ def _fmt_time_parts(h: str, mi: str, sec: str) -> bool:
     return int(h) <= 23 and int(mi) <= 59 and int(sec) <= 60
 
 
+_OFFSET_RE = re.compile(r"[+-](\d{2}):(\d{2})$")
+
+
+def _fmt_offset_ok(s: str) -> bool:
+    # ADVICE r4: the numeric UTC offset is a time-of-day too — RFC 3339
+    # time-numoffset is hour<=23 / minute<=59, and the reference's
+    # local-time parse rejects out-of-range offsets ('+99:99')
+    m = _OFFSET_RE.search(s)
+    return m is None or (int(m.group(1)) <= 23 and int(m.group(2)) <= 59)
+
+
 def _fmt_time(s: str) -> bool:
     m = _TIME_RE.match(s)
-    return bool(m) and _fmt_time_parts(m.group(1), m.group(2), m.group(3))
+    return (bool(m) and _fmt_time_parts(m.group(1), m.group(2), m.group(3))
+            and _fmt_offset_ok(s))
 
 
 def _fmt_date_time(s: str) -> bool:
     m = _DATETIME_RE.match(s)
     if not m or not _fmt_time_parts(m.group(1), m.group(2), m.group(3)):
         return False
-    return _fmt_date(s[:10])
+    return _fmt_date(s[:10]) and _fmt_offset_ok(s)
 
 
 def _fmt_hostname(s: str) -> bool:

@@ -260,11 +260,25 @@ def _entry_may_match(entry: dict, col: str, op: str, lit: Any) -> bool:
     if isinstance(lit, (datetime, date)):
         if kind != "ts":
             return True
-        iso = lit.isoformat()
-        # ISO order == value order only among same-shape strings: bail
-        # if tz-suffix presence differs between literal and stats
+        # ISO order == instant order only among same-offset strings: a
+        # +05:00 literal vs +00:00 stats compares in the wrong order
+        # (05:00+05:00 == midnight UTC but sorts after it), falsely
+        # pruning files Spark's instant-based residual would match. So:
+        # tz-aware literals are normalized to UTC and compared ONLY
+        # against stats that themselves carry a UTC-form offset; any
+        # other shape mismatch keeps the file.
         def _tz(s: str) -> bool:
             return s.endswith("Z") or ("+" in s[10:]) or ("-" in s[10:])
+        def _utc(s: str) -> bool:
+            return s.endswith(("Z", "+00:00", "-00:00"))
+        if isinstance(lit, datetime) and lit.tzinfo is not None:
+            if not (_utc(st["min"]) and _utc(st["max"])):
+                return True
+            iso = lit.astimezone(timezone.utc).isoformat()
+            smin = st["min"].replace("Z", "+00:00")
+            smax = st["max"].replace("Z", "+00:00")
+            return _cmp(op, smin, smax, iso)
+        iso = lit.isoformat()
         if _tz(iso) != _tz(st["min"]) or (len(iso) > 10) != (len(st["min"]) > 10):
             return True
         return _cmp(op, st["min"], st["max"], iso)

@@ -149,3 +149,52 @@ def stream_to_icetable(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_digests_to_icetable(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    value_col: str,
+    partition_col: str,
+    compression: float = 100.0,
+) -> None:
+    """Per-micro-batch t-digest commits: each batch folds to one
+    digest row per partition value (O(batch) compute, history never
+    rescanned) and lands as one exactly-once IceTable snapshot — the
+    streaming front half of the incremental-drift story. Digests are
+    MERGEABLE, so the stored table accumulates one row per
+    (batch, partition) and any later reader (KS, quantiles) merges by
+    summing cluster weights — bit-equal to a batch rebuild in the
+    exact regime (compression >= 8n), tested in
+    tests/test_runner_streaming.py.
+
+    Same exactly-once discipline as :func:`stream_to_icetable`: batch
+    ids namespaced by the streaming query id recorded in the snapshot
+    summary; a replayed batch is skipped before any staging."""
+    import json as _json
+    import os as _os
+
+    from json_schema_spark.operators.tdigest import digest_by_partition
+
+    def _query_id() -> str:
+        with open(_os.path.join(checkpoint_dir, "metadata")) as f:
+            return _json.load(f)["id"]
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"{_query_id()}/{batch_id}"
+        seen = {s["summary"].get("stream_batch_id")
+                for s in table.snapshots()}
+        if key in seen:
+            return
+        digests = digest_by_partition(
+            batch_df, value_col, partition_col, compression=compression)
+        table.append(digests, summary={"stream_batch_id": key})
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

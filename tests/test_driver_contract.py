@@ -11,8 +11,6 @@ ROWS_ONLY = {
     "dedup_minhash": "xxhash64 has no DuckDB twin; md5 twin is value-checked",
     "dedup_simhash": "xxhash64 has no DuckDB twin; md5 twin is value-checked",
     "ann_ivf_topk": "driver-side numpy k-means quantizer; pytest recall gate",
-    "drift_ks_sketch": "percentile_approx sketch has no DuckDB twin; "
-                       "pytest tolerance vs exact ks_by_partition",
     "drift_ks_tdigest": "t-digest CDF has no DuckDB twin; pytest pins "
                         "<0.05 vs exact ks_by_partition + incremental "
                         "stored-digest path (tests/test_tdigest.py)",
@@ -20,6 +18,10 @@ ROWS_ONLY = {
                     "recall tracked by ann_lsh_recall + pytest gate",
     "ann_lsh_recall": "quality METRIC for ann_lsh_topk (recall vs exact "
                       "brute force); LSH side has no SQL twin",
+    "stream_drift_tdigest": "Structured-Streaming sink path has no SQL "
+                            "twin; pytest pins stream-committed digests "
+                            "== batch rebuild KS bit-for-bit "
+                            "(tests/test_runner_streaming.py)",
 }
 
 
@@ -33,6 +35,21 @@ def test_every_query_has_oracle_or_documented_reason():
     assert not over, f"rows-only rationale but oracle exists: {over}"
     orphans = [n for n in oracles if n not in qs]
     assert not orphans, f"oracle SQL without a query: {orphans}"
+
+
+def test_oracled_queries_precede_rows_only():
+    """VERDICT r3 #2: the driver value-checks only the FIRST 50
+    queries() entries. Every oracled query must come before every
+    rows-only query so the sample window can never drop one."""
+    qs, oracles = em.queries(), em.oracle_sql()
+    names = list(qs)
+    first_rows_only = min(names.index(n) for n in ROWS_ONLY if n in qs)
+    late = [n for n in names[first_rows_only:] if n in oracles]
+    assert not late, f"oracled queries after a rows-only entry: {late}"
+    n_oracled = sum(1 for n in names if n in oracles)
+    assert n_oracled <= 50, (
+        f"{n_oracled} oracled queries exceed the driver's 50-row sample"
+    )
 
 
 def test_value_checked_majority():

@@ -595,6 +595,19 @@ def test_temporal_stats_pruning_is_conservative(spark, tmp_path):
     pruned = t.plan_files([("ts", "=", lit)])
     assert 0 < len(pruned) < 4
     assert t.scan([("ts", "=", lit)]).count() == 10
+    # ADVICE r3 (high): a tz-aware NON-UTC literal denoting the same
+    # instant ('2024-01-02T05:00:00+05:00' == midnight UTC) sorts after
+    # the UTC stat strings — lexicographic compare would falsely prune
+    # the matching file. The literal must be normalized to UTC first:
+    # same files kept, same rows returned.
+    lit_e5 = lit.astimezone(_dt.timezone(_dt.timedelta(hours=5)))
+    assert lit_e5 == lit  # same instant, different offset
+    assert {e["path"] for e in t.plan_files([("ts", "=", lit_e5)])} \
+        == {e["path"] for e in pruned}
+    assert t.scan([("ts", "=", lit_e5)]).count() == 10
+    # range ops too (the same wrong-order compare hits ">=")
+    assert t.scan([("ts", ">=", lit_e5)]).count() \
+        == t.scan().where(F.col("ts") >= F.lit(lit)).count()
 
 
 def test_expire_snapshots_zero_keep_raises(spark, tmp_path, docs):

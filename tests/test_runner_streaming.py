@@ -260,3 +260,74 @@ def test_batched_run_identical_to_serial(spark, pages_parquet, tmp_path):
     va = sorted(repr(r) for r in rs.violations().drop("part").collect())
     vb = sorted(repr(r) for r in rb2.violations().drop("part").collect())
     assert va == vb and len(va) > 0
+
+
+def test_stream_digests_equal_batch_rebuild(spark, webpages, tmp_path):
+    """VERDICT r3 item 8: per-micro-batch digest commits through the
+    exactly-once IceTable sink drive the SAME KS as one batch rebuild
+    over all rows — bit-for-bit in the exact regime (compression >=
+    8n), because exact-regime digests are lossless value->count tables
+    and mergeable across any batch split. Also checks replay safety:
+    a second availableNow run adds no snapshots and leaves KS
+    unchanged."""
+    from json_schema_spark.operators.tdigest import (
+        DIGEST_SCHEMA,
+        digest_by_partition,
+    )
+    from json_schema_spark.sources.icetable import IceTable
+    from json_schema_spark.streaming.incremental import (
+        stream_digests_to_icetable,
+    )
+    import __spark_entry__ as em
+
+    docs = webpages.limit(3000).select(
+        F.col("warc_day").cast("string").alias("source"),
+        F.length("text").alias("n_chars"))
+    compression = 8.0 * 3000
+    src = str(tmp_path / "digest_src")
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+    batch_df = spark.read.parquet(src)
+
+    # streaming path: 6 files / maxFilesPerTrigger=2 -> 3 micro-batches
+    t_stream = IceTable.create(spark, str(tmp_path / "digest_stream"),
+                               DIGEST_SCHEMA, ["partition"])
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    stream_digests_to_icetable(stream, t_stream, str(tmp_path / "ck"),
+                               "n_chars", "source",
+                               compression=compression)
+    assert len(t_stream.snapshots()) == 3  # one commit per micro-batch
+
+    # batch rebuild: one digest pass over everything
+    t_batch = IceTable.create(spark, str(tmp_path / "digest_batch"),
+                              DIGEST_SCHEMA, ["partition"])
+    t_batch.append(digest_by_partition(batch_df, "n_chars", "source",
+                                       compression=compression))
+
+    def ks(t):
+        # reuse the driver's stored-digest KS (src0 has no meaning on
+        # webpages; pick the lexicographically-first day as "new")
+        first = t.scan().agg(F.min("partition")).collect()[0][0]
+        stored = t.scan().withColumn(
+            "partition",
+            F.when(F.col("partition") == first, F.lit("src0"))
+             .otherwise(F.col("partition")))
+
+        class _T:  # tiny adapter: _ks_from_stored_digests wants .scan()
+            def scan(self):
+                return stored
+
+        return em._ks_from_stored_digests(_T()).collect()[0]
+
+    a, b = ks(t_stream), ks(t_batch)
+    assert (a["n_new"], a["n_hist"]) == (b["n_new"], b["n_hist"])
+    assert a["ks"] == b["ks"]  # bit-equal after the shared round(.,6)
+
+    # replay: same checkpoint, second run — exactly-once no-op
+    stream2 = (spark.readStream.schema(batch_df.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src))
+    stream_digests_to_icetable(stream2, t_stream, str(tmp_path / "ck"),
+                               "n_chars", "source",
+                               compression=compression)
+    assert len(t_stream.snapshots()) == 3
+    assert ks(t_stream)["ks"] == a["ks"]

@@ -416,15 +416,21 @@ def _f_date(s):  # src/formats.lisp:19-24 (regex + real calendar)
 _TIME_F = r"(\d{2}):(\d{2}):(\d{2})(\.\d+)?([Zz]|[+-]\d{2}:\d{2})"
 
 
+def _f_offset_ok(s):  # RFC-3339 time-numoffset: hour<=23, minute<=59
+    m = _re.search(r"[+-](\d{2}):(\d{2})$", s)
+    return m is None or (int(m[1]) <= 23 and int(m[2]) <= 59)
+
+
 def _f_time(s):  # :75-84 — RFC-3339 partial-time, leap second allowed
     m = _re.fullmatch(_TIME_F, s)
-    return bool(m) and int(m[1]) <= 23 and int(m[2]) <= 59 and int(m[3]) <= 60
+    return (bool(m) and int(m[1]) <= 23 and int(m[2]) <= 59
+            and int(m[3]) <= 60 and _f_offset_ok(s))
 
 
 def _f_date_time(s):  # :27-32
     m = _re.fullmatch(r"(\d{4}-\d{2}-\d{2})[Tt ]" + _TIME_F, s)
     return (bool(m) and _f_date(m[1]) and int(m[2]) <= 23
-            and int(m[3]) <= 59 and int(m[4]) <= 60)
+            and int(m[3]) <= 59 and int(m[4]) <= 60 and _f_offset_ok(s))
 
 
 def _f_duration(s):  # :35-40 — ISO-8601 duration
@@ -514,10 +520,11 @@ FORMAT_INSTANCES = [
     "2024-01-01T12:30:45Z", "2024-01-01t23:59:60z",
     "2024-01-01 12:30:45+05:30", "2024-01-01T12:30:45.123456789Z",
     "2024-01-01T24:00:00Z", "2024-01-01T12:60:00Z", "2024-01-01T12:30:45",
-    "2024-02-30T12:00:00Z",
+    "2024-02-30T12:00:00Z", "2024-01-01T12:30:45+99:99",
+    "2024-01-01T12:30:45-23:59", "2024-01-01T12:30:45+00:60",
     # times
     "12:30:45Z", "23:59:60+00:00", "12:30:45.5Z", "24:00:00Z", "1:30:45Z",
-    "12:30:45",
+    "12:30:45", "12:30:45+24:00", "12:30:45-18:00",
     # durations
     "P1Y", "PT1H30M", "P1DT12H", "P1W", "P", "PT", "P1H", "-P1Y",
     "PT0.5S",
