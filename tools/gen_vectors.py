@@ -130,6 +130,15 @@ INSTANCES = [
     {"a": 1, "b": 2, "c": 3}, {"foo": "bar"}, {"foo": 1, "bar": 2},
     {"a": {"b": 1}}, {"a": []}, {"a": None}, {"": 1},
     {"a": 1, "A": 2}, {"abc": 1, "abd": 2}, {"quux": 9},
+    # schema-shaped documents (drive the metaschema-fragment group;
+    # plain nested objects to every other group)
+    {"type": "string"}, {"type": ["array", "boolean"]},
+    {"type": "strings"}, {"type": ["string", "string"]},
+    {"type": 3}, {"minimum": "3"}, {"minimum": 3},
+    {"required": ["a", "b"]}, {"required": ["a", "a"]},
+    {"properties": {"a": {"type": "integer"}}},
+    {"properties": {"a": {"type": "nope"}}},
+    {"allOf": [{"type": "object"}, {"minimum": 1}]}, {"allOf": []},
 ]
 
 # ---------------------------------------------------------------------------
@@ -268,9 +277,64 @@ SCHEMAS: list[tuple[str, dict | bool, tuple[str, ...]]] = [
     ("plain-name id anchor ref",
      {"definitions": {"s": {"$id": "#neg", "maximum": 0}}, "$ref": "#neg"},
      ("draft6", "draft7")),
-    # (nested-$id base remapping is NOT generated: stock jsonschema's
-    # resolver treats the remapped URI as remote; the engine's registry
-    # unit tests cover that path instead)
+    # --- remote-STYLE absolute/relative $id refs (r4: resolved from
+    # the in-document registry, no network — the shape a cross-file
+    # "remote" ref takes once its target is vendored/harvested) -------
+    ("absolute-id ref draft7",
+     {"$id": "https://example.test/root.json",
+      "definitions": {"item": {"$id": "https://example.test/item.json",
+                               "type": "integer"}},
+      "$ref": "https://example.test/item.json"},
+     ("draft6", "draft7")),
+    ("absolute-id ref 2019",
+     {"$id": "https://example.test/root.json",
+      "$defs": {"item": {"$id": "https://example.test/item.json",
+                         "minimum": 2}},
+      "$ref": "https://example.test/item.json"}, D2019),
+    ("relative-id base remap 2019",
+     {"$id": "https://example.test/root.json",
+      "$defs": {"item": {"$id": "item.json", "type": "integer"}},
+      "$ref": "https://example.test/item.json"}, D2019),
+    ("relative ref against base 2019",
+     {"$id": "https://example.test/root.json",
+      "$defs": {"item": {"$id": "item.json", "maxLength": 3}},
+      "$ref": "item.json"}, D2019),
+    ("absolute-id chain via pointer 2019",
+     {"$id": "https://example.test/a.json",
+      "$defs": {"mid": {"$id": "https://example.test/b.json",
+                        "$ref": "#/$defs/leaf",
+                        "$defs": {"leaf": {"multipleOf": 2}}}},
+      "$ref": "https://example.test/b.json"}, D2019),
+    # --- metaschema STRUCTURAL group (r4): the schema IS a draft-7
+    # metaschema fragment (schemaArray/simpleTypes/recursive sub-schema
+    # shape, t/json-schema.lisp's own $schema-driven dispatch target) —
+    # instances below include schema-shaped documents, so keyword
+    # recursion ($ref cycles, additionalProperties-of-sub, enum tables)
+    # is exercised the way validating a SCHEMA document exercises it --
+    ("metaschema fragment",
+     {"definitions": {
+         "schemaArray": {"type": "array", "minItems": 1,
+                         "items": {"$ref": "#/definitions/sub"}},
+         "simpleTypes": {"enum": ["array", "boolean", "integer", "null",
+                                  "number", "object", "string"]},
+         "sub": {
+             "type": ["object", "boolean"],
+             "properties": {
+                 "type": {"anyOf": [
+                     {"$ref": "#/definitions/simpleTypes"},
+                     {"type": "array",
+                      "items": {"$ref": "#/definitions/simpleTypes"},
+                      "minItems": 1, "uniqueItems": True}]},
+                 "minimum": {"type": "number"},
+                 "required": {"type": "array", "items": {"type": "string"},
+                              "uniqueItems": True},
+                 "properties": {
+                     "type": "object",
+                     "additionalProperties": {"$ref": "#/definitions/sub"}},
+                 "allOf": {"$ref": "#/definitions/schemaArray"},
+             }}},
+      "$ref": "#/definitions/sub"},
+     ("draft4", "draft6", "draft7")),
     # --- nested / combined ------------------------------------------------
     ("object with everything",
      {"type": "object", "required": ["a"], "minProperties": 1,
