@@ -236,20 +236,31 @@ def minhash_candidates(
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket is not None:
-        # VERDICT r3 "watch item": the old shape (groupBy bucket sizes
-        # -> broadcast left_anti) recomputed the ENTIRE signature
-        # lineage a second time for the size scan, taxing clean corpora
-        # that have no hot bucket at all. A window count partitioned on
-        # the join keys does the same filter inside the exchange the
-        # self-join needs anyway — one shuffle of (band,bucket) rows,
-        # no second minhash pass, and both join sides reuse it
-        # (ReusedExchange).
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .where(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
+        # Bucket sizes need the signatures, so the size scan is one
+        # unavoidable extra pass (map-side combinable, shuffles only
+        # (band,bucket,count)). Everything after it is optional: the
+        # hot set is aggregate-sized BY CONSTRUCTION (buckets over the
+        # cap are few near-identical clusters), so materialize it on
+        # the driver once and (a) SKIP the anti-join entirely when no
+        # bucket exceeds the cap — the common clean-corpus case the r3
+        # watch item flagged — else (b) rebuild the broadcast side from
+        # the collected rows so the anti-join never recomputes the
+        # signature lineage. (A window-count inside the join exchange
+        # was tried and REGRESSED the hostile soak 1.5x: the hot bucket
+        # becomes one giant sort partition, on both join sides.)
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket)
+            .select("band", "bucket")
+            .limit(1_048_576)  # bound the driver; beyond this the
+            .collect()         # corpus is all boilerplate anyway
         )
+        if hot:
+            spark = banded.sparkSession
+            hot_df = spark.createDataFrame(hot, "band int, bucket long")
+            banded = banded.join(F.broadcast(hot_df),
+                                 ["band", "bucket"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")
