@@ -1,0 +1,184 @@
+"""VARIANT-path conformance: the SAME vendored + generated vectors,
+each case's `data` serialized back to JSON text and validated entirely
+JVM-side through ``compiler_variant`` (SURVEY.md §5.1 — fourth
+validation path).
+
+Unlike the typed-column path, every case shares one physical
+representation (a JSON string), so there are no dtype buckets and no
+NULL-as-absent skips: JSON ``null`` data, heterogeneous arrays and
+mixed-shape objects all run. One Spark job per draft: rows = cases,
+one predicate column per DISTINCT schema, read the (row, its-schema)
+cell.
+
+Schemas the variant path declines at compile time (PCRE-only patterns,
+unevaluated*, recursive $ref) are counted as fallbacks — the contract
+is fall-back-or-agree, never silently-approximate.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from json_schema_spark.compiler_variant import (
+    VariantUnsupported, compile_variant, validate_variant_column,
+)
+from json_schema_spark.spec import ConstraintSpec, SpecError
+
+VECTOR_DIR = Path(__file__).parent / "vectors"
+DRAFTS = ["draft7", "draft2019-09", "draft4", "draft6"]
+
+
+def _has_fractional_multiple_of(schema) -> bool:
+    if isinstance(schema, dict):
+        mo = schema.get("multipleOf")
+        if isinstance(mo, float) and mo != int(mo):
+            return True
+        return any(_has_fractional_multiple_of(v) for v in schema.values())
+    if isinstance(schema, list):
+        return any(_has_fractional_multiple_of(v) for v in schema)
+    return False
+
+
+def _float_exactness_case(schema, data) -> bool:
+    """Same float-exactness class the reference itself skips
+    (t/draft7.lisp:54-55) and the typed path excludes: the parsed
+    binary double differs from the decimal literal the corpus labeled."""
+    return (isinstance(data, (int, float)) and not isinstance(data, bool)
+            and abs(data) > 1e26 and _has_fractional_multiple_of(schema))
+
+
+def _registry_for(schema, draft):
+    if isinstance(schema, dict):
+        try:
+            return ConstraintSpec(dict(schema, draft=draft)).registry
+        except SpecError:
+            return None
+    return None
+
+
+def test_variant_compiler_reproduces_vectors(spark):
+    failures, n_run, n_fallback, n_skipped = [], 0, 0, 0
+    for draft in DRAFTS:
+        groups = []
+        for fname in (f"{draft}.json", f"gen_{draft}.json"):
+            groups.extend(json.loads((VECTOR_DIR / fname).read_text()))
+
+        preds, pred_idx = [], {}
+        rows, labels = [], []
+        for g in groups:
+            schema = g["schema"]
+            skey = json.dumps(schema, sort_keys=True)
+            if skey not in pred_idx:
+                try:
+                    p = compile_variant(schema, draft, _registry_for(schema, draft))
+                except VariantUnsupported:
+                    p = None  # declared fallback — counted, not failed
+                except SpecError:
+                    p = None
+                pred_idx[skey] = len(preds)
+                preds.append(p)
+            gi = pred_idx[skey]
+            for case in g["tests"]:
+                data = case["data"]
+                if isinstance(data, float) and (math.isnan(data) or math.isinf(data)):
+                    n_skipped += 1
+                    continue
+                if _float_exactness_case(schema, data):
+                    n_skipped += 1
+                    continue
+                if preds[gi] is None:
+                    n_fallback += 1
+                    continue
+                labels.append(f"{draft}: {g['description']}::{case['description']}")
+                rows.append((len(rows), gi, json.dumps(data), case["valid"]))
+
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, "i long, g int, j string, expected boolean")
+        v = F.try_parse_json(F.col("j"))
+        sel = [F.col("i"), F.col("g"), F.col("expected")] + [
+            (p(v).alias(f"c{j}") if p is not None
+             else F.lit(None).cast("boolean").alias(f"c{j}"))
+            for j, p in enumerate(preds)
+        ]
+        for r in df.select(*sel).collect():
+            got = r[f"c{r['g']}"]
+            n_run += 1
+            if got is None or bool(got) != r["expected"]:
+                failures.append(f"{labels[r['i']]} -> got {got}, want {r['expected']}")
+
+    assert not failures, f"{len(failures)} divergences:\n" + "\n".join(failures[:40])
+    # the JVM variant path must carry the clear majority of the corpus
+    assert n_run >= 30000, (
+        f"only {n_run} cases ran JVM-side (fallback={n_fallback}, skip={n_skipped})")
+
+
+def test_variant_null_vs_absent(spark):
+    """The semantics the typed path cannot express (SURVEY.md §1.1):
+    present-null fails `required`-less type checks but satisfies
+    required; absent is vacuous for properties but fails required."""
+    docs = [
+        ('{"k": null}',),   # present null
+        ('{}',),            # absent
+        ('{"k": 1}',),      # present non-null
+    ]
+    df = spark.createDataFrame(docs, ["j"])
+    required = validate_variant_column(
+        F.col("j"), {"type": "object", "required": ["k"]})
+    typed = validate_variant_column(
+        F.col("j"), {"properties": {"k": {"type": "null"}}})
+    got = [tuple(r) for r in df.select(required, typed).collect()]
+    #            required  properties:{k:{type:null}}
+    assert got == [(True, True),    # null IS present; null IS type null
+                   (False, True),   # absent fails required, vacuous for props
+                   (True, False)]   # 1 is not type null
+
+
+def test_variant_malformed_json_policy(spark):
+    df = spark.createDataFrame([("{",), ('{"a":1}',), (None,)], ["j"])
+    strict = validate_variant_column(F.col("j"), {"type": "object"})
+    lax = validate_variant_column(F.col("j"), {"type": "object"},
+                                  malformed_valid=True)
+    assert [r[0] for r in df.select(strict).collect()] == [False, True, False]
+    assert [r[0] for r in df.select(lax).collect()] == [True, True, True]
+
+
+def test_variant_declines_pcre_pattern():
+    import pytest
+    with pytest.raises(VariantUnsupported):
+        compile_variant({"pattern": r"\p{Lu}+"})
+
+
+def test_variant_unique_items_cross_type(spark):
+    """json-equal-p parity on the tricky scalar cases: 1 == 1.0 but
+    1 != "1" != true; nulls equal each other (src/utils.lisp:69-96)."""
+    cases = [
+        ("[1, 1.0]", False),        # numeric = across int/float
+        ('[1, "1"]', True),
+        ("[true, 1]", True),        # bools only equal bools
+        ("[null, null]", False),
+        ('["[1,2]", [1, 2]]', True),  # string vs array: distinct
+        ("[[1, 2], [1, 2]]", False),
+        ('[{"a": 1}, {"a": 1}]', False),
+    ]
+    df = spark.createDataFrame([(j,) for j, _ in cases], ["j"])
+    pred = validate_variant_column(F.col("j"), {"uniqueItems": True})
+    got = [bool(r[0]) for r in df.select(pred).collect()]
+    assert got == [ok for _, ok in cases]
+
+
+def test_variant_plan_is_jvm_only(spark):
+    """The whole point: no Python in the plan. A BatchEvalPython /
+    ArrowEvalPython node would mean the path silently regressed to
+    UDFs."""
+    df = spark.createDataFrame([('{"a": 1}',)], ["j"])
+    pred = validate_variant_column(
+        F.col("j"),
+        {"type": "object", "required": ["a"],
+         "properties": {"a": {"type": "integer", "minimum": 0}}})
+    plan = df.select(pred.alias("ok"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
