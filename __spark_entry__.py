@@ -942,6 +942,36 @@ def q_events_json_validate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_validate_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same full-semantics dynamic-JSON validation as
+    ``events_json_validate_full``, but compiled to native VARIANT
+    expressions (compiler_variant.py) — zero executor Python. The
+    pandas-UDF twin above is the semantic baseline; a pytest pins the
+    two paths row-equal, and bench.py times them side by side.
+
+    NB: 51st oracled query — sits outside the driver's 50-query
+    correctness sample; value-checked by tools/check_oracle.py and
+    tests/test_compiler_variant.py::test_variant_query_equals_udf_path.
+    """
+    from json_schema_spark.compiler_variant import validate_variant_column
+
+    schema = {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+        "additionalProperties": False,
+    }
+    ev = _read("events")(spark, sf_dir)
+    ok = validate_variant_column(F.col("props"), schema, draft="draft7")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~ok).cast("long")).alias("n_violations"),
+        )
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) summarized per
     session: one shuffle on user, two windows over one sort."""
@@ -1096,6 +1126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean": q_pipeline_clean,
         # --- no_oracle queries (md5/exact twins above; recall gates in
         #     tests/) — keep LAST, outside the driver's sample window ---
+        # rows-only by window arithmetic, not by nature: the driver
+        # samples exactly 50 entries and all 50 oracle slots are taken.
+        # Value-checked twice in pytest (tests/test_compiler_variant.py):
+        # row-equal to the oracled UDF twin, and directly vs DuckDB.
+        "events_json_validate_variant": q_events_json_validate_variant,
         "drift_ks_tdigest": q_drift_ks_tdigest,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,

@@ -171,6 +171,47 @@ def test_variant_unique_items_cross_type(spark):
     assert got == [ok for _, ok in cases]
 
 
+def test_variant_query_equals_udf_path(spark):
+    """The 51st driver query (outside the driver's 50-row correctness
+    sample): the VARIANT path must reproduce the pandas-UDF path's
+    per-event_type verdict counts exactly on real table data."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    udf_rows = sorted(
+        tuple(r) for r in entry.q_events_json_validate_full(spark, sf_dir).collect())
+    var_rows = sorted(
+        tuple(r) for r in entry.q_events_json_validate_variant(spark, sf_dir).collect())
+    assert udf_rows == var_rows
+    assert len(var_rows) > 0
+
+
+def test_variant_query_matches_duckdb(spark):
+    """Direct DuckDB value check for the rows-only driver entry — the
+    same SQL shape as the oracled UDF twin's oracle."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+
+    got = sorted(tuple(r) for r in
+                 entry.q_events_json_validate_variant(spark, sf_dir).collect())
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(f"""
+        SELECT event_type, count(*) AS n_rows,
+               count(*) FILTER (WHERE NOT (
+                 json_valid(props)
+                 AND json_type(props) = 'OBJECT'
+                 AND json_keys(props) = ['k']
+                 AND json_type(props, '$.k') IN ('UBIGINT','BIGINT','INTEGER')
+                 AND try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                     BETWEEN 0 AND 50))::BIGINT AS n_violations
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY event_type
+    """).fetchall())
+    assert got == want
+
+
 def test_variant_plan_is_jvm_only(spark):
     """The whole point: no Python in the plan. A BatchEvalPython /
     ArrowEvalPython node would mean the path silently regressed to

@@ -8,6 +8,10 @@ import __spark_entry__ as em
 
 # rows-only queries and WHY (the judge sees this list):
 ROWS_ONLY = {
+    "events_json_validate_variant": "rows-only by window arithmetic "
+        "(all 50 driver oracle slots taken): pytest pins it row-equal "
+        "to the oracled UDF twin AND directly vs DuckDB "
+        "(tests/test_compiler_variant.py)",
     "dedup_minhash": "xxhash64 has no DuckDB twin; md5 twin is value-checked",
     "dedup_simhash": "xxhash64 has no DuckDB twin; md5 twin is value-checked",
     "ann_ivf_topk": "driver-side numpy k-means quantizer; pytest recall gate",
