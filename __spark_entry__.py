@@ -1071,7 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # an oracle_sql() twin must come first; the no_oracle entries (each
     # with a value-checked md5/exact twin or a pytest recall gate) go
     # last so a sample window never silently drops a value-checkable
-    # query. tests/test_entry_contract.py enforces this ordering.
+    # query. tests/test_driver_contract.py enforces this ordering.
     return {
         # --- oracled queries (everything here has an oracle_sql() row) ---
         "constraint_summary": q_constraint_summary,

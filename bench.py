@@ -82,6 +82,31 @@ def constraint_pass_throughput(spark, n_docs: int) -> tuple[float, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # 8M docs: enough rows that the ~0.3s fixed per-job cost amortizes
+    # (1M docs finishes in ~1s and understates throughput ~3x)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
+    # Measure the constraint pass FIRST, in its own JVM (BENCH/
+    # run_pass.py — same methodology as BASELINE.md), BEFORE the
+    # query-sweep session exists. Two reasons: (a) measured in the
+    # sweep session it is hostage to heap/codegen-cache state 56
+    # queries leave behind (observed 326k..1.04M docs/s for identical
+    # code); (b) a PySpark JVM outlives spark.stop() — it dies when
+    # the Python process exits — and the streaming queries' state-
+    # store maintenance threads keep burning CPU in it (measured
+    # 2+ cores, dragging a subprocess started after spark.stop() from
+    # 1.8M to 80k docs/s). Fresh box -> stable ~1.9-3M/s readings.
+    import subprocess
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH", "run_pass.py"),
+         str(cpus), str(n_docs)],
+        capture_output=True, text=True, check=True,
+    )
+    pass_res = json.loads(out.stdout.strip().splitlines()[-1])
+    docs_per_sec, pass_wall = pass_res["docs_per_sec"], pass_res["wall_s"]
+
     spark = get_spark(app_name="jss-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -108,26 +133,7 @@ def main() -> None:
         times[name] = round(samples[len(samples) // 2], 3)
         spread[name] = round(samples[-1] - samples[0], 3)
 
-    # 8M docs: enough rows that the ~0.3s fixed per-job cost amortizes
-    # (1M docs finishes in ~1s and understates throughput ~3x)
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
-    # measure the constraint pass in a FRESH JVM (BENCH/run_pass.py —
-    # the same methodology as BASELINE.md): measured in THIS session it
-    # is hostage to the heap/codegen-cache state the 52 queries leave
-    # behind (observed 326k..1.04M docs/s run to run for identical
-    # code; fresh-JVM readings are stable ~3M/s at this n_docs)
-    import subprocess
-    import sys as _sys
-    spark.stop()  # free the cores for the measurement JVM
-    out = subprocess.run(
-        [_sys.executable,
-         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "BENCH", "run_pass.py"),
-         str(cpus), str(n_docs)],
-        capture_output=True, text=True, check=True,
-    )
-    pass_res = json.loads(out.stdout.strip().splitlines()[-1])
-    docs_per_sec, wall = pass_res["docs_per_sec"], pass_res["wall_s"]
+    spark.stop()
 
     # summarize the latest skew-soak (BENCH/skew.py) as TWO scalars —
     # the full report stays in BENCH/skew_results.json. VERDICT r3:
@@ -161,7 +167,7 @@ def main() -> None:
         "sf": sf_dir,
         "docs_per_sec": round(docs_per_sec),
         "n_docs": n_docs,
-        "constraint_pass_wall_s": round(wall, 3),
+        "constraint_pass_wall_s": round(pass_wall, 3),
         "cpus": int(cpus),
         **skew_scalars,
     }
