@@ -949,9 +949,10 @@ def q_events_json_validate_variant(spark: SparkSession, sf_dir: str) -> DataFram
     pandas-UDF twin above is the semantic baseline; a pytest pins the
     two paths row-equal, and bench.py times them side by side.
 
-    NB: 51st oracled query — sits outside the driver's 50-query
-    correctness sample; value-checked by tools/check_oracle.py and
-    tests/test_compiler_variant.py::test_variant_query_equals_udf_path.
+    NB: rows-only for the driver (all 50 oracle slots taken —
+    test_driver_contract.py caps oracled entries at the sample window);
+    value-checked in pytest BOTH row-equal to the oracled UDF twin and
+    directly vs DuckDB (tests/test_compiler_variant.py).
     """
     from json_schema_spark.compiler_variant import validate_variant_column
 
@@ -969,6 +970,40 @@ def q_events_json_validate_variant(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_rows"),
             F.sum((~ok).cast("long")).alias("n_violations"),
         )
+    )
+
+
+def q_events_json_verdicts_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-KEYWORD verdict rows for dynamic JSON on the VARIANT path
+    (compiler_variant.variant_verdict_df): the north rule's
+    per-partition pass/fail shape — (partition, keyword) granular, the
+    same output schema as the typed-column ``constraint_by_partition``
+    — over a column no typed schema can carry, zero executor Python.
+    The JSON parses ONCE per row (shared parsed-variant column) no
+    matter how many keywords the spec declares.
+
+    Rows-only for the driver (oracle slots capped at the 50-query
+    sample window); value-checked directly vs a DuckDB per-keyword
+    twin in tests/test_variant_verdicts.py.
+    """
+    from json_schema_spark.compiler_variant import variant_verdict_df
+
+    schema = {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+        "additionalProperties": False,
+    }
+    ev = _read("events")(spark, sf_dir)
+    out = variant_verdict_df(ev, "props", schema, draft="draft7",
+                             partition_col=F.col("event_type"))
+    return out.select(
+        F.col("partition").alias("part"),
+        F.col("column").alias("col_name"),
+        F.col("keyword"),
+        F.col("n_violations"),
+        F.col("n_rows"),
+        F.col("pass").alias("check_pass"),
     )
 
 
@@ -1131,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Value-checked twice in pytest (tests/test_compiler_variant.py):
         # row-equal to the oracled UDF twin, and directly vs DuckDB.
         "events_json_validate_variant": q_events_json_validate_variant,
+        "events_json_verdicts_variant": q_events_json_verdicts_variant,
         "drift_ks_tdigest": q_drift_ks_tdigest,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,

@@ -158,6 +158,14 @@ def main() -> None:
             ann = json.load(f)
         skew_scalars["ann1m_recall_lsh"] = ann["lsh"]["recall"]
         skew_scalars["ann1m_recall_ivf"] = ann["ivf"]["recall"]
+    # one scalar from the dynamic-JSON path shootout (BENCH/
+    # json_paths.py; full report in BENCH/json_paths.json): how much
+    # faster the r4 VARIANT JVM path validates the same corpus with
+    # the same verdicts as the Arrow-UDF path
+    jp_path = os.path.join(bench_dir, "json_paths.json")
+    if os.path.exists(jp_path):
+        with open(jp_path) as f:
+            skew_scalars["variant_speedup"] = json.load(f)["variant_speedup"]
 
     line = {
         "metric": "query wall sec (sf) + constraint-pass docs/sec",

@@ -58,7 +58,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from json_schema_spark.compiler import (
-    DRAFT_KEYWORDS, _PCRE_FALLBACK, translate_regex,
+    DRAFT_KEYWORDS, _PCRE_FALLBACK, CompiledSpec, KeywordCheck, _message,
+    translate_regex,
 )
 from json_schema_spark.functions.formats import format_check
 from json_schema_spark.spec import SpecError, SpecRegistry
@@ -678,3 +679,90 @@ def variant_checks(schema: dict, draft: str = "draft7",
         if p is not None:
             out.append((kw, p))
     return out
+
+
+# ---------------------------------------------------------------------------
+# verdict / violation materialization on the VARIANT path
+# ---------------------------------------------------------------------------
+#
+# The north rule asks for per-partition pass/fail AND structured
+# violation rows; the typed-column path has both (compiler.verdict_df /
+# violations_df). These wrappers give the VARIANT path the SAME output
+# shapes by compiling each top-level keyword into a KeywordCheck whose
+# predicate reads a single shared parsed-variant column — so the JSON
+# string is parsed ONCE per row regardless of keyword count, and the
+# downstream machinery (one-agg verdicts, array-collect+explode
+# violations, ValidationRunner, errors.render_verdict_report) is reused
+# verbatim instead of reimplemented.
+
+_PARSED = "__variant_parsed"
+
+
+def with_parsed_variant(df, json_col: str):
+    """Add the shared parsed-variant column the compiled checks read."""
+    return df.withColumn(_PARSED, F.try_parse_json(F.col(json_col)))
+
+
+def variant_compiled_spec(json_col: str, schema: dict,
+                          draft: str = "draft7",
+                          registry: SpecRegistry | None = None,
+                          malformed_valid: bool = False) -> CompiledSpec:
+    """Per-top-level-keyword :class:`CompiledSpec` over a JSON string
+    column, predicates expressed against :data:`_PARSED` (add it with
+    :func:`with_parsed_variant`).
+
+    Check set mirrors the error-accumulation granularity of the
+    reference (every keyword verdict surfaces independently,
+    src/validators.lisp:105-108) and of ``compiler.compile_spec``:
+    one check per top-level keyword, plus a synthetic ``(parse)``
+    check — the reference raises at parse time (before validation);
+    a table engine instead marks the ROW, and only the parse check
+    fails for a malformed document (keyword checks pass vacuously,
+    exactly as typed-path keyword checks pass on NULL columns).
+    """
+    v = F.col(_PARSED)
+    raw = F.col(json_col)
+    checks: list[KeywordCheck] = [KeywordCheck(
+        json_col, "(parse)",
+        F.lit(True) if malformed_valid else (raw.isNull() | v.isNotNull()),
+        f"{json_col!r} is not well-formed JSON",
+        path="/",
+    )]
+    for kw, pred in variant_checks(schema, draft, registry):
+        checks.append(KeywordCheck(
+            json_col, kw,
+            F.when(v.isNull(), F.lit(True)).otherwise(pred(v)),
+            _message(json_col, kw, schema[kw]),
+            path=f"/{kw}",
+        ))
+    out = CompiledSpec(None)
+    out.checks = checks
+    return out
+
+
+def variant_verdict_df(df, json_col: str, schema: dict,
+                       draft: str = "draft7",
+                       registry: SpecRegistry | None = None,
+                       partition_col=None, malformed_valid: bool = False):
+    """Per-keyword verdict rows (same shape as ``compiler.verdict_df``)
+    for a dynamic JSON column — one aggregation pass, zero executor
+    Python."""
+    from json_schema_spark.compiler import verdict_df
+    compiled = variant_compiled_spec(json_col, schema, draft, registry,
+                                     malformed_valid)
+    return verdict_df(with_parsed_variant(df, json_col), compiled,
+                      partition_col)
+
+
+def variant_violations_df(df, json_col: str, schema: dict,
+                          id_cols: list[str], draft: str = "draft7",
+                          registry: SpecRegistry | None = None,
+                          partition_col=None, run_id: str = "",
+                          malformed_valid: bool = False):
+    """Violation rows (same schema as ``compiler.violations_df``):
+    one row per (document, failed top-level keyword)."""
+    from json_schema_spark.compiler import violations_df
+    compiled = variant_compiled_spec(json_col, schema, draft, registry,
+                                     malformed_valid)
+    return violations_df(with_parsed_variant(df, json_col), compiled,
+                         id_cols, partition_col, run_id)
