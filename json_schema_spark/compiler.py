@@ -862,9 +862,11 @@ def _schema_pred(schema: Any, dt: T.DataType, draft: str, spec: ConstraintSpec) 
         return lambda c: F.lit(True)
 
     def fused(c: Column) -> Column:
-        # NULL = absent: all keywords vacuous on NULL at this level
-        inner = _fold_and([p(c) for p in parts])
-        return F.when(c.isNull(), F.lit(True)).otherwise(inner)
+        # NULL = absent: all keywords vacuous on NULL at this level.
+        # Branch-free (| not when): subexpression elimination does not
+        # reach inside when() branches, so shared subtrees (length(),
+        # regex machinery) would re-evaluate per keyword otherwise.
+        return c.isNull() | _fold_and([p(c) for p in parts])
 
     return fused
 
@@ -999,7 +1001,11 @@ def compile_spec(spec: ConstraintSpec | dict, df: DataFrame) -> CompiledSpec:
             if fn is None:
                 continue
             col = F.col(colname)
-            pred = F.when(col.isNull(), F.lit(True)).otherwise(fn(col))
+            # branch-free NULL gate — keeps every check's subtree
+            # visible to whole-stage-codegen subexpression elimination
+            # (the verdict aggregation evaluates ALL checks in one
+            # projection; see the variant-path 5x for the countercase)
+            pred = col.isNull() | fn(col)
             out.checks.append(KeywordCheck(
                 colname, kw, pred,
                 _message(colname, kw, val),
