@@ -105,6 +105,30 @@ def test_verdict_rollup_counts(spark):
     assert all((r["n_violations"] == 0) == r["pass"] for r in rows.values())
 
 
+def test_predicates_are_branch_free_at_the_root(spark):
+    """Perf regression guard: the NULL-vacuous gates must be boolean
+    algebra (x IS NULL OR pred), never when().otherwise() — Spark's
+    subexpression elimination does not reach inside conditional
+    branches, and re-wrapping cost a measured 4.4x on the VARIANT pass
+    and 25% on the typed constraint pass (BENCH/BASELINE.md r4)."""
+    from json_schema_spark.compiler import compile_spec
+
+    vpred = validate_variant_column(F.col("doc"), SCHEMA)
+    assert not str(vpred).upper().startswith("COLUMN<'CASE WHEN")
+    for _, pred in __import__("json_schema_spark.compiler_variant",
+                              fromlist=["variant_checks"]) \
+            .variant_checks(SCHEMA):
+        assert not str(pred(F.col("v"))).upper().startswith("COLUMN<'CASE WHEN")
+
+    df = spark.createDataFrame([("https://x", "en")], ["url", "lang"])
+    compiled = compile_spec(
+        {"columns": {"url": {"type": "string", "minLength": 3,
+                             "maxLength": 99, "pattern": "^https://"}}}, df)
+    for c in compiled.checks:
+        assert not str(c.predicate).upper().startswith("COLUMN<'CASE WHEN"), \
+            (c.column, c.keyword)
+
+
 def test_runner_composes_with_variant_path(spark, tmp_path):
     """ValidationRunner consumes a variant CompiledSpec unchanged:
     checkpoint-resumable per-partition validation of a dynamic JSON
