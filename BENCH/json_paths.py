@@ -145,9 +145,16 @@ def main() -> None:
               .cast("long")).alias("d")).collect()[0]["d"]
     assert n_disagree == 0, f"paths disagree on {n_disagree} rows"
 
+    def parse_floor_ok(col):
+        # the irreducible cost of the VARIANT path: parse every doc,
+        # touch the variant once. Validation overhead = variant pass
+        # minus this floor.
+        return F.parse_json(col).isNotNull()
+
     wall_u, n_u, valid_u = _timed(spark, path, udf_ok)
     wall_v, n_v, valid_v = _timed(spark, path, variant_ok)
     assert (n_u, valid_u) == (n_v, valid_v)
+    wall_f, _, _ = _timed(spark, path, parse_floor_ok)
 
     result = {
         "n_docs": n_docs,
@@ -157,6 +164,11 @@ def main() -> None:
         "variant_docs_per_sec": round(n_docs / wall_v),
         "variant_wall_s": round(wall_v, 3),
         "variant_speedup": round(wall_u / wall_v, 2),
+        "parse_floor_docs_per_sec": round(n_docs / wall_f),
+        "parse_floor_wall_s": round(wall_f, 3),
+        # fraction of the variant pass spent ABOVE the parse floor —
+        # how much headroom predicate optimization has left
+        "predicate_overhead_frac": round((wall_v - wall_f) / wall_v, 3),
     }
     print(json.dumps(result))
     with open(os.path.join(HERE, "json_paths.json"), "w") as f:

@@ -101,8 +101,15 @@ def main() -> None:
               file=sys.stderr)
     engine = {c: run_level(c, n_docs) for c in LEVELS}
     # ceiling = best of 3 (a control rep polluted by a decaying JVM or
-    # page-cache writeback reads as fake machine non-scaling)
-    control = {c: max(cpu_control(c) for _ in range(3)) for c in LEVELS}
+    # page-cache writeback reads as fake machine non-scaling). The
+    # controls run right after the heaviest engine level — wait for
+    # the box to go idle before EACH level, same as the engine runs
+    # (the 2026-08-17 sweep's 4-worker control measured 28% of its
+    # usual value with no wait, yielding a nonsense 2.8 'efficiency').
+    control = {}
+    for c in LEVELS:
+        _wait_idle()
+        control[c] = max(cpu_control(c) for _ in range(3))
 
     def eff(lo: int, hi: int, table, key=None) -> float:
         a = table[lo][key] if key else table[lo]
