@@ -223,3 +223,23 @@ def test_variant_plan_is_jvm_only(spark):
          "properties": {"a": {"type": "integer", "minimum": 0}}})
     plan = df.select(pred.alias("ok"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_container_gates_avoid_root_schema_of_variant(spark):
+    """Perf guard for the strict-container-cast gates: an object/array
+    type gate must never call schema_of_variant on the gated value —
+    stringifying a whole document's nested schema cost 1.74s against a
+    0.96s parse floor on 4M docs (BENCH/BASELINE.md r4). The gate is
+    try_variant_get cast success, which codegen CSE shares with the
+    object/array applicators."""
+    obj_pred = validate_variant_column(
+        F.col("j"), {"type": "object", "required": ["a"]})
+    arr_pred = validate_variant_column(
+        F.col("j"), {"type": "array", "minItems": 1})
+    for pred in (obj_pred, arr_pred):
+        assert "schema_of_variant" not in str(pred), str(pred)
+    # scalar gates legitimately keep schema_of_variant (lenient casts
+    # make cast-success wrong for them) — pin that too so a future
+    # "optimize everything to casts" change trips loudly
+    s_pred = validate_variant_column(F.col("j"), {"type": "string"})
+    assert "schema_of_variant" in str(s_pred)
