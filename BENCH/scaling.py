@@ -54,8 +54,15 @@ def run_level(cores: int, n_docs: int, max_tries: int = 3) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(HERE, "run_pass.py"),
              str(cores), str(n_docs)],
-            capture_output=True, text=True, check=True, cwd=REPO, env=env,
+            capture_output=True, text=True, cwd=REPO, env=env,
         )
+        if out.returncode != 0:
+            # a crashed pass (host burst starving the JVM, transient
+            # executor death) must not abort a 40-minute sweep — log
+            # the tail and retry like any other bad measurement
+            print(f"  level {cores}: pass FAILED rc={out.returncode}: "
+                  f"{out.stderr.strip()[-500:]}", file=sys.stderr)
+            continue
         res = json.loads(out.stdout.strip().splitlines()[-1])
         # measurement-conditions evidence goes INTO the artifact
         res["load1_before"] = round(load_before, 1)
@@ -71,6 +78,10 @@ def run_level(cores: int, n_docs: int, max_tries: int = 3) -> dict:
             return res
         print(f"  level {cores}: spread {res['spread_ratio']}x "
               f"(load1 {load_before:.1f}) — retrying", file=sys.stderr)
+    if best is None:  # every attempt crashed — report, don't crash the sweep
+        return {"cores": cores, "n_docs": n_docs, "docs_per_sec": 0,
+                "wall_s": None, "all_docs_per_sec": [], "failed": True,
+                "attempts": max_tries}
     best["attempts"] = max_tries
     return best
 
