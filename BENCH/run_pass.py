@@ -21,6 +21,10 @@ from json_schema_spark.session import get_spark
 
 def main() -> None:
     n_cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
+    # heap scales with cores unless the caller overrides (the cluster-
+    # faithful model — see scaling.py). A direct 32-core invocation
+    # under the 8 GB session default OOMs during corpus generation.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * n_cores}g")
     spark = get_spark(app_name=f"jss-scale-{n_cores}",
                       master=f"local[{n_cores}]",
                       shuffle_partitions=max(n_cores, 8))
