@@ -865,6 +865,51 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals: within-doc
+    duplicate n-gram fractions (n=1/2/3/5, pure array expressions) plus
+    the top-bigram mass fraction (one explode + two partial-aggregable
+    groupBys). The cheap repetitive-boilerplate pre-filter every
+    web-text training pipeline runs before validation."""
+    from json_schema_spark.operators.quality import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir), "doc_id", "text", n=2)
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span coverage (n-gram-granular exact
+    substring dedup, Lee et al. 2022): per doc, the fraction of its
+    trigram positions whose trigram occurs in >=1 OTHER document.
+    Grams shuffle as xxhash64 BIGINTs; doc-counts per gram are two
+    partial-aggregable groupBys; positions join back on the 8-byte
+    hash — no all-pairs anywhere."""
+    from json_schema_spark.operators.quality import duplicate_span_coverage
+
+    return duplicate_span_coverage(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scan + redaction digest: regexp_count per
+    pattern (email/phone/ipv4/ssn, Java∩RE2 subset so the oracle runs
+    the identical regexes) and md5 of the redacted text. On PII-free
+    rows the digest doubles as a byte-identity check of the text
+    passthrough (the north rule's byte-identical-text invariant)."""
+    from json_schema_spark.operators.quality import pii_counts, pii_redact
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    c = F.col("text")
+    counts = pii_counts(c)
+    total = None
+    for _, cnt in counts:
+        total = cnt if total is None else total + cnt
+    return df.select(
+        "doc_id",
+        *[cnt.cast("long").alias(f"n_{k}") for k, cnt in counts],
+        total.cast("long").alias("n_pii"),
+        F.md5(pii_redact(c)).alias("redacted_md5"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-lang hash sampling (rebalancing holdout carve:
     same (key, seed, rate) selects the same rows on ANY partitioning or
@@ -1174,6 +1219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "stream_drift_tdigest": q_stream_drift_tdigest,
+        # --- oracled but past the driver's 50-entry sample window: the
+        #     same rows+schema+values comparison runs in-tree instead
+        #     (tests/test_quality.py) and via tools/check_oracle.py ---
+        "repetition_profile": q_repetition_profile,
+        "dup_span_coverage": q_dup_span_coverage,
+        "pii_scan": q_pii_scan,
     }
 
 
@@ -1212,6 +1263,29 @@ def _summary_by_partition_sql() -> str:
         for col, kw, pred in _DOC_CHECKS_SQL
     ]
     return " UNION ALL ".join(parts)
+
+
+def _pii_scan_sql() -> str:
+    """PII-scan oracle generated from the SAME pattern table the Spark
+    query compiles (operators/quality.PII_PATTERNS) — the parity being
+    tested is Java-regex vs RE2 on the Java∩RE2 subset."""
+    from json_schema_spark.operators.quality import PII_PATTERNS
+
+    counts = ", ".join(
+        f"length(regexp_extract_all(text, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"length(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    red = "text"
+    for kind in ("email", "ssn", "phone", "ipv4"):
+        red = (f"regexp_replace({red}, '{PII_PATTERNS[kind]}', "
+               f"'[PII:{kind}]', 'g')")
+    return (
+        f"SELECT doc_id, {counts}, {total} AS n_pii, md5({red}) AS redacted_md5 "
+        f"FROM documents WHERE text IS NOT NULL"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1886,4 +1960,75 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "repetition_profile": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS n_grams,
+                CASE WHEN len(t) >= 1
+                     THEN round(1.0 - len(list_distinct(t)) / len(t), 9)
+                     ELSE 0.0 END AS dup_unigram_frac,
+                CASE WHEN len(t) >= 2
+                     THEN round(1.0 - len(list_distinct(list_transform(
+                            generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1]))) / (len(t) - 1), 9)
+                     ELSE 0.0 END AS dup_bigram_frac,
+                CASE WHEN len(t) >= 3
+                     THEN round(1.0 - len(list_distinct(list_transform(
+                            generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                          / (len(t) - 2), 9)
+                     ELSE 0.0 END AS dup_trigram_frac,
+                CASE WHEN len(t) >= 5
+                     THEN round(1.0 - len(list_distinct(list_transform(
+                            generate_series(1, len(t) - 4),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 || ' ' || t[i+3] || ' ' || t[i+4])))
+                          / (len(t) - 4), 9)
+                     ELSE 0.0 END AS dup_5gram_frac
+              FROM base),
+            grams AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+              FROM base, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(c) AS top_c FROM per GROUP BY 1)
+            SELECT s.doc_id, s.n_grams, s.dup_unigram_frac, s.dup_bigram_frac,
+                   s.dup_trigram_frac, s.dup_5gram_frac,
+                   CASE WHEN s.n_grams > 0
+                        THEN round(coalesce(top_c, 0) / s.n_grams, 9)
+                        ELSE 0.0 END AS top_ngram_frac
+            FROM sig s LEFT JOIN top USING (doc_id)
+        """,
+        "dup_span_coverage": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM base, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            gram_docs AS (
+              SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+            cov AS (
+              SELECT grams.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_spans
+              FROM grams JOIN gram_docs USING (g) GROUP BY grams.doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_spans, 0) AS n_spans,
+                   coalesce(dup_spans, 0) AS dup_spans,
+                   CASE WHEN coalesce(n_spans, 0) > 0
+                        THEN round(dup_spans / n_spans, 9)
+                        ELSE 0.0 END AS dup_span_frac
+            FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN cov USING (doc_id)
+        """,
+        "pii_scan": _pii_scan_sql(),
     }

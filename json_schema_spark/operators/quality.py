@@ -1,0 +1,280 @@
+"""Corpus-quality operators for training-data pipelines: Gopher-style
+repetition signals, cross-document duplicate-span coverage, and PII
+scanning/redaction.
+
+Reference scope note: the reference engine (fisxoj/json-schema) stops at
+per-document keyword validation; these operators are the §2.8
+training-pipeline extensions a web-scale corpus needs BEFORE schema
+validation even makes sense — filtering boilerplate-repetitive pages,
+measuring cross-document contamination, and scrubbing PII.
+
+Spark shapes (the 100 TB posture):
+
+* Tokenization is ALWAYS its own projection (``tokens_df``). Higher-
+  order functions are interpreted (never whole-stage-codegen'd) and
+  re-evaluate every embedded subtree once per lambda ELEMENT — an
+  inlined ``split(trim(text))`` inside a gram lambda is O(tokens²)
+  regex scans per document (measured: a 26-minute single task at a
+  5,000-doc benchmark scale; the same trap dedup.py's _ngrams_of
+  documents). With tokens materialized, every gram expression
+  references a plain attribute and the split runs once per row —
+  CollapseProject keeps the projection separate because the attribute
+  is referenced more than once.
+* Per-document signals (``repetition_signals``) are then O(tokens·n)
+  array expressions — no shuffle, no executor Python.
+* The one corpus-level operator (``duplicate_span_coverage``) hashes
+  every n-gram to a single xxhash64 BIGINT before the shuffle (rows
+  stay narrow), aggregates doc-counts per gram with a partial-
+  aggregable groupBy, and joins positions back on the hash — two
+  shuffles on the gram key, both AQE-coalesced; no all-pairs join
+  anywhere.
+* PII scanning is `regexp_count`/`regexp_replace` built-ins with
+  patterns restricted to the Java∩RE2 common subset so the DuckDB
+  oracle runs the identical expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import ws_tokens
+
+__all__ = [
+    "tokens_df",
+    "word_ngram_strings",
+    "dup_ngram_frac",
+    "repetition_signals",
+    "repetition_profile",
+    "duplicate_span_coverage",
+    "PII_PATTERNS",
+    "pii_counts",
+    "pii_redact",
+    "pii_profile",
+]
+
+
+def tokens_df(
+    df: DataFrame, id_col: str, text_col: str, toks_col: str = "__toks",
+) -> DataFrame:
+    """(id, toks) projection — the mandatory materialization step
+    before any gram lambda (see module docstring: an inlined split is
+    re-evaluated once per lambda element)."""
+    return df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias(toks_col))
+
+
+def word_ngram_strings(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of an ALREADY-MATERIALIZED token-array
+    column, as array<string>.
+
+    ``toks`` must be a plain column reference from a previous
+    projection (use :func:`tokens_df`), never an inline
+    ``ws_tokens(text)`` — the lambda body re-evaluates embedded
+    subtrees per element.  Empty/short texts yield an empty array
+    (never NULL) so downstream size() arithmetic stays three-valued-
+    logic-free.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_frac(toks: Column, n: int) -> Column:
+    """Within-document duplicate n-gram fraction (Gopher repetition
+    signal) over a materialized token-array column:
+    1 - distinct_grams/total_grams.  0.0 for texts shorter than ``n``
+    tokens.  Pure array expression — no explode, no shuffle.
+    """
+    grams = word_ngram_strings(toks, n)
+    return F.when(
+        F.size(grams) > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 9),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(toks: Column) -> list[tuple[str, Column]]:
+    """The per-document repetition stack as (name, Column) pairs over a
+    materialized token-array column: duplicate-fraction for 1/2/3/5-
+    grams.  Callers project them in one pass."""
+    return [
+        ("dup_unigram_frac", dup_ngram_frac(toks, 1)),
+        ("dup_bigram_frac", dup_ngram_frac(toks, 2)),
+        ("dup_trigram_frac", dup_ngram_frac(toks, 3)),
+        ("dup_5gram_frac", dup_ngram_frac(toks, 5)),
+    ]
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2,
+) -> DataFrame:
+    """Per-document repetition profile incl. the top-n-gram mass
+    fraction (fraction of n-gram slots taken by the single most
+    frequent n-gram — the Gopher "top 2-gram character fraction"
+    analog at token granularity).
+
+    Shape: two branches joined on the doc id.  The SIGNALS branch is
+    projection-only: tokens, then the four gram ARRAYS as their own
+    projection (one interpreted transform each per doc row), then
+    fracs as cheap array ops over those attributes.  The TOP-GRAM
+    branch explodes the n-grams and runs two partial-aggregable
+    groupBys.  Signals must NOT ride the groupBy as grouping keys: the
+    optimizer collapses computed grouping keys into the aggregate's
+    input projection, re-evaluating every gram lambda once per
+    EXPLODED row instead of once per document (measured 96 s of CPU on
+    5,000 docs before this split; ~1 s after).
+    """
+    toks = F.col("__toks")
+    tdf = tokens_df(df, id_col, text_col)
+    gram_arrays = tdf.select(
+        F.col(id_col),
+        *[word_ngram_strings(toks, k).alias(f"__g{k}") for k in (1, 2, 3, 5)],
+        word_ngram_strings(toks, n).alias("__gn"),
+    )
+
+    def _frac(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 9),
+        ).otherwise(F.lit(0.0))
+
+    signals = gram_arrays.select(
+        F.col(id_col),
+        F.size("__gn").alias("n_grams"),
+        _frac(F.col("__g1")).alias("dup_unigram_frac"),
+        _frac(F.col("__g2")).alias("dup_bigram_frac"),
+        _frac(F.col("__g3")).alias("dup_trigram_frac"),
+        _frac(F.col("__g5")).alias("dup_5gram_frac"),
+    )
+    exploded = tdf.select(
+        F.col(id_col),
+        F.explode_outer(word_ngram_strings(toks, n)).alias("__gram"),
+    )
+    top = (
+        exploded.groupBy(id_col, "__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max(F.when(F.col("__gram").isNotNull(), F.col("__c"))
+                   .otherwise(F.lit(0))).alias("__top"))
+    )
+    return signals.join(top, id_col).select(
+        id_col, "n_grams",
+        "dup_unigram_frac", "dup_bigram_frac",
+        "dup_trigram_frac", "dup_5gram_frac",
+        F.when(F.col("n_grams") > 0,
+               F.round(F.col("__top") / F.col("n_grams"), 9))
+        .otherwise(F.lit(0.0)).alias("top_ngram_frac"),
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame, id_col: str, text_col: str, n: int = 10,
+) -> DataFrame:
+    """Cross-document duplicate-span coverage: for each document, the
+    fraction of its n-gram positions whose n-gram also occurs in at
+    least one OTHER document — the n-gram-granular analog of exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better") that a SQL engine can actually run
+    at corpus scale.
+
+    Returns (id, n_spans, dup_spans, dup_span_frac).
+
+    Scale shape: grams are xxhash64-hashed BIGINTs before any shuffle;
+    gram -> distinct-doc-count is two partial-aggregable groupBys
+    (dedupe (doc,gram), then count per gram — NO countDistinct row
+    explosion); the position join back is a plain equi-join on the
+    8-byte hash.  Stop-gram skew is bounded: a gram occurring in k
+    docs contributes k join rows, linear in corpus positions.
+    """
+    toks = F.col("__toks")
+    # explode_outer + post-filter on the GENERATED attribute: plain
+    # explode lets InferFiltersFromGenerate push a size()>0 filter that
+    # duplicates the whole gram expression below the projection
+    # (shingle_grams documents the same trap)
+    pos = (
+        tokens_df(df, id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.transform(word_ngram_strings(toks, n),
+                            lambda g: F.xxhash64(g))).alias("__g"),
+        )
+        .where(F.col("__g").isNotNull())
+    )
+    doc_gram = pos.select(id_col, "__g").distinct()
+    gram_docs = doc_gram.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n_docs"))
+    covered = (
+        pos.join(gram_docs, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__n_docs") > 1).cast("long")).alias("dup_spans"),
+        )
+    )
+    all_docs = df.select(id_col).distinct()
+    return (
+        all_docs.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.when(F.coalesce("n_spans", F.lit(0)) > 0,
+                   F.round(F.col("dup_spans") / F.col("n_spans"), 9))
+            .otherwise(F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scanning / redaction
+# ---------------------------------------------------------------------------
+
+# Java∩RE2 common-subset patterns (no backrefs, no lookaround) so the
+# DuckDB oracle can run the byte-identical expressions.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — deliberately loose, the web-pipeline norm
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # NANP-ish phone: optional +1, 3-3-4 groups with ./-/space seps
+    "phone": r"(\+1[ .\-]?)?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}",
+    # dotted-quad with 1-3 digit octets (validation-grade ipv4 lives in
+    # functions/formats.py; this is a scan pattern)
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    # US SSN shape
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_counts(col: Column) -> list[tuple[str, Column]]:
+    """(kind, count Column) per PII pattern — regexp_count built-ins,
+    fully codegen."""
+    return [(k, F.regexp_count(col, F.lit(p))) for k, p in PII_PATTERNS.items()]
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace every PII match with ``[PII:<kind>]``.  Order matters:
+    email before phone/ipv4 so '1.2.3.4@x.co' redacts as one email,
+    and ssn before phone so a 3-2-4 group is not half-eaten by the
+    phone pattern's 3-3-4."""
+    out = col
+    for kind in ("email", "ssn", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[PII:{kind}]")
+    return out
+
+
+def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII counts + a total, one projection pass."""
+    c = F.col(text_col)
+    counts = pii_counts(c)
+    total = None
+    for _, cnt in counts:
+        total = cnt if total is None else total + cnt
+    return df.select(
+        F.col(id_col),
+        *[cnt.cast("long").alias(f"n_{k}") for k, cnt in counts],
+        total.cast("long").alias("n_pii"),
+    )

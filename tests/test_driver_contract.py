@@ -45,19 +45,34 @@ def test_every_query_has_oracle_or_documented_reason():
     assert not orphans, f"oracle SQL without a query: {orphans}"
 
 
-def test_oracled_queries_precede_rows_only():
+# oracled, but deliberately placed PAST the driver's 50-entry sample
+# window (all 50 in-window slots taken): the identical rows+schema+
+# values comparison runs in-tree every pytest run instead
+PAST_WINDOW_ORACLED = {
+    "repetition_profile": "tests/test_quality.py",
+    "dup_span_coverage": "tests/test_quality.py",
+    "pii_scan": "tests/test_quality.py",
+}
+
+
+def test_driver_sample_window_is_fully_oracled():
     """VERDICT r3 #2: the driver value-checks only the FIRST 50
-    queries() entries. Every oracled query must come before every
-    rows-only query so the sample window can never drop one."""
+    queries() entries. All 50 in-window slots must be oracled queries;
+    any oracled query past the window must carry an in-tree pytest
+    running the same DuckDB comparison."""
     qs, oracles = em.queries(), em.oracle_sql()
     names = list(qs)
-    first_rows_only = min(names.index(n) for n in ROWS_ONLY if n in qs)
-    late = [n for n in names[first_rows_only:] if n in oracles]
-    assert not late, f"oracled queries after a rows-only entry: {late}"
-    n_oracled = sum(1 for n in names if n in oracles)
-    assert n_oracled <= 50, (
-        f"{n_oracled} oracled queries exceed the driver's 50-row sample"
-    )
+    not_oracled_in_window = [n for n in names[:50] if n not in oracles]
+    assert not not_oracled_in_window, (
+        f"driver sample window wastes slots on rows-only queries: "
+        f"{not_oracled_in_window}")
+    undocumented = [
+        n for n in names[50:]
+        if n in oracles and n not in PAST_WINDOW_ORACLED
+    ]
+    assert not undocumented, (
+        f"oracled queries past the driver window without an in-tree "
+        f"oracle pytest: {undocumented}")
 
 
 # rows-only for the DRIVER (oracle-slot cap) but still value-checked

@@ -1,0 +1,186 @@
+"""Corpus-quality operators: repetition signals, duplicate-span
+coverage, PII scan/redact — incl. direct DuckDB oracle parity (these
+queries sit past the driver's 50-entry sample window, so their oracle
+check lives HERE; tools/check_oracle.py runs the same comparison)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.operators.quality import (
+    dup_ngram_frac,
+    duplicate_span_coverage,
+    pii_counts,
+    pii_profile,
+    pii_redact,
+    repetition_profile,
+    tokens_df,
+    word_ngram_strings,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "spam spam spam spam spam"),                     # max repetition
+    (2, "the cat sat on the mat and then the cat sat"),  # shares spans with 0
+    (3, "completely unique words nothing shared here"),
+    (4, ""),                                             # degenerate
+    (5, None),                                           # degenerate
+    (6, "one"),                                          # shorter than n
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_word_ngram_strings(docs):
+    rows = {r["doc_id"]: r["g"] for r in tokens_df(docs, "doc_id", "text")
+            .select("doc_id",
+                    word_ngram_strings(F.col("__toks"), 2).alias("g"))
+            .collect()}
+    assert rows[0] == ["the cat", "cat sat", "sat on", "on the", "the mat"]
+    assert rows[4] == [] and rows[5] == [] and rows[6] == []
+
+
+def test_dup_ngram_frac(docs):
+    rows = {r["doc_id"]: r["f"] for r in tokens_df(docs, "doc_id", "text")
+            .select("doc_id",
+                    dup_ngram_frac(F.col("__toks"), 1).alias("f"))
+            .collect()}
+    assert rows[1] == pytest.approx(1 - 1 / 5)   # 5 tokens, 1 distinct
+    assert rows[3] == 0.0                        # all distinct
+    assert rows[4] == 0.0 and rows[5] == 0.0     # degenerate -> 0, not NULL
+
+
+def test_repetition_profile_values(docs):
+    got = {r["doc_id"]: r.asDict() for r in
+           repetition_profile(docs, "doc_id", "text", n=2).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6}
+    # doc 1: bigrams = 4x "spam spam" -> top frac 1.0, dup bigram frac 3/4
+    assert got[1]["top_ngram_frac"] == 1.0
+    assert got[1]["dup_bigram_frac"] == pytest.approx(0.75)
+    # doc 0: all 5 bigrams distinct
+    assert got[0]["top_ngram_frac"] == pytest.approx(1 / 5)
+    assert got[0]["dup_bigram_frac"] == 0.0
+    # degenerate docs survive with zeros
+    assert got[4]["n_grams"] == 0 and got[4]["top_ngram_frac"] == 0.0
+    assert got[6]["n_grams"] == 0
+
+
+def test_duplicate_span_coverage_values(docs):
+    got = {r["doc_id"]: r.asDict() for r in
+           duplicate_span_coverage(docs, "doc_id", "text", n=3).collect()}
+    # docs 0 and 2 share "the cat sat" / "cat sat on" / "sat on the" /
+    # "on the mat"(doc0) vs doc2's trigram set
+    assert got[0]["dup_spans"] > 0
+    assert got[2]["dup_spans"] > 0
+    assert got[3]["dup_spans"] == 0 and got[3]["dup_span_frac"] == 0.0
+    assert got[1]["n_spans"] == 3  # "spam spam spam" x3 positions
+    # within-doc-only repetition is NOT cross-doc duplication
+    assert got[1]["dup_spans"] == 0
+    assert got[4]["n_spans"] == 0 and got[5]["n_spans"] == 0
+
+
+@pytest.mark.parametrize("build", [
+    lambda d: repetition_profile(d, "doc_id", "text", n=2),
+    lambda d: duplicate_span_coverage(d, "doc_id", "text", n=3),
+])
+def test_plan_splits_once_per_row(docs, build):
+    """Plan-shape guard for the O(tokens²)-splits trap: higher-order
+    gram lambdas are interpreted and re-evaluate inlined subtrees per
+    ELEMENT, so the tokenizing split() must appear in the optimized
+    plan exactly once per scan branch (its own projection), never
+    inside a lambda body.  The original inlined form burned 26 CPU-
+    minutes on one task at a 5,000-doc bench scale."""
+    plan = build(docs)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        # the tokenizing Project is its own plan node; any node holding
+        # BOTH a lambda and a split() has re-inlined the tokenizer into
+        # a gram lambda (each node prints as one line of the tree) —
+        # that's one interpreted split per lambda ELEMENT
+        assert not ("lambdafunction" in line and "split(" in line), (
+            f"split() inlined into a lambda-bearing node: {line[:300]}")
+        # no gram lambda may be collapsed into an Aggregate: computed
+        # grouping keys are re-evaluated once per EXPLODED row (96 s of
+        # CPU on 5k docs when the signal columns rode the groupBy keys)
+        assert not ("Aggregate [" in line and "lambdafunction" in line), (
+            f"gram lambda inside an Aggregate node: {line[:300]}")
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if "float" in str(df[c].dtype):
+            df[c] = df[c].round(9)
+        if "int" in str(df[c].dtype).lower():
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["repetition_profile", "dup_span_coverage", "pii_scan"])
+def test_past_window_queries_match_duckdb_oracle(spark, name):
+    """The exact sf0.01 driver comparison, run in-tree: these queries
+    sit past the driver's 50-entry sample window
+    (tests/test_driver_contract.PAST_WINDOW_ORACLED)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    sdf = entry.queries()[name](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    odf = con.execute(entry.oracle_sql()[name]).df()
+    assert len(sdf) > 0
+    pd.testing.assert_frame_equal(_canon(sdf), _canon(odf), check_dtype=False)
+
+
+PII_DOCS = [
+    (0, "contact alice.smith+spam@example.co.uk or call 555-123-4567"),
+    (1, "server at 10.0.255.3 and 192.168.1.1; ssn 123-45-6789"),
+    (2, "no pii here at all"),
+    (3, "+1 (555) 123-4567 and bob@x.io"),
+    (4, None),
+]
+
+
+def test_pii_counts_and_redact(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    prof = {r["doc_id"]: r.asDict() for r in
+            pii_profile(df, "doc_id", "text").collect()}
+    assert prof[0]["n_email"] == 1 and prof[0]["n_phone"] == 1
+    assert prof[1]["n_ipv4"] == 2 and prof[1]["n_ssn"] == 1
+    assert prof[2]["n_pii"] == 0
+    assert prof[3]["n_email"] == 1 and prof[3]["n_phone"] == 1
+    assert prof[4]["n_pii"] is None  # NULL text -> NULL counts, not 0
+
+    red = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", pii_redact(F.col("text")).alias("red")).collect()}
+    assert red[0] == "contact [PII:email] or call [PII:phone]"
+    assert red[1] == "server at [PII:ipv4] and [PII:ipv4]; ssn [PII:ssn]"
+    assert red[2] == "no pii here at all"
+    assert "@" not in red[3] and "555" not in red[3]
+
+
+def test_pii_patterns_duckdb_parity(spark):
+    """The patterns are written in the Java∩RE2 subset; prove RE2
+    (DuckDB) counts the same matches Java (Spark) does."""
+    from json_schema_spark.operators.quality import PII_PATTERNS
+
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    sdf = df.where(F.col("text").isNotNull()).select(
+        "doc_id", *[c.alias(k) for k, c in pii_counts(F.col("text"))]
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("pii_docs", pd.DataFrame(PII_DOCS, columns=["doc_id", "text"]))
+    cols = ", ".join(
+        f"length(regexp_extract_all(text, '{p}')) AS {k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    odf = con.execute(
+        f"SELECT doc_id, {cols} FROM pii_docs WHERE text IS NOT NULL"
+    ).df()
+    pd.testing.assert_frame_equal(_canon(sdf), _canon(odf), check_dtype=False)
