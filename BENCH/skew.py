@@ -167,6 +167,16 @@ def main() -> None:
     results["dedup_groups"] = {"groups": n_grp, **stats}
     pairs.unpersist()
 
+    # 5. cross-doc duplicate-span coverage (operators/quality.py): the
+    # 25% boilerplate cluster makes its trigrams ~250k-doc-hot — the
+    # stop-gram-skew case the operator's hash-join-back shape must
+    # absorb (each gram contributes rows LINEAR in its positions)
+    from json_schema_spark.operators.quality import duplicate_span_coverage
+    n_half_dup, stats = timed(watch, lambda: duplicate_span_coverage(
+        texts, "doc_id", "text", n=3)
+        .where(F.col("dup_span_frac") > 0.5).count())
+    results["dup_span_coverage"] = {"docs_over_half_dup": n_half_dup, **stats}
+
     worst = max(v["worst_ratio"] for v in results.values()
                 if isinstance(v, dict) and "worst_ratio" in v
                 and v is not results["dedup_minhash_uncapped_slice"])
