@@ -888,6 +888,21 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_coverage(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (GPT-3-style n-gram overlap): treat
+    source='src0' documents as the EVAL set and everything else as the
+    TRAINING corpus; per eval doc, the fraction of trigram positions
+    found anywhere in training. Training side collapses to a distinct
+    BIGINT gram-hash set (one shuffle, reusable across eval sets); the
+    eval side left-joins it — output linear in eval positions."""
+    from json_schema_spark.operators.quality import cross_contamination
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.where(F.col("source").eqNullSafe("src0"))
+    train = docs.where(~F.col("source").eqNullSafe("src0"))
+    return cross_contamination(train, eval_df, "doc_id", "text", n=3)
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII scan + redaction digest: regexp_count per
     pattern (email/phone/ipv4/ssn, Java∩RE2 subset so the oracle runs
@@ -1225,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "dup_span_coverage": q_dup_span_coverage,
         "pii_scan": q_pii_scan,
+        "contamination_check": q_contamination_check,
     }
 
 
@@ -2031,4 +2047,35 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN cov USING (doc_id)
         """,
         "pii_scan": _pii_scan_sql(),
+        "contamination_check": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents),
+            tr AS (
+              SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3
+                AND (source IS NULL OR source <> 'src0')),
+            ev AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3 AND source = 'src0'),
+            ov AS (
+              SELECT ev.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+                       AS hit_spans
+              FROM ev LEFT JOIN tr ON ev.g = tr.g GROUP BY ev.doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_spans, 0) AS n_spans,
+                   coalesce(hit_spans, 0) AS hit_spans,
+                   CASE WHEN coalesce(n_spans, 0) > 0
+                        THEN round(hit_spans / n_spans, 9)
+                        ELSE 0.0 END AS contamination_frac
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE source = 'src0') d
+            LEFT JOIN ov USING (doc_id)
+        """,
     }

@@ -47,6 +47,7 @@ __all__ = [
     "repetition_signals",
     "repetition_profile",
     "duplicate_span_coverage",
+    "cross_contamination",
     "PII_PATTERNS",
     "pii_counts",
     "pii_redact",
@@ -226,6 +227,62 @@ def duplicate_span_coverage(
             F.when(F.coalesce("n_spans", F.lit(0)) > 0,
                    F.round(F.col("dup_spans") / F.col("n_spans"), 9))
             .otherwise(F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )
+
+
+def cross_contamination(
+    train: DataFrame, eval_df: DataFrame,
+    id_col: str, text_col: str, n: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination (the GPT-3/PaLM n-gram overlap
+    check): for each EVAL document, the fraction of its n-gram
+    positions whose n-gram appears anywhere in the TRAINING corpus.
+
+    Returns (id, n_spans, hit_spans, contamination_frac) — one row per
+    eval document, including gram-less ones (zeros).
+
+    Scale shape: the training side collapses to its DISTINCT gram-hash
+    set (xxhash64 BIGINTs, one partial-aggregable dedupe — at 100 TB
+    this is the big side but it shuffles narrow 8-byte rows exactly
+    once and can be persisted/bucketed for reuse across eval sets);
+    eval positions LEFT-join that set on the hash, so the output is
+    linear in eval positions.  No all-pairs anywhere.
+    """
+    def _pos(df: DataFrame) -> DataFrame:
+        toks = F.col("__toks")
+        return (
+            tokens_df(df, id_col, text_col)
+            .select(
+                F.col(id_col),
+                F.explode_outer(
+                    F.transform(word_ngram_strings(toks, n),
+                                lambda g: F.xxhash64(g))).alias("__g"),
+            )
+            .where(F.col("__g").isNotNull())
+        )
+
+    train_grams = _pos(train).select("__g").distinct() \
+        .withColumn("__hit", F.lit(1))
+    overlap = (
+        _pos(eval_df)
+        .join(train_grams, "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce("__hit", F.lit(0)).cast("long")).alias("hit_spans"),
+        )
+    )
+    return (
+        eval_df.select(id_col).distinct()
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("hit_spans", F.lit(0)).alias("hit_spans"),
+            F.when(F.coalesce("n_spans", F.lit(0)) > 0,
+                   F.round(F.col("hit_spans") / F.col("n_spans"), 9))
+            .otherwise(F.lit(0.0)).alias("contamination_frac"),
         )
     )
 

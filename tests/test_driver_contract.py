@@ -52,6 +52,7 @@ PAST_WINDOW_ORACLED = {
     "repetition_profile": "tests/test_quality.py",
     "dup_span_coverage": "tests/test_quality.py",
     "pii_scan": "tests/test_quality.py",
+    "contamination_check": "tests/test_quality.py",
 }
 
 

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from json_schema_spark.operators.quality import (
+    cross_contamination,
     dup_ngram_frac,
     duplicate_span_coverage,
     pii_counts,
@@ -85,9 +86,29 @@ def test_duplicate_span_coverage_values(docs):
     assert got[4]["n_spans"] == 0 and got[5]["n_spans"] == 0
 
 
+def test_cross_contamination_values(docs):
+    train = docs.where("doc_id IN (0, 3)")     # "the cat sat on the mat" + unique words
+    ev = docs.where("doc_id IN (1, 2, 4, 6)")
+    got = {r["doc_id"]: r.asDict() for r in
+           cross_contamination(train, ev, "doc_id", "text", n=3).collect()}
+    assert set(got) == {1, 2, 4, 6}
+    # doc 2 shares "the cat sat"/"cat sat on"/"sat on the"/"on the mat"
+    # with train doc 0, plus the trailing REPEAT of "the cat sat"
+    # (positions count, not distinct grams); its middle trigrams are novel
+    assert got[2]["hit_spans"] == 5 and got[2]["n_spans"] == 9
+    assert 0 < got[2]["contamination_frac"] < 1
+    # doc 1 ("spam spam ...") shares nothing with train
+    assert got[1]["hit_spans"] == 0 and got[1]["contamination_frac"] == 0.0
+    # degenerate eval docs survive with zeros
+    assert got[4]["n_spans"] == 0 and got[6]["n_spans"] == 0
+
+
 @pytest.mark.parametrize("build", [
     lambda d: repetition_profile(d, "doc_id", "text", n=2),
     lambda d: duplicate_span_coverage(d, "doc_id", "text", n=3),
+    lambda d: cross_contamination(d.where("doc_id % 2 = 0"),
+                                  d.where("doc_id % 2 = 1"),
+                                  "doc_id", "text", n=3),
 ])
 def test_plan_splits_once_per_row(docs, build):
     """Plan-shape guard for the O(tokens²)-splits trap: higher-order
@@ -122,7 +143,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "name", ["repetition_profile", "dup_span_coverage", "pii_scan"])
+    "name", ["repetition_profile", "dup_span_coverage", "pii_scan",
+             "contamination_check"])
 def test_past_window_queries_match_duckdb_oracle(spark, name):
     """The exact sf0.01 driver comparison, run in-tree: these queries
     sit past the driver's 50-entry sample window
