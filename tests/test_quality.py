@@ -160,6 +160,52 @@ def test_past_window_queries_match_duckdb_oracle(spark, name):
     pd.testing.assert_frame_equal(_canon(sdf), _canon(odf), check_dtype=False)
 
 
+@pytest.mark.parametrize("seed", [7, 23, 911])
+def test_quality_queries_fuzz_vs_duckdb(spark, tmp_path, seed):
+    """Seeded-random corpora through the ACTUAL driver contract: write
+    a synthetic documents.parquet (hostile shapes: empty/NULL texts,
+    run-on whitespace, single tokens, heavy repeats, cross-doc shared
+    spans), then run every quality query and its DuckDB oracle on it —
+    the same comparison the fixed sf0.01 check runs, across corpora
+    chosen by an adversary instead of the test-data generator."""
+    import random
+
+    import __spark_entry__ as entry
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "cc", "dd", "the", "x9"]
+    seps = [" ", "  ", "\t", " \t "]
+
+    def text(i: int):
+        r = rng.random()
+        if r < 0.08:
+            return None
+        if r < 0.16:
+            return rng.choice(["", " ", "\t\t"])
+        n = rng.randint(1, 12)
+        if r < 0.3:                       # heavy within-doc repeat
+            tok = rng.choice(vocab)
+            return rng.choice(seps).join([tok] * n)
+        return rng.choice(seps).join(rng.choices(vocab, k=n))
+
+    rows = [(i, text(i), f"src{i % 3}") for i in range(60)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    # Spark writes a DIRECTORY of part files; the driver tables are
+    # single files, so the fixed-path tests use the bare name
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf}/documents.parquet/*.parquet'")
+    for name in ("repetition_profile", "dup_span_coverage", "pii_scan",
+                 "contamination_check"):
+        sdf = entry.queries()[name](spark, sf).toPandas()
+        odf = con.execute(entry.oracle_sql()[name]).df()
+        pd.testing.assert_frame_equal(
+            _canon(sdf), _canon(odf), check_dtype=False), name
+
+
 PII_DOCS = [
     (0, "contact alice.smith+spam@example.co.uk or call 555-123-4567"),
     (1, "server at 10.0.255.3 and 192.168.1.1; ssn 123-45-6789"),
