@@ -600,13 +600,26 @@ class IceTable:
                             {"added_columns": sorted(set(new) - set(old))},
                             schema=new_schema_ddl)
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
+                cluster_by: list[str] | None = None) -> int:
         """Rewrite the current snapshot into fewer, larger files
         (op="replace": same rows, new layout). Streaming sinks commit
         one small file set per micro-batch — the classic small-file
         problem; compaction is how the table stays scannable. Old files
         remain on disk until :meth:`expire_snapshots`, so time travel
-        to pre-compaction snapshots keeps working."""
+        to pre-compaction snapshots keeps working.
+
+        ``cluster_by`` additionally RANGE-clusters the rewrite on the
+        given columns (Iceberg's rewrite-with-sort-order): a range
+        repartition + in-partition sort gives each output file a
+        DISJOINT min/max window on those columns, so the manifest
+        stats pruning in :meth:`plan_files` goes from keep-everything
+        (every file spans the full value range after random appends)
+        to O(files-overlapping-the-predicate) for point and range
+        filters — the cheap alternative to a Bloom sidecar when reads
+        filter by RANGE rather than equality. The range sampling is
+        one extra pass over the input, paid at maintenance time only.
+        """
         meta = self._read_meta()
         cur = meta["current_snapshot_id"]
         if cur is None:
@@ -615,7 +628,14 @@ class IceTable:
         total = sum(e["bytes"] for e in entries)
         n_files = max(1, -(-total // target_file_bytes))  # ceil
         df = self.scan()
-        if meta["partition_by"]:
+        if cluster_by:
+            # partition columns lead the range key so a partitioned
+            # table still co-locates each partition value before the
+            # in-partition cluster ordering
+            cols = [*(meta["partition_by"] or []), *cluster_by]
+            df = (df.repartitionByRange(n_files, *cols)
+                    .sortWithinPartitions(*cols))
+        elif meta["partition_by"]:
             # co-locate each partition value in one task: a round-robin
             # repartition before partitionBy would emit up to
             # n_files x |partitions| files — WORSE than before
@@ -624,10 +644,12 @@ class IceTable:
             df = df.repartition(n_files)
         new = self._stage(df, meta["partition_by"],
                           meta.get("bloom_cols"))
+        summary = {"compacted_files": len(entries), "new_files": len(new),
+                   "rows": sum(e["rows"] for e in new)}
+        if cluster_by:
+            summary["cluster_by"] = list(cluster_by)
         return self._commit(
-            meta, "replace",
-            {"compacted_files": len(entries), "new_files": len(new),
-             "rows": sum(e["rows"] for e in new)},
+            meta, "replace", summary,
             new_entries=new, replace_all=True,
         )
 

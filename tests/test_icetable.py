@@ -806,3 +806,33 @@ def test_manifest_list_partial_overwrite_rewrites_minimum(spark, tmp_path):
     got = {(r["lang"], r["doc_id"]) for r in t.scan().collect()}
     assert got == ({("en", i) for i in range(10)}
                    | {("de", i) for i in range(200, 210)})
+
+
+def test_compact_cluster_by_prunes_ranges(spark, tmp_path):
+    """Range-clustered compaction (compact(cluster_by=...)): after
+    random-interleave appends every file spans the full value range so
+    stats pruning keeps everything; the clustered rewrite gives files
+    DISJOINT min/max windows and a range predicate then plans only the
+    overlapping few — same rows either way."""
+    t = IceTable.create(spark, str(tmp_path / "t"), "doc_id long, v long", [])
+    for s in range(4):  # each append spans the FULL v range
+        df = spark.range(0, 1000).select(
+            (F.col("id") + s * 1000).alias("doc_id"),
+            F.pmod(F.col("id") * 2654435761 + s, F.lit(1000)).alias("v"))
+        t.append(df)
+    filt = [("v", ">=", 100), ("v", "<", 200)]
+    # un-clustered layout: stats cannot prune a single file
+    assert len(t.plan_files(filt)) == len(t.plan_files())
+    baseline = sorted(t.scan(filt).select("doc_id", "v").collect())
+
+    t.compact(target_file_bytes=8 * 1024, cluster_by=["v"])
+    snap = t.snapshots()[-1]
+    assert snap["operation"] == "replace"
+    assert snap["summary"]["cluster_by"] == ["v"]
+    files = t.plan_files()
+    assert len(files) >= 4, "test needs a multi-file layout to mean anything"
+    pruned = t.plan_files(filt)
+    assert len(pruned) <= max(2, len(files) // 3), (
+        f"clustered layout should plan few files: {len(pruned)}/{len(files)}")
+    # pruning is a pure optimization: identical rows
+    assert sorted(t.scan(filt).select("doc_id", "v").collect()) == baseline
