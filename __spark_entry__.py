@@ -903,6 +903,18 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_contamination(train, eval_df, "doc_id", "text", n=3)
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing roll-up: documents hash
+    into shards (md5 bucket, partitioning-independent) and fill
+    contiguous budget windows in id order — one window + one aggregate
+    per shard, all shards parallel. The padding-waste report a
+    pretraining packing run is judged by."""
+    from json_schema_spark.operators.packing import pack_summary
+
+    return pack_summary(_docs(spark, sf_dir), "doc_id", "text",
+                        budget=256, n_shards=8)
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII scan + redaction digest: regexp_count per
     pattern (email/phone/ipv4/ssn, Java∩RE2 subset so the oracle runs
@@ -1241,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage": q_dup_span_coverage,
         "pii_scan": q_pii_scan,
         "contamination_check": q_contamination_check,
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -2077,5 +2090,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents
                   WHERE source = 'src0') d
             LEFT JOIN ov USING (doc_id)
+        """,
+        "sequence_packing": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'),
+                                     1, 15))::BIGINT % 8 AS shard
+              FROM documents),
+            packed AS (
+              SELECT shard, least(n_tokens, 256) AS packed_tokens,
+                     sum(least(n_tokens, 256)) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS rsum
+              FROM base),
+            asg AS (
+              SELECT shard, packed_tokens,
+                     CAST(floor((rsum - packed_tokens) / 256.0) AS BIGINT)
+                       AS pack_id
+              FROM packed)
+            SELECT shard, pack_id, count(*) AS n_docs,
+                   sum(packed_tokens) AS pack_tokens,
+                   round(sum(packed_tokens) / 256.0, 9) AS fill_ratio
+            FROM asg GROUP BY shard, pack_id
         """,
     }

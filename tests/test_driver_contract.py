@@ -53,6 +53,7 @@ PAST_WINDOW_ORACLED = {
     "dup_span_coverage": "tests/test_quality.py",
     "pii_scan": "tests/test_quality.py",
     "contamination_check": "tests/test_quality.py",
+    "sequence_packing": "tests/test_quality.py",
 }
 
 

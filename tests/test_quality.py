@@ -142,9 +142,34 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def test_pack_assignments_greedy_boundaries(spark):
+    """Contiguous-fill semantics: pack = budget window of the START
+    offset; a straddler stays whole in its start pack; over-budget
+    docs truncate to one pack; zero-token docs are zero-width."""
+    from json_schema_spark.operators.packing import (
+        pack_assignments, pack_summary)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([4, 4, 4, 25, 0, 3])],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pack_assignments(
+        df, "doc_id", "text", budget=10, n_shards=1).collect()}
+    # id-ordered offsets: 0,4,8,12(capped 10->offset 12),22,22
+    assert [got[i]["pack_id"] for i in range(6)] == [0, 0, 0, 1, 2, 2]
+    assert got[3]["packed_tokens"] == 10 and got[3]["n_tokens"] == 25
+    assert got[4]["packed_tokens"] == 0
+    packs = {(r["shard"], r["pack_id"]): r.asDict() for r in pack_summary(
+        df, "doc_id", "text", budget=10, n_shards=1).collect()}
+    assert packs[(0, 0)]["n_docs"] == 3 and packs[(0, 0)]["pack_tokens"] == 12
+    assert packs[(0, 0)]["fill_ratio"] == pytest.approx(1.2)  # straddler
+    with pytest.raises(ValueError):
+        pack_assignments(df, "doc_id", "text", budget=0)
+
+
 @pytest.mark.parametrize(
     "name", ["repetition_profile", "dup_span_coverage", "pii_scan",
-             "contamination_check"])
+             "contamination_check", "sequence_packing"])
 def test_past_window_queries_match_duckdb_oracle(spark, name):
     """The exact sf0.01 driver comparison, run in-tree: these queries
     sit past the driver's 50-entry sample window
@@ -199,7 +224,7 @@ def test_quality_queries_fuzz_vs_duckdb(spark, tmp_path, seed):
     con.execute(f"CREATE VIEW documents AS SELECT * "
                 f"FROM '{sf}/documents.parquet/*.parquet'")
     for name in ("repetition_profile", "dup_span_coverage", "pii_scan",
-                 "contamination_check"):
+                 "contamination_check", "sequence_packing"):
         sdf = entry.queries()[name](spark, sf).toPandas()
         odf = con.execute(entry.oracle_sql()[name]).df()
         pd.testing.assert_frame_equal(
