@@ -194,8 +194,14 @@ def main() -> None:
         line["queries"] = {k: round(v, 2) for k, v in times.items()}
         out_s = json.dumps(line)
     if len(out_s) > 1900:
-        for k in ("skew_worst_ratio", "skew_pass_4x",
-                  "constraint_pass_wall_s", "metric"):
+        # shed fields derivable from the side artifact BEFORE touching
+        # the soak/recall scalars (64 queries crossed this threshold)
+        for k in ("constraint_pass_wall_s", "n_docs", "cpus"):
+            line.pop(k, None)
+        out_s = json.dumps(line)
+    if len(out_s) > 1900:
+        for k in ("skew_worst_ratio", "skew_pass_4x", "ann1m_recall_lsh",
+                  "ann1m_recall_ivf", "variant_speedup", "metric"):
             line.pop(k, None)
         out_s = json.dumps(line)
     print(out_s)
