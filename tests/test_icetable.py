@@ -836,3 +836,30 @@ def test_compact_cluster_by_prunes_ranges(spark, tmp_path):
         f"clustered layout should plan few files: {len(pruned)}/{len(files)}")
     # pruning is a pure optimization: identical rows
     assert sorted(t.scan(filt).select("doc_id", "v").collect()) == baseline
+
+
+def test_compact_cluster_by_composes_with_partitioning(spark, tmp_path):
+    """cluster_by on a PARTITIONED table: partition columns lead the
+    range key, so each partition value still lands in its own Hive dir
+    while files within a partition get disjoint cluster-column
+    windows — partition pruning and stats pruning then compose."""
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        "doc_id long, v long, lang string", ["lang"])
+    for s in range(3):
+        df = spark.range(0, 600).select(
+            (F.col("id") + s * 600).alias("doc_id"),
+            F.pmod(F.col("id") * 2654435761 + s, F.lit(1000)).alias("v"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+        t.append(df)
+    t.compact(target_file_bytes=4 * 1024, cluster_by=["v"])
+    files = t.plan_files()
+    assert all(e["partition"]["lang"] in ("en", "de") for e in files)
+    both = [("lang", "=", "en"), ("v", ">=", 100), ("v", "<", 200)]
+    pruned = t.plan_files(both)
+    en_files = [e for e in files if e["partition"]["lang"] == "en"]
+    assert len(en_files) >= 3
+    assert len(pruned) < len(en_files), "stats pruning must act WITHIN the partition"
+    assert all(e["partition"]["lang"] == "en" for e in pruned)
+    expect = sorted(t.scan().where("lang='en' and v >= 100 and v < 200")
+                    .select("doc_id").collect())
+    assert sorted(t.scan(both).select("doc_id").collect()) == expect
