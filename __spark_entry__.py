@@ -903,6 +903,16 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_contamination(train, eval_df, "doc_id", "text", n=3)
 
 
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality signal per document (boilerplate
+    proxy). No JVM/SQL twin exists for deflate, so this is rows-only
+    by nature; tests/test_quality.py pins the values against direct
+    zlib.compress calls."""
+    from json_schema_spark.operators.quality import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget sequence packing roll-up: documents hash
     into shards (md5 bucket, partitioning-independent) and fill
@@ -1254,6 +1264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "contamination_check": q_contamination_check,
         "sequence_packing": q_sequence_packing,
+        # rows-only by NATURE (deflate has no SQL twin); value-pinned
+        # vs direct zlib in tests/test_quality.py
+        "compression_signal": q_compression_signal,
     }
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "repetition_profile",
     "duplicate_span_coverage",
     "cross_contamination",
+    "compression_ratio",
     "PII_PATTERNS",
     "pii_counts",
     "pii_redact",
@@ -284,6 +285,59 @@ def cross_contamination(
                    F.round(F.col("hit_spans") / F.col("n_spans"), 9))
             .otherwise(F.lit(0.0)).alias("contamination_frac"),
         )
+    )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6,
+) -> DataFrame:
+    """zlib-deflate compressibility per document:
+    (id, utf8_bytes, zlib_bytes, compression_ratio) with ratio =
+    zlib_bytes / utf8_bytes (NULL text -> NULL row values; empty text
+    ratio = 1.0 by convention).
+
+    The standard cheap boilerplate proxy (RefinedWeb/Dolma-style
+    filters): repetitive machine-generated text compresses far below
+    prose, so a low ratio flags boilerplate and a ratio near 1 flags
+    high-entropy noise — both cut before training.
+
+    zlib has no JVM/SQL twin, so this is deliberately the slow-path
+    shape done right: one Arrow-batched ``mapInPandas`` over (id, text)
+    only (per-BATCH Python, zlib itself is C; peak memory one Arrow
+    batch per worker), zero shuffles, projection-parallel.  The pytest
+    pins it against direct ``zlib.compress`` calls.
+    """
+    import zlib
+
+    import pandas as pd
+
+    def _sizes(batches):
+        for pdf in batches:
+            raw, comp = [], []
+            for v in pdf[text_col]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    raw.append(None)
+                    comp.append(None)
+                else:
+                    b = str(v).encode("utf-8")
+                    raw.append(len(b))
+                    comp.append(len(zlib.compress(b, level)))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "utf8_bytes": pd.array(raw, dtype="Int64"),
+                "zlib_bytes": pd.array(comp, dtype="Int64"),
+            })
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    sized = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _sizes,
+        schema=f"{id_col} {id_type}, utf8_bytes long, zlib_bytes long")
+    return sized.select(
+        id_col, "utf8_bytes", "zlib_bytes",
+        F.when(F.col("utf8_bytes") > 0,
+               F.round(F.col("zlib_bytes") / F.col("utf8_bytes"), 9))
+        .when(F.col("utf8_bytes") == 0, F.lit(1.0))
+        .alias("compression_ratio"),
     )
 
 

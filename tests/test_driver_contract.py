@@ -30,6 +30,9 @@ ROWS_ONLY = {
                             "twin; pytest pins stream-committed digests "
                             "== batch rebuild KS bit-for-bit "
                             "(tests/test_runner_streaming.py)",
+    "compression_signal": "zlib deflate has no DuckDB/SQL twin; pytest "
+                          "pins every row against direct zlib.compress "
+                          "(tests/test_quality.py)",
 }
 
 

@@ -231,6 +231,41 @@ def test_quality_queries_fuzz_vs_duckdb(spark, tmp_path, seed):
             _canon(sdf), _canon(odf), check_dtype=False), name
 
 
+def test_compression_ratio_matches_direct_zlib(spark):
+    """Every row pinned against direct zlib.compress — the rows-only
+    evidence for the compression_signal driver query (deflate has no
+    SQL twin)."""
+    import zlib
+
+    from json_schema_spark.operators.quality import compression_ratio
+
+    rows = [
+        (0, "spam " * 200),            # boilerplate: ratio << 1
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, ""),                        # empty: ratio 1.0 by convention
+        (3, None),                      # NULL survives as NULLs
+        (4, "héllo wörld ünïcode"),    # utf-8 multibyte counted in BYTES
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           compression_ratio(df, "doc_id", "text").collect()}
+    for i, txt in rows:
+        if txt is None:
+            assert got[i]["utf8_bytes"] is None
+            assert got[i]["compression_ratio"] is None
+            continue
+        b = txt.encode("utf-8")
+        assert got[i]["utf8_bytes"] == len(b)
+        assert got[i]["zlib_bytes"] == len(zlib.compress(b, 6))
+        if len(b) == 0:
+            assert got[i]["compression_ratio"] == 1.0
+        else:
+            assert got[i]["compression_ratio"] == pytest.approx(
+                len(zlib.compress(b, 6)) / len(b))
+    assert got[0]["compression_ratio"] < 0.1    # boilerplate compresses away
+    assert got[0]["compression_ratio"] < got[4]["compression_ratio"]
+
+
 PII_DOCS = [
     (0, "contact alice.smith+spam@example.co.uk or call 555-123-4567"),
     (1, "server at 10.0.255.3 and 192.168.1.1; ssn 123-45-6789"),
