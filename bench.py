@@ -79,6 +79,49 @@ def constraint_pass_throughput(spark, n_docs: int) -> tuple[float, float]:
     return build_constraint_pass(spark, n_docs)()
 
 
+def contract_line(line: dict, limit: int = 1900) -> str:
+    """Serialize the driver contract line under the HARD length cap.
+
+    The driver captures only the last 2000 chars of stdout and
+    json-parses the final line — a longer line gets its head truncated
+    and the round loses its bench artifact (this is exactly what
+    happened to BENCH_r03). Degrade ladder, least-information-first:
+    1. coarser per-query rounding (3 -> 2 decimals);
+    2. shed fields derivable from BENCH/last_run.json
+       (constraint_pass_wall_s / n_docs / cpus — 64 queries crossed
+       this threshold);
+    3. omit the FASTEST per-query entries one at a time (adding a
+       `queries_omitted` count; full list always in last_run.json) —
+       the soak/recall scalars outrank a sub-second query's wall time;
+    4. unreachable-in-practice safety: drop the scalars too.
+    Mutates and returns the serialized ``line``.
+    """
+    out_s = json.dumps(line)
+    if len(out_s) > limit:
+        line["queries"] = {k: round(v, 2)
+                           for k, v in line["queries"].items()}
+        out_s = json.dumps(line)
+    if len(out_s) > limit:
+        for k in ("constraint_pass_wall_s", "n_docs", "cpus"):
+            line.pop(k, None)
+        out_s = json.dumps(line)
+    if len(out_s) > limit:
+        by_time = sorted(line["queries"], key=lambda k: line["queries"][k])
+        line["queries_omitted"] = 0
+        for name in by_time:
+            if len(out_s) <= limit:
+                break
+            del line["queries"][name]
+            line["queries_omitted"] += 1
+            out_s = json.dumps(line)
+    if len(out_s) > limit:
+        for k in ("skew_worst_ratio", "skew_pass_4x", "ann1m_recall_lsh",
+                  "ann1m_recall_ivf", "variant_speedup", "metric"):
+            line.pop(k, None)
+        out_s = json.dumps(line)
+    return out_s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -185,26 +228,7 @@ def main() -> None:
         json.dump({**line, "query_spread": spread, "bench_reps": reps},
                   f, indent=1)
 
-    # HARD GUARD: the driver captures only the last 2000 chars of
-    # stdout and json-parses the final line — a line longer than that
-    # gets its head truncated and the round loses its bench artifact.
-    # Degrade gracefully: coarser rounding, then drop optional fields.
-    out_s = json.dumps(line)
-    if len(out_s) > 1900:
-        line["queries"] = {k: round(v, 2) for k, v in times.items()}
-        out_s = json.dumps(line)
-    if len(out_s) > 1900:
-        # shed fields derivable from the side artifact BEFORE touching
-        # the soak/recall scalars (64 queries crossed this threshold)
-        for k in ("constraint_pass_wall_s", "n_docs", "cpus"):
-            line.pop(k, None)
-        out_s = json.dumps(line)
-    if len(out_s) > 1900:
-        for k in ("skew_worst_ratio", "skew_pass_4x", "ann1m_recall_lsh",
-                  "ann1m_recall_ivf", "variant_speedup", "metric"):
-            line.pop(k, None)
-        out_s = json.dumps(line)
-    print(out_s)
+    print(contract_line(line))
 
 
 if __name__ == "__main__":

@@ -97,3 +97,43 @@ def test_value_checked_majority():
     # metric queries whose seeded hyperplanes can never have a SQL twin)
     n_checked = len(oracles) + sum(1 for n in DIRECT_DUCKDB_PYTEST if n in qs)
     assert n_checked / len(qs) >= 0.85
+
+
+def test_bench_contract_line_stays_under_capture_window():
+    """The bench artifact contract (VERDICT r3 #1): whatever the query
+    surface grows to, the printed line must stay parseable inside the
+    driver's 2000-char tail capture, shedding least-valuable fields
+    first — the soak/recall scalars must survive any realistic size."""
+    import json
+
+    from bench import contract_line
+
+    names = list(em.queries())
+    base = {
+        "metric": "query wall sec (sf) + constraint-pass docs/sec",
+        "value": 54.495, "unit": "sec",
+        "queries": {n: 1.234 for n in names},
+        "sf": "/root/testdata/sf0.1", "docs_per_sec": 3555357,
+        "n_docs": 8000000, "constraint_pass_wall_s": 2.319, "cpus": 32,
+        "skew_worst_ratio": 1.9, "skew_pass_4x": True,
+        "ann1m_recall_lsh": 0.999, "ann1m_recall_ivf": 1.0,
+        "variant_speedup": 1.95,
+    }
+    # today's surface: scalars intact, at most a few fast queries
+    # spill to the side artifact
+    s = contract_line(dict(base, queries=dict(base["queries"])))
+    assert len(s) <= 1900
+    parsed = json.loads(s)
+    assert parsed["skew_worst_ratio"] == 1.9
+    assert parsed["ann1m_recall_lsh"] == 0.999
+    assert len(parsed["queries"]) >= len(names) - 5
+    # +30 hypothetical queries: still parseable, scalars STILL intact —
+    # fast-query entries get omitted (counted), never the evidence
+    big = dict(base, queries={**base["queries"],
+                              **{f"future_query_{i}": 9.87 for i in range(30)}})
+    s2 = contract_line(big)
+    assert len(s2) <= 1900
+    p2 = json.loads(s2)
+    assert p2["skew_worst_ratio"] == 1.9 and p2["variant_speedup"] == 1.95
+    assert p2["queries_omitted"] == len(names) + 30 - len(p2["queries"])
+    assert len(p2["queries"]) + p2["queries_omitted"] == len(names) + 30
