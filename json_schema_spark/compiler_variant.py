@@ -41,11 +41,14 @@ patterns, recursive ``$ref``, 2019-09 ``unevaluated*``) raise
 :class:`VariantUnsupported` at compile time; callers fall back to
 ``pyvalidator.validate_json_udf`` — never silently approximate.
 
-Known divergences from the interpreter (documented, conformance-gated):
-* ``uniqueItems`` normalizes nested elements through their compact
-  JSON text, so two deep-equal OBJECTS with different key order are
-  (wrongly) considered distinct. Scalars are numerically normalized
-  and type-tagged, so ``[1, 1.0]`` and ``["1", 1]`` behave correctly.
+Known limits vs the interpreter (documented, conformance-gated):
+* ``uniqueItems`` deep equality is reference-exact (recursively
+  key-sorted object canonicalization — ``{"a":1,"b":2}`` equals
+  ``{"b":2,"a":1}``; numbers numerically normalized so ``[1, 1.0]``
+  has a duplicate while ``["1", 1]`` does not) for containers nested
+  up to ``_UNIQ_DEPTH`` levels inside an element.  Deeper containers
+  RAISE at runtime (``raise_error`` names the pandas-UDF fallback) —
+  loud refusal, never a silent approximation.
 * Numbers beyond decimal(38,15) fall back to double comparisons.
 """
 
@@ -67,6 +70,12 @@ from json_schema_spark.spec import SpecError, SpecRegistry
 VPred = Callable[[Column], Column]  # variant Column -> TRUE-pass boolean
 
 _MAX_DEPTH = 32
+
+# compile-time unroll budget for CYCLIC $ref targets (each cycle
+# occurrence inlines the target once; data nesting deeper than the
+# unroll refuses loudly at runtime — see the $ref branch). Plan size
+# grows ~(ref-sites-per-cycle)^_REF_UNROLL, so keep it small.
+_REF_UNROLL = 3
 
 # annotations / keywords handled inside another keyword's branch
 _NOOP = frozenset({
@@ -242,13 +251,51 @@ def _deep_eq(v: Column, val: Any, depth: int = 0) -> Column:
     raise VariantUnsupported(f"enum/const member of type {type(val)!r}")
 
 
-def _elem_norm(x: Column) -> Column:
-    """uniqueItems normalization: type-tagged canonical text so 1 and
-    1.0 collide (numeric =) but 1 / "1" / true / [1] stay distinct."""
+# Containers nested deeper than this inside a uniqueItems element are
+# refused at RUNTIME (raise_error), never silently approximated: the
+# canonicalization below is a compile-time-unrolled recursion, so its
+# depth must be fixed before seeing the data.  Plan size (and Catalyst
+# planning time, measured ~2x per level) grows O(2^depth) per
+# uniqueItems occurrence — 4 covers the conformance corpus (max
+# container depth 3 inside an element) with one level of headroom.
+_UNIQ_DEPTH = 4
+
+
+def _esc(s: Column) -> Column:
+    """Backslash-escape the canonical grammar's structural characters
+    inside raw string content (element strings and object keys), so
+    canonical texts parse unambiguously — '{' in a string can never be
+    confused with an object opener, and the '!' deep-cutoff sentinel
+    can never be forged by data (it only ever appears unescaped)."""
+    return F.regexp_replace(s, r"([\\,\[\]{}:!])", r"\\$1")
+
+
+# a too-deep container canonicalizes to a bare "!": unforgeable (every
+# "!" and every structural char in raw string content is
+# backslash-escaped by _esc), so in a legit canonical text "!" is
+# always preceded by "\" — the detector below matches only the real
+# sentinel. Matched texts trip a loud raise_error in uniqueItems.
+_DEEP_SENTINEL_RX = r"(^|[,:\[{])!"
+
+
+def _canon(x: Column, depth: int) -> Column:
+    """Canonical text of a variant value for deep-equality grouping
+    (json-equal-p, src/utils.lisp:69-96): objects are recursively
+    KEY-SORTED (key-set + values semantics — ``{"a":1,"b":2}`` and
+    ``{"b":2,"a":1}`` collide), numbers numerically normalized so 1 and
+    1.0 collide while 1 / "1" / true / [1] stay distinct.  The
+    recursion is unrolled at COMPILE time, so containers nested past
+    ``_UNIQ_DEPTH`` canonicalize to the "!" sentinel
+    (``_DEEP_SENTINEL_RX``), which the uniqueItems predicate turns
+    into a loud ``raise_error`` rather than a silent approximation.
+    Each child subtree is referenced exactly ONCE (the sentinel is
+    inline text, not a NULL needing a second exists() pass), keeping
+    plan size O(2^depth), measured ~5x smaller per level than the
+    NULL-propagating formulation."""
     t = _vt(x)
-    return (
+    scalars = (
         F.when(F.is_variant_null(x), F.lit("Z"))
-        .when(t == "STRING", F.concat(F.lit("S"), _str(x)))
+        .when(t == "STRING", F.concat(F.lit("S"), _esc(_str(x))))
         .when(t == "BOOLEAN", F.concat(F.lit("B"), _str(x)))
         .when(_is_number(x), F.concat(
             F.lit("N"),
@@ -256,8 +303,32 @@ def _elem_norm(x: Column) -> Column:
                        F.lit("?")),
             F.lit("|"), _dbl(x).cast("string"),
         ))
-        .otherwise(F.concat(F.lit("J"), _str(x)))  # compact JSON text
     )
+    if depth >= _UNIQ_DEPTH:
+        return scalars.otherwise(F.lit("!"))  # container too deep
+
+    m, a = _obj(x), _arr(x)
+    obj_txt = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_keys(m)),
+                lambda k: F.concat(_esc(k), F.lit(":"),
+                                   _canon(F.try_element_at(m, k), depth + 1)),
+            ), ","),
+        F.lit("}"))
+    arr_txt = F.concat(
+        F.lit("A["),
+        F.array_join(F.transform(a, lambda e: _canon(e, depth + 1)), ","),
+        F.lit("]"))
+    return (scalars
+            .when(m.isNotNull(), obj_txt)
+            .otherwise(arr_txt))
+
+
+def _elem_norm(x: Column) -> Column:
+    """uniqueItems normalization entry point (depth-0 canonical text)."""
+    return _canon(x, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -345,8 +416,9 @@ def _sum_one(cols) -> Column:
 # ---------------------------------------------------------------------------
 
 def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
-                     registry: SpecRegistry | None, depth: int) -> VPred | None:
-    sub = lambda s: compile_variant(s, draft, registry, depth + 1)  # noqa: E731
+                     registry: SpecRegistry | None, depth: int,
+                     stack: tuple = ()) -> VPred | None:
+    sub = lambda s: compile_variant(s, draft, registry, depth + 1, stack)  # noqa: E731
 
     if kw == "type":
         names = val if isinstance(val, list) else [val]
@@ -578,9 +650,23 @@ def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
     if kw == "uniqueItems":
         if val is not True:
             return None
-        return lambda v: ~_is_array(v) | (
-            F.size(F.array_distinct(F.transform(_arr(v), _elem_norm)))
-            == F.size(_arr(v)))
+
+        def unique(v: Column) -> Column:
+            norms = F.transform(_arr(v), _elem_norm)
+            # sentinel norm = container nested past _UNIQ_DEPTH:
+            # refuse LOUDLY (fall-back-or-agree, never approximate).
+            too_deep = F.exists(norms,
+                                lambda s: s.rlike(_DEEP_SENTINEL_RX))
+            ok = F.size(F.array_distinct(norms)) == F.size(_arr(v))
+            return ~_is_array(v) | F.when(
+                too_deep,
+                F.raise_error(F.lit(
+                    "variant uniqueItems: element container nesting "
+                    f"exceeds depth {_UNIQ_DEPTH}; revalidate this "
+                    "column with pyvalidator.validate_json_udf")),
+            ).otherwise(ok)
+
+        return unique
 
     # ---- combinators -----------------------------------------------------
     if kw == "allOf":
@@ -616,8 +702,23 @@ def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
             raise VariantUnsupported("$ref without a registry")
         target = registry.resolve(val)
         # reference parity: siblings conjoin with the target
-        # (validators.lisp:524-530); cycles hit the depth cap.
-        p = compile_variant(target, draft, registry, depth + 1)
+        # (validators.lisp:524-530). Recursion is unrolled at compile
+        # time (r5): a CYCLIC target is inlined _REF_UNROLL times, and
+        # the cut leaf refuses LOUDLY at runtime if actual data ever
+        # reaches it — shallower data never consults the leaf (its
+        # input variant is NULL past the data's own depth), so finite
+        # instances of a self-referential schema validate entirely
+        # JVM-side. The reference itself errors past its own depth cap
+        # (src/reference.lisp:35-36,59-66 — *max-depth* 100); ours
+        # raises at unroll-cap depth instead of silently approximating.
+        if stack.count(id(target)) >= _REF_UNROLL:
+            msg = (f"variant $ref {val!r}: data nests deeper than the "
+                   f"{_REF_UNROLL}-level compile-time unroll; "
+                   "revalidate with pyvalidator.validate_json_udf")
+            return lambda v: F.when(v.isNull(), F.lit(True)) \
+                              .otherwise(F.raise_error(F.lit(msg)))
+        p = compile_variant(target, draft, registry, depth + 1,
+                            stack + (id(target),))
         return lambda v: p(v)
 
     if kw in ("unevaluatedProperties", "unevaluatedItems"):
@@ -634,10 +735,11 @@ def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
 
 def compile_variant(schema: Any, draft: str = "draft7",
                     registry: SpecRegistry | None = None,
-                    depth: int = 0) -> VPred:
+                    depth: int = 0, stack: tuple = ()) -> VPred:
     """Compile a JSON-Schema dict into ``variant Column -> boolean
     Column`` (TRUE = valid). Raises :class:`VariantUnsupported` when
-    any reachable keyword cannot be expressed JVM-side."""
+    any reachable keyword cannot be expressed JVM-side. ``stack``
+    carries the ids of in-flight $ref targets for cycle unrolling."""
     if depth > _MAX_DEPTH:
         raise VariantUnsupported("$ref recursion / nesting depth cap")
     if schema is True or schema == {}:
@@ -653,7 +755,7 @@ def compile_variant(schema: Any, draft: str = "draft7",
             continue
         if kw not in table:
             continue  # unknown keyword: warn+skip (validators.lisp:132-135)
-        p = _compile_keyword(kw, val, schema, draft, registry, depth)
+        p = _compile_keyword(kw, val, schema, draft, registry, depth, stack)
         if p is not None:
             preds.append(p)
     return lambda v: _and(p(v) for p in preds)

@@ -139,6 +139,18 @@ INSTANCES = [
     {"properties": {"a": {"type": "integer"}}},
     {"properties": {"a": {"type": "nope"}}},
     {"allOf": [{"type": "object"}, {"minimum": 1}]}, {"allOf": []},
+    # key-order adversaries (round 5): deep equality must be key-set +
+    # recursive values (json-equal-p, src/utils.lisp:69-96), never the
+    # serialized JSON text.  Key order below is the INSERTION order of
+    # these literals and survives json.dumps into the vector files and
+    # the runners' JSON string columns (no sort_keys on the data path),
+    # so uniqueItems/enum/const see genuinely permuted texts.
+    {"b": 2, "a": 1},                                   # = {"a":1,"b":2}
+    [{"a": 1, "b": 2}, {"b": 2, "a": 1}],               # dup via key order
+    [{"a": 1, "b": 2}, {"a": 2, "b": 1}],               # values swapped: unique
+    [{"x": {"a": 1, "b": 2}}, {"x": {"b": 2, "a": 1}}],  # nested permutation
+    [[{"a": 1, "b": 2}], [{"b": 2, "a": 1}]],           # inside arrays
+    [{"a": [1, {"p": 1, "q": 2}]}, {"a": [1, {"q": 2, "p": 1}]}],
 ]
 
 # ---------------------------------------------------------------------------
@@ -369,6 +381,14 @@ SCHEMAS: list[tuple[str, dict | bool, tuple[str, ...]]] = [
      {"propertyNames": {"pattern": "^(a|b|abc)$"}}, D6UP),
     ("uniqueItems with numeric cross-type",
      {"uniqueItems": True, "items": {"type": "number"}}, ALL),
+    ("uniqueItems over objects (key-order deep equality)",
+     {"uniqueItems": True, "items": {"type": "object"}}, ALL),
+    ("uniqueItems nested in property",
+     {"properties": {"a": {"uniqueItems": True}}}, ALL),
+    ("enum key-order-permuted object",
+     {"enum": [{"b": 2, "a": 1}, "x"]}, ALL),
+    ("const key-order-permuted object",
+     {"const": {"b": 2, "a": 1}}, D6UP),
     ("required inside allOf",
      {"allOf": [{"required": ["a"]}, {"required": ["b"]}]}, ALL),
     ("exclusive bounds stacked",
