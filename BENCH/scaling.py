@@ -40,7 +40,7 @@ def _wait_idle(max_wait_s: float = 300.0, target: float = 2.0) -> float:
     return load
 
 
-def run_level(cores: int, n_docs: int, max_tries: int = 3) -> dict:
+def run_level(cores: int, n_docs: int, max_tries: int = 5) -> dict:
     # heap scales WITH cores (2 GB/core, so the 4-core level keeps the
     # 8 GB it has always had): a cluster going N -> 4N executors
     # multiplies heap and cores together — one executor never sees its
@@ -75,14 +75,20 @@ def run_level(cores: int, n_docs: int, max_tries: int = 3) -> dict:
         # rather than publish interference as engine (non-)scaling
         if res["spread_ratio"] <= 1.3 and load_before <= 2.0:
             res["attempts"] = attempt + 1
+            res["clean"] = True
             return res
         print(f"  level {cores}: spread {res['spread_ratio']}x "
               f"(load1 {load_before:.1f}) — retrying", file=sys.stderr)
     if best is None:  # every attempt crashed — report, don't crash the sweep
         return {"cores": cores, "n_docs": n_docs, "docs_per_sec": 0,
                 "wall_s": None, "all_docs_per_sec": [], "failed": True,
-                "attempts": max_tries}
+                "attempts": max_tries, "clean": False}
+    # no attempt met the gate: publish the best median, SAY SO (the r4
+    # artifact carried a burst-hit 32-core level unmarked and its
+    # eff_8_to_32 read 0.798 vs the clean re-run's 0.807 — the
+    # machine-readable artifact must flag which numbers are accepted)
     best["attempts"] = max_tries
+    best["clean"] = False
     return best
 
 
@@ -129,6 +135,8 @@ def main() -> None:
 
     result = {
         "engine": engine,
+        "conditions": ("clean" if all(engine[c].get("clean") for c in LEVELS)
+                       else "degraded"),
         "eff_4_to_16": eff(4, 16, engine, "docs_per_sec"),
         "eff_8_to_32": eff(8, 32, engine, "docs_per_sec"),
         "cpu_control_m_iters_per_s": {c: round(v, 1) for c, v in control.items()},

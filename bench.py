@@ -142,12 +142,22 @@ def main() -> None:
     # ... but the box itself bursts (documented in BENCH/BASELINE.md:
     # a judge re-run once measured HALF the builder's throughput on
     # identical code; a same-day pair here read 3.55M then 1.03M).
-    # Defend like scaling.py: record conditions, retry once when the
-    # in-level spread is wide or the box wasn't idle, keep the best
-    # median. Conditions land in last_run.json either way.
+    # Defend like scaling.py: the contract line must never publish a
+    # burst-contaminated median as if it were clean (VERDICT r4: reps
+    # [1.10M, 2.95M, 3.11M], spread 2.82 went out as the headline and
+    # read as a regression). Gate on conditions — in-level spread
+    # <= 1.3 and an idle box — retrying (bounded) until an attempt
+    # passes; if none does, stamp `conditions: "degraded"` into the
+    # line so the artifact is self-describing. EVERY attempt's reps
+    # and conditions land in last_run.json (nothing discarded
+    # silently — ADVICE r4).
     import subprocess
+    attempts: list[dict] = []
     pass_res = None
-    for _ in range(2):
+    max_attempts = int(os.environ.get("SPARK_GRAFT_PASS_ATTEMPTS", "4"))
+    for i in range(max_attempts):
+        if i:
+            time.sleep(10)  # let a transient host burst drain
         load1 = os.getloadavg()[0]
         out = subprocess.run(
             [sys.executable,
@@ -160,10 +170,17 @@ def main() -> None:
         runs = res["all_docs_per_sec"]
         res["spread_ratio"] = round(max(runs) / max(min(runs), 1), 2)
         res["load1_before"] = round(load1, 1)
-        if pass_res is None or res["docs_per_sec"] > pass_res["docs_per_sec"]:
+        res["clean"] = res["spread_ratio"] <= 1.3 and load1 <= 2.0
+        attempts.append(res)
+        if res["clean"]:
             pass_res = res
-        if res["spread_ratio"] <= 1.3 and load1 <= 2.0:
             break
+    pass_degraded = pass_res is None
+    if pass_degraded:
+        # no clean attempt: interference only SLOWS a CPU-bound run,
+        # so the max median is the best lower bound we have — but the
+        # line says so explicitly.
+        pass_res = max(attempts, key=lambda r: r["docs_per_sec"])
     docs_per_sec, pass_wall = pass_res["docs_per_sec"], pass_res["wall_s"]
 
     spark = get_spark(app_name="jss-bench", master=f"local[{cpus}]")
@@ -233,9 +250,11 @@ def main() -> None:
         "queries": times,
         "sf": sf_dir,
         "docs_per_sec": round(docs_per_sec),
+        "pass_spread_ratio": pass_res["spread_ratio"],
         "n_docs": n_docs,
         "constraint_pass_wall_s": round(pass_wall, 3),
         "cpus": int(cpus),
+        **({"conditions": "degraded"} if pass_degraded else {}),
         **skew_scalars,
     }
     # full detail (per-query spread etc.) goes to a side artifact, NOT
@@ -243,8 +262,8 @@ def main() -> None:
     with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
         json.dump({**line, "query_spread": spread, "bench_reps": reps,
                    "pass_all_docs_per_sec": pass_res["all_docs_per_sec"],
-                   "pass_spread_ratio": pass_res["spread_ratio"],
-                   "pass_load1_before": pass_res["load1_before"]},
+                   "pass_load1_before": pass_res["load1_before"],
+                   "pass_attempts": attempts},
                   f, indent=1)
 
     print(contract_line(line))
