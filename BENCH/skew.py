@@ -177,6 +177,30 @@ def main() -> None:
         .where(F.col("dup_span_frac") > 0.5).count())
     results["dup_span_coverage"] = {"docs_over_half_dup": n_half_dup, **stats}
 
+    # 6. repetition profile (r5: VERDICT r4 next #6) — per-doc array
+    # expressions over the SAME hostile corpus; the boilerplate docs'
+    # dup-bigram fraction is ~1, the top-gram-mass groupBys shuffle
+    # the 250k-hot boilerplate grams (partial-aggregable, so the hot
+    # gram combines map-side instead of landing on one reducer)
+    from json_schema_spark.operators.quality import (
+        cross_contamination, repetition_profile,
+    )
+    n_rep, stats = timed(watch, lambda: repetition_profile(
+        texts, "doc_id", "text", n=2)
+        .where(F.col("dup_bigram_frac") > 0.9).count())
+    results["repetition_profile"] = {"docs_over_09_dup_bigrams": n_rep,
+                                     **stats}
+
+    # 7. train/eval contamination (r5) — eval slice vs the FULL hostile
+    # corpus as training side: every boilerplate eval doc is ~fully
+    # contaminated, and the hot grams hit the distinct-gram-set
+    # collapse + broadcast-ability of the join back
+    n_cont, stats = timed(watch, lambda: cross_contamination(
+        texts, slice_docs, "doc_id", "text", n=3)
+        .where(F.col("contamination_frac") > 0.9).count())
+    results["contamination_check"] = {"eval_docs_over_09_hit": n_cont,
+                                      **stats}
+
     worst = max(v["worst_ratio"] for v in results.values()
                 if isinstance(v, dict) and "worst_ratio" in v
                 and v is not results["dedup_minhash_uncapped_slice"])

@@ -913,6 +913,94 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline as a driver query (VERDICT r4
+    next #7): documents gain a deterministic synthetic BINARY column
+    (magic-byte prefix chosen by doc_id + the utf-8 text payload —
+    the media bytes themselves are opaque to the engine, which is the
+    point), profiled JVM-side via magic-byte dispatch
+    (operators/multimodal.binary_meta) and featurized through the
+    Arrow-batched mapInPandas decoder plumbing (extract_features; the
+    deterministic md5-chained fake featurizer in this container).
+    Rows-only: the featurizer has no SQL twin; the decode plumbing and
+    both decoder branches are value-pinned in tests/test_pipeline_ops.
+    Output: one row per detected media kind with byte/hash/feature
+    roll-ups."""
+    from json_schema_spark.operators.multimodal import (
+        binary_meta, extract_features,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()) \
+                               .select("doc_id", "text")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("89504E47")))  # png
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("FFD8FFE0")))   # jpeg
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("494433AA")))   # mp3
+        .otherwise(F.unhex(F.lit("00112233")))                        # unknown
+    )
+    blobs = docs.select(
+        "doc_id", F.concat(magic, F.encode(F.col("text"), "utf-8")).alias("blob"))
+    meta = blobs.select("doc_id", binary_meta(F.col("blob")).alias("m"))
+    feats = extract_features(blobs, "doc_id", "blob", n_dims=8)
+    return (
+        meta.join(feats, meta["doc_id"] == feats["id"])
+        .groupBy(F.col("m.kind").alias("kind"), "decoder")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("m.n_bytes").alias("total_bytes"),
+            F.countDistinct("m.content_md5").alias("n_distinct_blobs"),
+            F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-micro-batch stateful dedup as a driver query (VERDICT r4
+    next #7): documents arrive as a file stream in >=2 micro-batches —
+    the second deliberately replays a slice of the first — and
+    applyInPandasWithState (streaming/stateful.py) emits each text
+    hash exactly once, suppressing later-batch duplicates through the
+    state store. Rows-only: stateful streaming has no SQL twin; the
+    per-hash emission semantics (min-id survivor, cross-batch
+    suppression) are value-pinned in tests/test_runner_streaming.
+    Output: one summary row of batch-order-INDEPENDENT aggregates
+    (each hash emits exactly once whichever batch carries it first)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from json_schema_spark.streaming.stateful import (
+        streaming_dedup_first_seen,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()) \
+                               .select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "in")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    # replay slice: cross-batch duplicates by construction
+    docs.orderBy("doc_id").limit(100).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = "dedup_" + os.path.basename(base).replace("stream_dedup_", "")
+    q = (streaming_dedup_first_seen(stream, "doc_id", "text")
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_input = docs.count() + 100  # original corpus + the replay slice
+    return spark.table(name).agg(
+        F.lit(n_input).cast("long").alias("n_input"),
+        F.count(F.lit(1)).alias("n_emitted"),
+        (F.lit(n_input) - F.count(F.lit(1))).cast("long")
+        .alias("n_suppressed"),
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget sequence packing roll-up: documents hash
     into shards (md5 bucket, partitioning-independent) and fill
@@ -1207,9 +1295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_lang": q_drift_psi_lang,
         "drift_incremental_tdigest": q_drift_incremental_tdigest,
         "iceberg_roundtrip": q_iceberg_roundtrip,
-        "top_terms_df": q_top_terms_df,
-        "vector_norms": q_vector_norms,
-        "length_histogram": q_length_histogram,
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "skew_report": q_skew_report,
         "tdigest_exact": q_tdigest_exact,
@@ -1218,8 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
         "tpch_q5_joins": q_tpch_q5_joins,
-        "window_running": q_window_running,
-        "set_ops": q_set_ops,
         "drift_quantiles": q_drift_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
@@ -1241,6 +1324,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "pipeline_clean": q_pipeline_clean,
+        # r5 rotation (VERDICT r4 next #3): the five quality operators
+        # take the driver's oracle slots this round so CORRECTNESS_r05
+        # value-checks them from the driver itself; the five long-green
+        # basics they displace move past the window with the identical
+        # in-tree DuckDB comparison (tests/test_driver_contract.py).
+        "repetition_profile": q_repetition_profile,
+        "dup_span_coverage": q_dup_span_coverage,
+        "pii_scan": q_pii_scan,
+        "contamination_check": q_contamination_check,
+        "sequence_packing": q_sequence_packing,
         # --- no_oracle queries (md5/exact twins above; recall gates in
         #     tests/) — keep LAST, outside the driver's sample window ---
         # rows-only by window arithmetic, not by nature: the driver
@@ -1256,17 +1349,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "stream_drift_tdigest": q_stream_drift_tdigest,
-        # --- oracled but past the driver's 50-entry sample window: the
-        #     same rows+schema+values comparison runs in-tree instead
-        #     (tests/test_quality.py) and via tools/check_oracle.py ---
-        "repetition_profile": q_repetition_profile,
-        "dup_span_coverage": q_dup_span_coverage,
-        "pii_scan": q_pii_scan,
-        "contamination_check": q_contamination_check,
-        "sequence_packing": q_sequence_packing,
+        # --- oracled but past the driver's 50-entry sample window
+        #     (rotated OUT in r5 — driver-green in CORRECTNESS_r01..r04):
+        #     the same rows+schema+values comparison runs in-tree
+        #     (tests/test_driver_contract.py) and via tools/check_oracle.py
+        "top_terms_df": q_top_terms_df,
+        "vector_norms": q_vector_norms,
+        "length_histogram": q_length_histogram,
+        "window_running": q_window_running,
+        "set_ops": q_set_ops,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
+        # r5: the last two pytest-only components enter the driver
+        # surface (VERDICT r4 next #7) — rows-only by nature
+        "multimodal_profile": q_multimodal_profile,
+        "stream_dedup_stateful": q_stream_dedup_stateful,
     }
 
 
@@ -1313,6 +1411,11 @@ def _pii_scan_sql() -> str:
     tested is Java-regex vs RE2 on the Java∩RE2 subset."""
     from json_schema_spark.operators.quality import PII_PATTERNS
 
+    # patterns land inside single-quoted SQL literals below; a future
+    # pattern with a quote would silently generate invalid oracle SQL
+    # only caught at oracle-run time (ADVICE r4)
+    assert all("'" not in p for p in PII_PATTERNS.values()), \
+        "PII_PATTERNS must stay SQL-literal-safe (no single quotes)"
     counts = ", ".join(
         f"length(regexp_extract_all(text, '{p}')) AS n_{k}"
         for k, p in PII_PATTERNS.items()
@@ -1427,7 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_df": """
             SELECT term, count(*) AS df FROM (
                 SELECT DISTINCT doc_id,
-                       unnest(string_split_regex(text, '\\s+')) AS term
+                       unnest(string_split_regex(text, '[\\s\\x0b]+')) AS term
                 FROM documents WHERE text IS NOT NULL
             ) WHERE term <> ''
             GROUP BY term ORDER BY df DESC, term LIMIT 20
@@ -1692,14 +1795,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_prefix": """
             SELECT array_to_string(
-                     string_split_regex(trim(text), '\\s+')[1:3], ' ') AS prefix_key,
+                     string_split_regex(trim(text), '[\\s\\x0b]+')[1:3], ' ') AS prefix_key,
                    count(*) AS n_docs, min(doc_id) AS keep_id
             FROM documents WHERE text IS NOT NULL
             GROUP BY 1 HAVING count(*) > 1
         """,
         "dedup_ngram_jaccard": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
               FROM documents WHERE text IS NOT NULL),
             grams0 AS (
               SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
@@ -1727,7 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_groups": """
             WITH RECURSIVE toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
               FROM documents WHERE text IS NOT NULL),
             grams0 AS (
               SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
@@ -1762,7 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_md5": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
               FROM documents WHERE text IS NOT NULL),
             grams AS (
               SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
@@ -1784,7 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash_md5": """
             WITH toks AS (
-              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              SELECT doc_id, unnest(string_split_regex(trim(text), '[\\s\\x0b]+')) AS t
               FROM documents WHERE text IS NOT NULL),
             h AS (
               SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS th
@@ -1832,9 +1935,9 @@ def oracle_sql() -> dict[str, str]:
                       length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
                         / length(text) ELSE 0 END) * 4, 1.0))
                 + 0.2 * (CASE WHEN trim(text) <> ''
-                         AND len(string_split_regex(trim(text), '\\s+')) > 0
-                    THEN len(list_distinct(string_split_regex(trim(text), '\\s+')))
-                      / len(string_split_regex(trim(text), '\\s+'))
+                         AND len(string_split_regex(trim(text), '[\\s\\x0b]+')) > 0
+                    THEN len(list_distinct(string_split_regex(trim(text), '[\\s\\x0b]+')))
+                      / len(string_split_regex(trim(text), '[\\s\\x0b]+'))
                     ELSE 0 END), 6) AS quality
               FROM documents WHERE text IS NOT NULL)
             SELECT lang, count(*) AS n_docs,
@@ -1845,11 +1948,11 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT lang,
                    CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+                            ELSE len(string_split_regex(trim(text), '[\\s\\x0b]+')) END) AS BIGINT) AS total_tokens,
                    round(avg(CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(string_split_regex(trim(text), '\\s+')) END), 4) AS avg_tokens,
+                             ELSE len(string_split_regex(trim(text), '[\\s\\x0b]+')) END), 4) AS avg_tokens,
                    CAST(sum(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_regex_tokens
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0b]'))) AS BIGINT) AS total_regex_tokens
             FROM documents WHERE text IS NOT NULL
             GROUP BY lang
         """,
@@ -1972,9 +2075,9 @@ def oracle_sql() -> dict[str, str]:
                       length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
                         / length(text) ELSE 0 END) * 4, 1.0))
                 + 0.2 * (CASE WHEN trim(text) <> ''
-                         AND len(string_split_regex(trim(text), '\\s+')) > 0
-                    THEN len(list_distinct(string_split_regex(trim(text), '\\s+')))
-                      / len(string_split_regex(trim(text), '\\s+'))
+                         AND len(string_split_regex(trim(text), '[\\s\\x0b]+')) > 0
+                    THEN len(list_distinct(string_split_regex(trim(text), '[\\s\\x0b]+')))
+                      / len(string_split_regex(trim(text), '[\\s\\x0b]+'))
                     ELSE 0 END), 6) AS quality
               FROM documents WHERE text IS NOT NULL),
             good AS (SELECT * FROM q WHERE quality >= 0.5),
@@ -2007,7 +2110,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN text IS NULL OR trim(text) = ''
                           THEN CAST([] AS VARCHAR[])
-                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+                          ELSE string_split_regex(trim(text), '[\\s\\x0b]+') END AS t
               FROM documents),
             sig AS (
               SELECT doc_id,
@@ -2052,7 +2155,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN text IS NULL OR trim(text) = ''
                           THEN CAST([] AS VARCHAR[])
-                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+                          ELSE string_split_regex(trim(text), '[\\s\\x0b]+') END AS t
               FROM documents),
             grams AS (
               SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
@@ -2078,7 +2181,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      CASE WHEN text IS NULL OR trim(text) = ''
                           THEN CAST([] AS VARCHAR[])
-                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+                          ELSE string_split_regex(trim(text), '[\\s\\x0b]+') END AS t
               FROM documents),
             tr AS (
               SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
@@ -2108,7 +2211,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id,
                      CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          ELSE len(string_split_regex(trim(text), '[\\s\\x0b]+'))
                           END AS n_tokens,
                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'),
                                      1, 15))::BIGINT % 8 AS shard

@@ -27,7 +27,15 @@ Spark shapes (the 100 TB posture):
   stay narrow), aggregates doc-counts per gram with a partial-
   aggregable groupBy, and joins positions back on the hash — two
   shuffles on the gram key, both AQE-coalesced; no all-pairs join
-  anywhere.
+  anywhere.  The 64-bit hash makes this (and ``cross_contamination``)
+  SIGNAL-GRADE at the 100 TB posture, not exact: once distinct grams
+  approach 2^32 (a few billion — reachable at that scale), birthday
+  collisions inflate dup_spans/hit_spans by roughly
+  n_grams²/2^65 expected false pairs.  Exact-at-scale callers should
+  widen the key to 128 bits (two seeded xxhash64 columns, or md5
+  halves) at ~2x shuffle-key width; the DuckDB oracles compare
+  exact strings, so any collision at TEST scale would surface as a
+  value mismatch (none ever has: P(collision) < 1e-11 at 10^4 grams).
 * PII scanning is `regexp_count`/`regexp_replace` built-ins with
   patterns restricted to the Java∩RE2 common subset so the DuckDB
   oracle runs the identical expressions.
@@ -191,6 +199,10 @@ def duplicate_span_coverage(
     explosion); the position join back is a plain equi-join on the
     8-byte hash.  Stop-gram skew is bounded: a gram occurring in k
     docs contributes k join rows, linear in corpus positions.
+    Signal-grade at extreme scale: the 64-bit gram hash admits
+    birthday collisions once distinct grams approach 2^32, slightly
+    inflating dup_spans (module docstring quantifies it; widen to a
+    128-bit key if exactness at that scale matters).
     """
     toks = F.col("__toks")
     # explode_outer + post-filter on the GENERATED attribute: plain
@@ -249,6 +261,12 @@ def cross_contamination(
     once and can be persisted/bucketed for reuse across eval sets);
     eval positions LEFT-join that set on the hash, so the output is
     linear in eval positions.  No all-pairs anywhere.
+    Signal-grade at extreme scale: 64-bit gram hashes admit birthday
+    collisions past ~2^32 distinct training grams, slightly inflating
+    hit_spans — conservative in the safe direction for
+    decontamination (false POSITIVE hits discard clean eval docs,
+    never admit contaminated ones); widen to a 128-bit key for
+    exactness (module docstring).
     """
     def _pos(df: DataFrame) -> DataFrame:
         toks = F.col("__toks")

@@ -4,6 +4,8 @@ cannot silently ship without its correctness story."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as em
 
 # rows-only queries and WHY (the judge sees this list):
@@ -33,6 +35,14 @@ ROWS_ONLY = {
     "compression_signal": "zlib deflate has no DuckDB/SQL twin; pytest "
                           "pins every row against direct zlib.compress "
                           "(tests/test_quality.py)",
+    "multimodal_profile": "mapInPandas featurizer (md5-chained floats) "
+                          "has no SQL twin; both decoder branches and "
+                          "the binary plumbing are value-pinned in "
+                          "tests/test_pipeline_ops.py",
+    "stream_dedup_stateful": "applyInPandasWithState has no SQL twin; "
+                             "min-id survivor + cross-batch suppression "
+                             "value-pinned in "
+                             "tests/test_runner_streaming.py",
 }
 
 
@@ -52,11 +62,15 @@ def test_every_query_has_oracle_or_documented_reason():
 # window (all 50 in-window slots taken): the identical rows+schema+
 # values comparison runs in-tree every pytest run instead
 PAST_WINDOW_ORACLED = {
-    "repetition_profile": "tests/test_quality.py",
-    "dup_span_coverage": "tests/test_quality.py",
-    "pii_scan": "tests/test_quality.py",
-    "contamination_check": "tests/test_quality.py",
-    "sequence_packing": "tests/test_quality.py",
+    # r5 rotation: the five quality operators moved INTO the driver
+    # window; these five long-green basics (driver-green r01..r04)
+    # moved out and keep the identical comparison below
+    # (test_rotated_out_queries_match_duckdb_oracle).
+    "top_terms_df": "tests/test_driver_contract.py",
+    "vector_norms": "tests/test_driver_contract.py",
+    "length_histogram": "tests/test_driver_contract.py",
+    "window_running": "tests/test_driver_contract.py",
+    "set_ops": "tests/test_driver_contract.py",
 }
 
 
@@ -137,3 +151,27 @@ def test_bench_contract_line_stays_under_capture_window():
     assert p2["skew_worst_ratio"] == 1.9 and p2["variant_speedup"] == 1.95
     assert p2["queries_omitted"] == len(names) + 30 - len(p2["queries"])
     assert len(p2["queries"]) + p2["queries_omitted"] == len(names) + 30
+
+
+@pytest.mark.parametrize("name", sorted(PAST_WINDOW_ORACLED))
+def test_rotated_out_queries_match_duckdb_oracle(spark, name):
+    """The exact driver comparison for the five queries rotated OUT of
+    the 50-slot sample window in r5 (driver-green in CORRECTNESS
+    r01..r04): rows + columns + order-insensitive values vs DuckDB at
+    the driver's sf0.01."""
+    import duckdb
+    import pandas as pd
+
+    from json_schema_spark.sources.tables import TPCH_TABLES
+    from tools.check_oracle import canon
+
+    sf = "/root/testdata/sf0.01"
+    sdf = em.queries()[name](spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    odf = con.execute(em.oracle_sql()[name]).df()
+    assert len(sdf) > 0 and len(sdf) == len(odf)
+    pd.testing.assert_frame_equal(canon(sdf), canon(odf),
+                                  check_dtype=False)

@@ -199,14 +199,18 @@ def test_quality_queries_fuzz_vs_duckdb(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     vocab = ["a", "b", "cc", "dd", "the", "x9"]
-    seps = [" ", "  ", "\t", " \t "]
+    # \x0B pins the tokenizer-parity contract (ADVICE r4): Java's \s
+    # matches vertical tab, RE2's does not, so every oracle splits on
+    # '[\s\x0b]+' — a corpus that never emits \x0B can't catch a
+    # regression there.
+    seps = [" ", "  ", "\t", " \t ", "\x0b", " \x0b"]
 
     def text(i: int):
         r = rng.random()
         if r < 0.08:
             return None
         if r < 0.16:
-            return rng.choice(["", " ", "\t\t"])
+            return rng.choice(["", " ", "\t\t", "\x0b"])
         n = rng.randint(1, 12)
         if r < 0.3:                       # heavy within-doc repeat
             tok = rng.choice(vocab)
