@@ -31,11 +31,13 @@ Spark shapes (the 100 TB posture):
   SIGNAL-GRADE at the 100 TB posture, not exact: once distinct grams
   approach 2^32 (a few billion — reachable at that scale), birthday
   collisions inflate dup_spans/hit_spans by roughly
-  n_grams²/2^65 expected false pairs.  Exact-at-scale callers should
-  widen the key to 128 bits (two seeded xxhash64 columns, or md5
-  halves) at ~2x shuffle-key width; the DuckDB oracles compare
-  exact strings, so any collision at TEST scale would surface as a
-  value mismatch (none ever has: P(collision) < 1e-11 at 10^4 grams).
+  n_grams²/2^65 expected false pairs.  Exact-at-scale callers pass
+  ``hash_bits=128`` (two independently-seeded xxhash64s in a 16-byte
+  struct key, collision horizon ~2^64 grams) at ~2x shuffle-key
+  width; the DuckDB oracles compare exact strings, so any collision
+  at TEST scale would surface as a value mismatch (none ever has:
+  P(collision) < 1e-11 at 10^4 grams), and the fuzz suite pins the
+  128-bit path row-equal to the 64-bit path on every corpus.
 * PII scanning is `regexp_count`/`regexp_replace` built-ins with
   patterns restricted to the Java∩RE2 common subset so the DuckDB
   oracle runs the identical expressions.
@@ -181,8 +183,25 @@ def repetition_profile(
     )
 
 
+def _gram_key(g: Column, hash_bits: int) -> Column:
+    """Shuffle key for an n-gram string: one xxhash64 BIGINT (8-byte
+    rows, the default), or — for exactness past ~2^32 distinct grams,
+    where 64-bit birthday collisions start inflating counts — a
+    16-byte struct of two independently-seeded xxhash64s (Spark's
+    xxhash64 folds every argument into the state, so appending a
+    constant salt column yields an independent second hash; collision
+    horizon moves to ~2^64 grams, far past any real corpus)."""
+    if hash_bits == 64:
+        return F.xxhash64(g)
+    if hash_bits == 128:
+        return F.struct(F.xxhash64(g).alias("h1"),
+                        F.xxhash64(g, F.lit(1)).alias("h2"))
+    raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
+
+
 def duplicate_span_coverage(
     df: DataFrame, id_col: str, text_col: str, n: int = 10,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Cross-document duplicate-span coverage: for each document, the
     fraction of its n-gram positions whose n-gram also occurs in at
@@ -199,10 +218,11 @@ def duplicate_span_coverage(
     explosion); the position join back is a plain equi-join on the
     8-byte hash.  Stop-gram skew is bounded: a gram occurring in k
     docs contributes k join rows, linear in corpus positions.
-    Signal-grade at extreme scale: the 64-bit gram hash admits
-    birthday collisions once distinct grams approach 2^32, slightly
-    inflating dup_spans (module docstring quantifies it; widen to a
-    128-bit key if exactness at that scale matters).
+    Signal-grade at extreme scale with the default 64-bit gram hash
+    (birthday collisions once distinct grams approach 2^32 slightly
+    inflate dup_spans — module docstring quantifies it); pass
+    ``hash_bits=128`` for exactness at that scale at ~2x shuffle-key
+    width (collision horizon ~2^64 grams).
     """
     toks = F.col("__toks")
     # explode_outer + post-filter on the GENERATED attribute: plain
@@ -215,7 +235,7 @@ def duplicate_span_coverage(
             F.col(id_col),
             F.explode_outer(
                 F.transform(word_ngram_strings(toks, n),
-                            lambda g: F.xxhash64(g))).alias("__g"),
+                            lambda g: _gram_key(g, hash_bits))).alias("__g"),
         )
         .where(F.col("__g").isNotNull())
     )
@@ -247,6 +267,7 @@ def duplicate_span_coverage(
 def cross_contamination(
     train: DataFrame, eval_df: DataFrame,
     id_col: str, text_col: str, n: int = 8,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Train/eval decontamination (the GPT-3/PaLM n-gram overlap
     check): for each EVAL document, the fraction of its n-gram
@@ -261,12 +282,12 @@ def cross_contamination(
     once and can be persisted/bucketed for reuse across eval sets);
     eval positions LEFT-join that set on the hash, so the output is
     linear in eval positions.  No all-pairs anywhere.
-    Signal-grade at extreme scale: 64-bit gram hashes admit birthday
-    collisions past ~2^32 distinct training grams, slightly inflating
-    hit_spans — conservative in the safe direction for
+    Signal-grade at extreme scale with the default 64-bit gram hash:
+    birthday collisions past ~2^32 distinct training grams slightly
+    inflate hit_spans — conservative in the safe direction for
     decontamination (false POSITIVE hits discard clean eval docs,
-    never admit contaminated ones); widen to a 128-bit key for
-    exactness (module docstring).
+    never admit contaminated ones); pass ``hash_bits=128`` for
+    exactness at that scale (module docstring).
     """
     def _pos(df: DataFrame) -> DataFrame:
         toks = F.col("__toks")
@@ -276,7 +297,7 @@ def cross_contamination(
                 F.col(id_col),
                 F.explode_outer(
                     F.transform(word_ngram_strings(toks, n),
-                                lambda g: F.xxhash64(g))).alias("__g"),
+                                lambda g: _gram_key(g, hash_bits))).alias("__g"),
             )
             .where(F.col("__g").isNotNull())
         )

@@ -103,6 +103,27 @@ def test_cross_contamination_values(docs):
     assert got[4]["n_spans"] == 0 and got[6]["n_spans"] == 0
 
 
+def test_gram_hash_128_matches_64(docs):
+    """hash_bits=128 (the exact-at-scale key: two seeded xxhash64s in
+    a struct) must be row-identical to the default 64-bit key at test
+    scale, where both are collision-free — same rows, same schema."""
+    for fn, kw in ((duplicate_span_coverage, {}),
+                   (cross_contamination, {})):
+        if fn is cross_contamination:
+            args64 = (docs.where("doc_id IN (0, 3)"),
+                      docs.where("doc_id IN (1, 2, 4, 6)"),
+                      "doc_id", "text")
+        else:
+            args64 = (docs, "doc_id", "text")
+        a = fn(*args64, hash_bits=64, **kw)
+        b = fn(*args64, hash_bits=128, **kw)
+        assert a.schema == b.schema
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError, match="hash_bits"):
+        duplicate_span_coverage(docs, "doc_id", "text", hash_bits=96)
+
+
 @pytest.mark.parametrize("build", [
     lambda d: repetition_profile(d, "doc_id", "text", n=2),
     lambda d: duplicate_span_coverage(d, "doc_id", "text", n=3),
