@@ -55,6 +55,7 @@ Known limits vs the interpreter (documented, conformance-gated):
 from __future__ import annotations
 
 import decimal
+import urllib.parse
 from typing import Any, Callable
 
 from pyspark.sql import Column
@@ -65,7 +66,7 @@ from json_schema_spark.compiler import (
     translate_regex,
 )
 from json_schema_spark.functions.formats import format_check
-from json_schema_spark.spec import SpecError, SpecRegistry
+from json_schema_spark.spec import SpecError, SpecRegistry, _id_key
 
 VPred = Callable[[Column], Column]  # variant Column -> TRUE-pass boolean
 
@@ -417,8 +418,9 @@ def _sum_one(cols) -> Column:
 
 def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
                      registry: SpecRegistry | None, depth: int,
-                     stack: tuple = ()) -> VPred | None:
-    sub = lambda s: compile_variant(s, draft, registry, depth + 1, stack)  # noqa: E731
+                     stack: tuple = (), base: str = "") -> VPred | None:
+    sub = lambda s: compile_variant(s, draft, registry, depth + 1,  # noqa: E731
+                                    stack, base)
 
     if kw == "type":
         names = val if isinstance(val, list) else [val]
@@ -700,7 +702,12 @@ def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
     if kw == "$ref":
         if registry is None:
             raise VariantUnsupported("$ref without a registry")
-        target = registry.resolve(val)
+        # base-URI-aware resolution (r5): relative refs and anchors
+        # resolve against the nearest enclosing $id, exactly as the
+        # interpreter's _base_stack does (pyvalidator._resolve_ref) —
+        # embedded-$id documents and $anchor targets now compile
+        # JVM-side instead of declining.
+        target = registry.resolve(val, base=base)
         # reference parity: siblings conjoin with the target
         # (validators.lisp:524-530). Recursion is unrolled at compile
         # time (r5): a CYCLIC target is inlined _REF_UNROLL times, and
@@ -718,7 +725,7 @@ def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
             return lambda v: F.when(v.isNull(), F.lit(True)) \
                               .otherwise(F.raise_error(F.lit(msg)))
         p = compile_variant(target, draft, registry, depth + 1,
-                            stack + (id(target),))
+                            stack + (id(target),), base)
         return lambda v: p(v)
 
     if kw in ("unevaluatedProperties", "unevaluatedItems"):
@@ -735,13 +742,21 @@ def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
 
 def compile_variant(schema: Any, draft: str = "draft7",
                     registry: SpecRegistry | None = None,
-                    depth: int = 0, stack: tuple = ()) -> VPred:
+                    depth: int = 0, stack: tuple = (),
+                    base: str = "") -> VPred:
     """Compile a JSON-Schema dict into ``variant Column -> boolean
     Column`` (TRUE = valid). Raises :class:`VariantUnsupported` when
     any reachable keyword cannot be expressed JVM-side. ``stack``
-    carries the ids of in-flight $ref targets for cycle unrolling."""
+    carries the ids of in-flight $ref targets for cycle unrolling;
+    ``base`` is the enclosing-$id base URI for $ref/$anchor resolution
+    (the compile-time analogue of pyvalidator's _base_stack)."""
     if depth > _MAX_DEPTH:
         raise VariantUnsupported("$ref recursion / nesting depth cap")
+    if isinstance(schema, dict):
+        sid = _id_key(schema, draft)
+        if isinstance(sid, str) and sid:
+            base = urllib.parse.urldefrag(
+                urllib.parse.urljoin(base, sid))[0]
     if schema is True or schema == {}:
         return lambda v: F.lit(True)  # validators.lisp:86-94
     if schema is False:
@@ -755,7 +770,8 @@ def compile_variant(schema: Any, draft: str = "draft7",
             continue
         if kw not in table:
             continue  # unknown keyword: warn+skip (validators.lisp:132-135)
-        p = _compile_keyword(kw, val, schema, draft, registry, depth, stack)
+        p = _compile_keyword(kw, val, schema, draft, registry, depth,
+                             stack, base)
         if p is not None:
             preds.append(p)
     return lambda v: _and(p(v) for p in preds)

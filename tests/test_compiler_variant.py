@@ -243,3 +243,69 @@ def test_container_gates_avoid_root_schema_of_variant(spark):
     # "optimize everything to casts" change trips loudly
     s_pred = validate_variant_column(F.col("j"), {"type": "string"})
     assert "schema_of_variant" in str(s_pred)
+
+
+def test_variant_embedded_id_and_anchor_refs(spark):
+    """Base-URI-aware $ref on the VARIANT path (r5): relative refs and
+    $anchor targets resolve against the nearest enclosing $id — the
+    compile-time analogue of pyvalidator's _base_stack, mirroring the
+    reference's add-id-to-table walk (src/reference.lisp:193-238).
+    Before this landed these schemas DECLINED to the UDF path."""
+    schema = {
+        "$id": "https://example.test/root.json",
+        "type": "object",
+        "properties": {
+            "node": {"$ref": "tree.json"},
+            "leaf": {"$ref": "tree.json#mark"},
+        },
+        "$defs": {
+            "tree": {
+                "$id": "tree.json",
+                "type": "object",
+                "properties": {
+                    "n": {"type": "integer"},
+                    "tag": {"$anchor": "mark", "type": "string"},
+                },
+                "required": ["n"],
+            },
+        },
+    }
+    from json_schema_spark.spec import ConstraintSpec
+    reg = ConstraintSpec(dict(schema, draft="draft2019-09")).registry
+    pred = compile_variant(schema, "draft2019-09", reg)  # must NOT decline
+    rows = [
+        ('{"node": {"n": 1, "tag": "x"}, "leaf": "ok"}', True),
+        ('{"node": {"tag": "x"}}', False),            # missing required n
+        ('{"node": {"n": "s"}}', False),              # n wrong type
+        ('{"leaf": 7}', False),                       # anchor target: string
+        ('{}', True),                                 # both absent: vacuous
+    ]
+    df = spark.createDataFrame([(j,) for j, _ in rows], ["j"])
+    got = [bool(r[0]) for r in
+           df.select(pred(F.try_parse_json(F.col("j")))).collect()]
+    assert got == [ok for _, ok in rows]
+
+
+def test_variant_decline_set_is_pinned():
+    """The decline set must never silently regrow: across the full
+    4-draft corpus at most ONE distinct schema (the strict
+    unevaluatedProperties group) may decline to the UDF path."""
+    declined = []
+    for draft in DRAFTS:
+        groups = []
+        for fname in (f"{draft}.json", f"gen_{draft}.json"):
+            groups.extend(json.loads((VECTOR_DIR / fname).read_text()))
+        seen = set()
+        for g in groups:
+            skey = json.dumps(g["schema"], sort_keys=True)
+            if skey in seen:
+                continue
+            seen.add(skey)
+            try:
+                compile_variant(g["schema"], draft,
+                                _registry_for(g["schema"], draft))
+            except VariantUnsupported as e:
+                declined.append((draft, g["description"], str(e)))
+            except SpecError:
+                declined.append((draft, g["description"], "SpecError"))
+    assert len(declined) <= 1, declined
