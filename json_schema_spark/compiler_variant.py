@@ -37,9 +37,13 @@ Reference-parity semantics preserved (SURVEY.md §2):
   membership imported from ``compiler.DRAFT_KEYWORDS``.
 
 Schemas outside the JVM-expressible subset (untranslatable PCRE
-patterns, recursive ``$ref``, 2019-09 ``unevaluated*``) raise
+patterns, ``$ref`` cycles nesting past the compile-time unroll, cyclic
+``$ref`` under strict-unevaluated tracking) raise
 :class:`VariantUnsupported` at compile time; callers fall back to
 ``pyvalidator.validate_json_udf`` — never silently approximate.
+2019-09 ``unevaluated*`` compiles on this path too (r5): reference-
+partial by default, full annotation tracking behind the same
+``strict_unevaluated`` opt-in as the other two paths.
 
 Known limits vs the interpreter (documented, conformance-gated):
 * ``uniqueItems`` deep equality is reference-exact (recursively
@@ -418,9 +422,10 @@ def _sum_one(cols) -> Column:
 
 def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
                      registry: SpecRegistry | None, depth: int,
-                     stack: tuple = (), base: str = "") -> VPred | None:
+                     stack: tuple = (), base: str = "",
+                     strict: bool = False) -> VPred | None:
     sub = lambda s: compile_variant(s, draft, registry, depth + 1,  # noqa: E731
-                                    stack, base)
+                                    stack, base, strict)
 
     if kw == "type":
         names = val if isinstance(val, list) else [val]
@@ -725,15 +730,212 @@ def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
             return lambda v: F.when(v.isNull(), F.lit(True)) \
                               .otherwise(F.raise_error(F.lit(msg)))
         p = compile_variant(target, draft, registry, depth + 1,
-                            stack + (id(target),), base)
+                            stack + (id(target),), base, strict)
         return lambda v: p(v)
 
-    if kw in ("unevaluatedProperties", "unevaluatedItems"):
-        # reference skips these (t/draft2019-09.lisp:83-87); the
-        # engine's strict mode lives on the other two paths only.
-        raise VariantUnsupported(f"{kw} not JVM-expressible")
+    if kw == "unevaluatedProperties":
+        # Default = reference PARTIAL behavior: only diff against
+        # direct `properties` (src/validators.lisp:606-629; suite
+        # skipped t/draft2019-09.lisp:83-87). With the engine's
+        # spec-level `"strict_unevaluated": true` opt-in (r5: now on
+        # ALL THREE paths), the evaluated-key set uses full in-place
+        # applicator annotation tracking, still pure Column exprs.
+        if val is True:
+            return None
+        if strict:
+            ev = _v_evaluated_keys(schema, draft, registry, depth,
+                                   stack, base, strict)
+
+            def unev_strict(v: Column, _ev=ev) -> Column:
+                m = _obj(v)
+                ks = F.array_except(F.map_keys(m), _ev(v))
+                if val is False:
+                    return ~_is_object(v) | (F.size(ks) == F.lit(0))
+                p = sub(val)
+                return ~_is_object(v) | F.forall(
+                    ks, lambda k: p(F.try_element_at(m, k)))
+
+            return unev_strict
+
+        known = list(schema.get("properties", {}) or {})
+
+        def unev_partial(v: Column) -> Column:
+            m = _obj(v)
+            ks = F.array_except(
+                F.map_keys(m), F.array(*[F.lit(k) for k in known]))
+            if val is False:
+                return ~_is_object(v) | (F.size(ks) == F.lit(0))
+            p = sub(val)
+            return ~_is_object(v) | F.forall(
+                ks, lambda k: p(F.try_element_at(m, k)))
+
+        return unev_partial
+
+    if kw == "unevaluatedItems":
+        # reference SKIPS the keyword (t/draft2019-09.lisp:83-87) —
+        # parity default is a no-op; strict opt-in applies `val` past
+        # the evaluated prefix (twin of compiler._evaluated_item_
+        # prefix_fn / pyvalidator._k_unevaluated_items).
+        if not strict or val is True:
+            return None
+        prefix = _v_evaluated_prefix(schema, draft, registry, depth,
+                                     stack, base, strict)
+        if val is False:
+            return lambda v: ~_is_array(v) | (F.size(_arr(v)) <= prefix(v))
+        p = sub(val)
+        return lambda v: ~_is_array(v) | F.forall(
+            F.slice(_arr(v), prefix(v) + F.lit(1),
+                    F.greatest(F.size(_arr(v)) - prefix(v), F.lit(0))), p)
 
     raise VariantUnsupported(f"keyword {kw!r}")
+
+
+# ---------------------------------------------------------------------------
+# strict-mode 2019-09 annotation tracking (engine extension; variant
+# twins of compiler._evaluated_keys_fn / _evaluated_item_prefix_fn)
+# ---------------------------------------------------------------------------
+
+def _rebase(schema: Any, draft: str, base: str) -> str:
+    """Advance the base URI across an embedded $id, exactly as
+    compile_variant's prologue does."""
+    if isinstance(schema, dict):
+        sid = _id_key(schema, draft)
+        if isinstance(sid, str) and sid:
+            return urllib.parse.urldefrag(
+                urllib.parse.urljoin(base, sid))[0]
+    return base
+
+
+def _empty_str_arr() -> Column:
+    return F.array().cast("array<string>")
+
+
+def _v_evaluated_keys(schema: Any, draft: str,
+                      registry: SpecRegistry | None, depth: int,
+                      stack: tuple, base: str, strict: bool) -> VPred:
+    """array<string> Column of keys 'evaluated' per 2019-09 annotation
+    semantics on a VARIANT object: direct properties /
+    patternProperties / additionalProperties plus keys evaluated by
+    SUCCESSFUL in-place applicator branches (allOf always, anyOf/oneOf
+    where the branch validates for THIS row, if/then/else as applied,
+    dependentSchemas for present keys, $ref targets). Branch success
+    is itself a compiled variant predicate, so the set stays one
+    codegen'd expression."""
+    if depth > _MAX_DEPTH or not isinstance(schema, dict):
+        return lambda v: _empty_str_arr()
+    base = _rebase(schema, draft, base)
+    sub_ok = lambda s: compile_variant(  # noqa: E731
+        s, draft, registry, depth + 1, stack, base, strict)
+    recur = lambda s: _v_evaluated_keys(  # noqa: E731
+        s, draft, registry, depth + 1, stack, base, strict)
+    parts: list[VPred] = []
+    statics = list(schema.get("properties", {}) or {})
+    if statics:
+        parts.append(lambda v: F.array(*[F.lit(k) for k in statics]))
+    for pat in (schema.get("patternProperties", {}) or {}):
+        jrx = _java_rx(pat)
+        parts.append(lambda v, _rx=jrx: F.filter(
+            F.map_keys(_obj(v)), lambda k: k.rlike(_rx)))
+    if "additionalProperties" in schema:
+        parts.append(lambda v: F.map_keys(_obj(v)))
+    for s in schema.get("allOf", []):
+        parts.append(recur(s))
+    for comb in ("anyOf", "oneOf"):
+        for s in schema.get(comb, []):
+            ok, ek = sub_ok(s), recur(s)
+            parts.append(lambda v, _ok=ok, _ek=ek: F.when(
+                _ok(v), _ek(v)).otherwise(_empty_str_arr()))
+    if "if" in schema:
+        ip, ik = sub_ok(schema["if"]), recur(schema["if"])
+        tk = recur(schema["then"]) if "then" in schema else None
+        ek = recur(schema["else"]) if "else" in schema else None
+
+        def ite_keys(v: Column, _ip=ip, _ik=ik, _tk=tk, _ek=ek) -> Column:
+            then_arr = (F.concat(_ik(v), _tk(v))
+                        if _tk is not None else _ik(v))
+            else_arr = _ek(v) if _ek is not None else _empty_str_arr()
+            return F.when(_ip(v), then_arr).otherwise(else_arr)
+
+        parts.append(ite_keys)
+    for k, s in (schema.get("dependentSchemas", {}) or {}).items():
+        ek = recur(s)
+        parts.append(lambda v, _k=k, _ek=ek: F.when(
+            F.try_element_at(_obj(v), F.lit(_k)).isNotNull(), _ek(v)
+        ).otherwise(_empty_str_arr()))
+    if "$ref" in schema:
+        if registry is None:
+            raise VariantUnsupported("$ref without a registry")
+        target = registry.resolve(schema["$ref"], base=base)
+        if stack.count(id(target)) >= _REF_UNROLL:
+            # cyclic $ref under strict-unevaluated tracking: decline
+            # loudly rather than silently truncating the key set
+            # (fall-back-or-agree, never approximate)
+            raise VariantUnsupported(
+                "cyclic $ref under strict unevaluated tracking")
+        parts.append(_v_evaluated_keys(target, draft, registry, depth + 1,
+                                       stack + (id(target),), base, strict))
+    if not parts:
+        return lambda v: _empty_str_arr()
+    if len(parts) == 1:
+        return parts[0]
+    return lambda v: F.concat(*[p(v) for p in parts])
+
+
+def _v_evaluated_prefix(schema: Any, draft: str,
+                        registry: SpecRegistry | None, depth: int,
+                        stack: tuple, base: str, strict: bool) -> VPred:
+    """int Column: largest evaluated array prefix (uniform `items`
+    evaluates everything, tuple `items` its length — everything when
+    `additionalItems` is present), merged as max across successful
+    in-place applicator branches. `contains` does NOT evaluate items
+    in 2019-09 (that arrived in 2020-12)."""
+    if depth > _MAX_DEPTH or not isinstance(schema, dict):
+        return lambda v: F.lit(0)
+    base = _rebase(schema, draft, base)
+    sub_ok = lambda s: compile_variant(  # noqa: E731
+        s, draft, registry, depth + 1, stack, base, strict)
+    recur = lambda s: _v_evaluated_prefix(  # noqa: E731
+        s, draft, registry, depth + 1, stack, base, strict)
+    parts: list[VPred] = []
+    if "items" in schema:
+        items = schema["items"]
+        if isinstance(items, list) and "additionalItems" not in schema:
+            parts.append(lambda v, _n=len(items): F.least(
+                F.lit(_n), F.size(_arr(v))))
+        else:
+            parts.append(lambda v: F.size(_arr(v)))
+    for s in schema.get("allOf", []):
+        parts.append(recur(s))
+    for comb in ("anyOf", "oneOf"):
+        for s in schema.get(comb, []):
+            ok, pf = sub_ok(s), recur(s)
+            parts.append(lambda v, _ok=ok, _pf=pf: F.when(
+                _ok(v), _pf(v)).otherwise(F.lit(0)))
+    if "if" in schema:
+        ip, i_pf = sub_ok(schema["if"]), recur(schema["if"])
+        t_pf = recur(schema["then"]) if "then" in schema else None
+        e_pf = recur(schema["else"]) if "else" in schema else None
+
+        def ite_prefix(v: Column, _ip=ip, _i=i_pf, _t=t_pf, _e=e_pf) -> Column:
+            then_n = F.greatest(_i(v), _t(v)) if _t is not None else _i(v)
+            else_n = _e(v) if _e is not None else F.lit(0)
+            return F.when(_ip(v), then_n).otherwise(else_n)
+
+        parts.append(ite_prefix)
+    if "$ref" in schema:
+        if registry is None:
+            raise VariantUnsupported("$ref without a registry")
+        target = registry.resolve(schema["$ref"], base=base)
+        if stack.count(id(target)) >= _REF_UNROLL:
+            raise VariantUnsupported(
+                "cyclic $ref under strict unevaluated tracking")
+        parts.append(_v_evaluated_prefix(target, draft, registry, depth + 1,
+                                         stack + (id(target),), base, strict))
+    if not parts:
+        return lambda v: F.lit(0)
+    if len(parts) == 1:
+        return parts[0]
+    return lambda v: F.greatest(*[p(v) for p in parts])
 
 
 # ---------------------------------------------------------------------------
@@ -743,16 +945,21 @@ def _compile_keyword(kw: str, val: Any, schema: dict, draft: str,
 def compile_variant(schema: Any, draft: str = "draft7",
                     registry: SpecRegistry | None = None,
                     depth: int = 0, stack: tuple = (),
-                    base: str = "") -> VPred:
+                    base: str = "", strict: bool = False) -> VPred:
     """Compile a JSON-Schema dict into ``variant Column -> boolean
     Column`` (TRUE = valid). Raises :class:`VariantUnsupported` when
     any reachable keyword cannot be expressed JVM-side. ``stack``
     carries the ids of in-flight $ref targets for cycle unrolling;
     ``base`` is the enclosing-$id base URI for $ref/$anchor resolution
-    (the compile-time analogue of pyvalidator's _base_stack)."""
+    (the compile-time analogue of pyvalidator's _base_stack).
+    ``strict`` enables full 2019-09 unevaluated* annotation tracking —
+    the engine's documented extension, same opt-in flag as the other
+    two paths (spec-level ``{"strict_unevaluated": true}`` on the root
+    schema, or ``strict=True`` here)."""
     if depth > _MAX_DEPTH:
         raise VariantUnsupported("$ref recursion / nesting depth cap")
     if isinstance(schema, dict):
+        strict = strict or bool(schema.get("strict_unevaluated"))
         sid = _id_key(schema, draft)
         if isinstance(sid, str) and sid:
             base = urllib.parse.urldefrag(
@@ -771,7 +978,7 @@ def compile_variant(schema: Any, draft: str = "draft7",
         if kw not in table:
             continue  # unknown keyword: warn+skip (validators.lisp:132-135)
         p = _compile_keyword(kw, val, schema, draft, registry, depth,
-                             stack, base)
+                             stack, base, strict)
         if p is not None:
             preds.append(p)
     return lambda v: _and(p(v) for p in preds)

@@ -11,8 +11,9 @@ one predicate column per DISTINCT schema, read the (row, its-schema)
 cell.
 
 Schemas the variant path declines at compile time (PCRE-only patterns,
-unevaluated*, recursive $ref) are counted as fallbacks — the contract
-is fall-back-or-agree, never silently-approximate.
+cyclic $ref past the unroll) are counted as fallbacks — the contract
+is fall-back-or-agree, never silently-approximate. As of r5 the full
+4-draft corpus has ZERO declines (pinned below).
 """
 
 from __future__ import annotations
@@ -288,8 +289,8 @@ def test_variant_embedded_id_and_anchor_refs(spark):
 
 def test_variant_decline_set_is_pinned():
     """The decline set must never silently regrow: across the full
-    4-draft corpus at most ONE distinct schema (the strict
-    unevaluatedProperties group) may decline to the UDF path."""
+    4-draft corpus ZERO schemas decline to the UDF path (r5: base-URI
+    $ref resolution + unevaluated* closed the last ones)."""
     declined = []
     for draft in DRAFTS:
         groups = []
@@ -308,4 +309,43 @@ def test_variant_decline_set_is_pinned():
                 declined.append((draft, g["description"], str(e)))
             except SpecError:
                 declined.append((draft, g["description"], "SpecError"))
-    assert len(declined) <= 1, declined
+    assert len(declined) == 0, declined
+
+
+def test_variant_unevaluated_matches_pyvalidator_twin(spark):
+    """Strict + partial unevaluated* on the VARIANT path (r5: three-
+    path symmetry): every (schema, instance) verdict must agree with
+    the pyvalidator twin — the same differential harness as
+    test_unevaluated_strict_compiler, instances serialized to JSON and
+    judged entirely JVM-side."""
+    from json_schema_spark.pyvalidator import Validator
+    from tests.test_unevaluated_strict_compiler import (
+        ARR_INSTANCES, ARR_SCHEMAS, MAP_INSTANCES, MAP_SCHEMAS,
+    )
+
+    failures = []
+    for strict in (False, True):
+        for schemas, instances in ((MAP_SCHEMAS, MAP_INSTANCES),
+                                   (ARR_SCHEMAS, ARR_INSTANCES)):
+            preds = [
+                compile_variant(s, "draft2019-09",
+                                _registry_for(s, "draft2019-09"),
+                                strict=strict)
+                for s in schemas
+            ]
+            rows = [(i, json.dumps(d)) for i, d in enumerate(instances)]
+            df = spark.createDataFrame(rows, "i long, j string")
+            v = F.try_parse_json(F.col("j"))
+            out = df.select("i", *[
+                preds[k](v).alias(f"c{k}") for k in range(len(preds))
+            ]).orderBy("i").collect()
+            for k, schema in enumerate(schemas):
+                tw = Validator(schema, draft="draft2019-09",
+                               strict_unevaluated=strict)
+                for i, data in enumerate(instances):
+                    want, got = tw.is_valid(data), out[i][f"c{k}"]
+                    if got is None or bool(got) != want:
+                        failures.append(
+                            f"strict={strict} {schema} :: {data!r} "
+                            f"want {want} got {got}")
+    assert not failures, "\n".join(failures[:30])
