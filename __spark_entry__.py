@@ -903,6 +903,19 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_contamination(train, eval_df, "doc_id", "text", n=3)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet / RefinedWeb-style line-level boilerplate removal: any
+    line whose trimmed form occurs in >=2 distinct documents is
+    dropped; surviving lines are reassembled byte-identically in
+    original order. Hot-line vocabulary is a filtered two-stage
+    hash-aggregate broadcast against the line explode — no shuffle of
+    the corpus text beyond the one reassembly groupBy."""
+    from json_schema_spark.operators.quality import line_boilerplate_dedup
+
+    return line_boilerplate_dedup(_docs(spark, sf_dir), "doc_id", "text",
+                                  min_doc_freq=2)
+
+
 def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-compressibility quality signal per document (boilerplate
     proxy). No JVM/SQL twin exists for deflate, so this is rows-only
@@ -1358,6 +1371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "window_running": q_window_running,
         "set_ops": q_set_ops,
+        # r5: CCNet-style line-level boilerplate dedup (oracled; past
+        # the window like the other rotated-out entries)
+        "line_dedup": q_line_dedup,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -2174,6 +2190,40 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(dup_spans / n_spans, 9)
                         ELSE 0.0 END AS dup_span_frac
             FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN cov USING (doc_id)
+        """,
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id, u.i AS pos, ln[u.i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+                    FROM documents WHERE text IS NOT NULL) t,
+                   UNNEST(generate_series(1, len(ln))) AS u(i)),
+            hot AS (
+              SELECT trim(line) AS nl
+              FROM lines WHERE trim(line) <> ''
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+            marked AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     (h.nl IS NOT NULL) AS dropped
+              FROM lines l LEFT JOIN hot h ON trim(l.line) = h.nl),
+            agg AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     sum(CASE WHEN dropped THEN 1 ELSE 0 END)
+                       AS removed_lines,
+                     coalesce(string_agg(
+                       CASE WHEN NOT dropped THEN line END,
+                       chr(10) ORDER BY pos), '') AS ct
+              FROM marked GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN a.doc_id IS NOT NULL THEN a.ct END
+                     AS clean_text,
+                   coalesce(n_lines, 0) AS n_lines,
+                   coalesce(removed_lines, 0) AS removed_lines,
+                   CASE WHEN coalesce(n_lines, 0) > 0
+                        THEN round(removed_lines / n_lines, 9)
+                        ELSE 0.0 END AS removed_frac
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg a USING (doc_id)
         """,
         "pii_scan": _pii_scan_sql(),
         "contamination_check": """

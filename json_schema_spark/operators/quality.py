@@ -58,6 +58,7 @@ __all__ = [
     "repetition_profile",
     "duplicate_span_coverage",
     "cross_contamination",
+    "line_boilerplate_dedup",
     "compression_ratio",
     "PII_PATTERNS",
     "pii_counts",
@@ -260,6 +261,87 @@ def duplicate_span_coverage(
             F.when(F.coalesce("n_spans", F.lit(0)) > 0,
                    F.round(F.col("dup_spans") / F.col("n_spans"), 9))
             .otherwise(F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )
+
+
+def line_boilerplate_dedup(
+    df: DataFrame, id_col: str, text_col: str,
+    min_doc_freq: int = 2, hash_bits: int = 64,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet / RefinedWeb line-wise
+    dedup): a line whose TRIMMED form is non-empty and occurs in at
+    least ``min_doc_freq`` DISTINCT documents is boilerplate (cookie
+    banners, nav bars, footers) and is dropped; every other line is
+    preserved BYTE-IDENTICALLY and documents are reassembled in
+    original line order.
+
+    Returns (id, clean_text, n_lines, removed_lines, removed_frac).
+    NULL text stays NULL with zero counts; empty trimmed lines are
+    never boilerplate (they would trivially match across all docs).
+
+    Scale shape: lines explode once; the hot-line set is a partial-
+    aggregable two-stage groupBy on the xxhash64 of the trimmed line
+    (dedupe (doc, line-hash), then count per hash — no countDistinct
+    row explosion) FILTERED to count >= min_doc_freq BEFORE the join,
+    so the probe side is only the boilerplate vocabulary — tiny
+    relative to the corpus and broadcast by default
+    (``broadcast_hot=False`` drops the hint for corpora whose hot set
+    outgrows the driver, where AQE picks the strategy). Reassembly is
+    one groupBy(doc) over (pos, line) structs. Same 64-bit
+    signal-grade / 128-bit exact hashing ladder as the gram operators
+    (module docstring); the DuckDB oracle compares exact strings, so
+    a collision at test scale would surface as a value mismatch.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), "\n", -1))
+        .alias("__pos", "__line"),
+    )
+    norm = F.trim(F.col("__line"))
+    hot = (
+        lines.where(norm != "")
+        .select(id_col, _gram_key(norm, hash_bits).alias("__h"))
+        .distinct()
+        .groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= F.lit(int(min_doc_freq)))
+        .select("__h")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    marked = (
+        lines.withColumn("__h", F.when(norm != "",
+                                       _gram_key(norm, hash_bits)))
+        .join(hot.withColumnRenamed("__h", "__hot_h"),
+              F.col("__h").eqNullSafe(F.col("__hot_h")), "left")
+        .withColumn("__drop", F.col("__hot_h").isNotNull())
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum(F.col("__line").isNotNull().cast("long")).alias("n_lines"),
+            F.sum(F.col("__drop").cast("long")).alias("removed_lines"),
+            F.when(
+                F.sum(F.col("__line").isNotNull().cast("long")) > 0,
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(~F.col("__drop"),
+                                   F.struct(F.col("__pos").alias("p"),
+                                            F.col("__line").alias("l"))))),
+                        lambda x: x.getField("l")),
+                    "\n"),
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "clean_text",
+            "n_lines",
+            "removed_lines",
+            F.when(F.col("n_lines") > 0,
+                   F.round(F.col("removed_lines") / F.col("n_lines"), 9))
+            .otherwise(F.lit(0.0)).alias("removed_frac"),
         )
     )
 

@@ -71,6 +71,10 @@ PAST_WINDOW_ORACLED = {
     "length_histogram": "tests/test_driver_contract.py",
     "window_running": "tests/test_driver_contract.py",
     "set_ops": "tests/test_driver_contract.py",
+    # r5: new operator born past the window (all 50 slots taken);
+    # oracle-checked both here and in tests/test_quality.py (fixed
+    # sf0.01 + seeded fuzz corpora)
+    "line_dedup": "tests/test_quality.py",
 }
 
 

@@ -190,7 +190,7 @@ def test_pack_assignments_greedy_boundaries(spark):
 
 @pytest.mark.parametrize(
     "name", ["repetition_profile", "dup_span_coverage", "pii_scan",
-             "contamination_check", "sequence_packing"])
+             "contamination_check", "sequence_packing", "line_dedup"])
 def test_past_window_queries_match_duckdb_oracle(spark, name):
     """The exact sf0.01 driver comparison, run in-tree: these queries
     sit past the driver's 50-entry sample window
@@ -236,6 +236,15 @@ def test_quality_queries_fuzz_vs_duckdb(spark, tmp_path, seed):
         if r < 0.3:                       # heavy within-doc repeat
             tok = rng.choice(vocab)
             return rng.choice(seps).join([tok] * n)
+        if r < 0.45:                      # multi-line docs with shared
+            #                               boilerplate (line_dedup food)
+            lines = [rng.choice(seps).join(rng.choices(vocab, k=rng.randint(1, 5)))
+                     for _ in range(rng.randint(2, 5))]
+            if rng.random() < 0.7:
+                lines.insert(rng.randrange(len(lines) + 1),
+                             rng.choice(["(c) example footer",
+                                         "  cookie notice ", "", "\t"]))
+            return "\n".join(lines)
         return rng.choice(seps).join(rng.choices(vocab, k=n))
 
     rows = [(i, text(i), f"src{i % 3}") for i in range(60)]
@@ -249,7 +258,7 @@ def test_quality_queries_fuzz_vs_duckdb(spark, tmp_path, seed):
     con.execute(f"CREATE VIEW documents AS SELECT * "
                 f"FROM '{sf}/documents.parquet/*.parquet'")
     for name in ("repetition_profile", "dup_span_coverage", "pii_scan",
-                 "contamination_check", "sequence_packing"):
+                 "contamination_check", "sequence_packing", "line_dedup"):
         sdf = entry.queries()[name](spark, sf).toPandas()
         odf = con.execute(entry.oracle_sql()[name]).df()
         pd.testing.assert_frame_equal(
@@ -337,3 +346,46 @@ def test_pii_patterns_duckdb_parity(spark):
         f"SELECT doc_id, {cols} FROM pii_docs WHERE text IS NOT NULL"
     ).df()
     pd.testing.assert_frame_equal(_canon(sdf), _canon(odf), check_dtype=False)
+
+
+def test_line_boilerplate_dedup_values(spark):
+    """Exact verdicts on a hand-built micro corpus: trimmed-match
+    across docs, byte-identical surviving lines (leading whitespace
+    preserved), empty lines never boilerplate, NULL text stays NULL."""
+    from json_schema_spark.operators.quality import line_boilerplate_dedup
+
+    rows = [
+        (0, "unique alpha\ncookie notice\nunique beta"),
+        (1, "  cookie notice \nonly here"),      # trimmed match -> dropped
+        (2, "\nsolo\n"),                          # empties survive
+        (3, "\nmiddle\n"),                        # shares only empties
+        (4, None),
+        (5, "cookie notice"),                     # whole doc is boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           line_boilerplate_dedup(df, "doc_id", "text").collect()}
+    assert got[0]["clean_text"] == "unique alpha\nunique beta"
+    assert (got[0]["n_lines"], got[0]["removed_lines"]) == (3, 1)
+    assert got[1]["clean_text"] == "only here"    # its line bytes kept
+    assert got[2]["clean_text"] == "\nsolo\n"     # byte-identical
+    assert got[2]["removed_lines"] == 0
+    assert got[3]["clean_text"] == "\nmiddle\n"
+    assert got[4]["clean_text"] is None
+    assert (got[4]["n_lines"], got[4]["removed_lines"]) == (0, 0)
+    assert got[5]["clean_text"] == ""             # everything removed
+    assert got[5]["removed_frac"] == 1.0
+
+    # identity property: a threshold no line reaches reassembles every
+    # non-null text byte-identically
+    ident = line_boilerplate_dedup(df, "doc_id", "text",
+                                   min_doc_freq=10 ** 9)
+    for r in ident.collect():
+        want = dict(rows)[r["doc_id"]]
+        assert r["clean_text"] == want and r["removed_lines"] == 0
+
+    # 128-bit key path row-identical to the 64-bit default
+    wide = {r["doc_id"]: r.asDict() for r in
+            line_boilerplate_dedup(df, "doc_id", "text",
+                                   hash_bits=128).collect()}
+    assert wide == got
