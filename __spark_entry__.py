@@ -926,6 +926,51 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval against a fixed seed-term list
+    (targeted-corpus construction / contamination forensics). The
+    query-term broadcast filters the token explode BEFORE any shuffle,
+    so only matching (doc, term) pairs leave the scan; corpus scalars
+    and per-term dfs re-enter as broadcasts; the top-k is TakeOrdered,
+    not a global sort (operators/retrieval.py)."""
+    from json_schema_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), "doc_id", "text",
+        query_terms=["vector", "stream", "customer", "spark"], k=15,
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain quota (keep top-3 docs per source
+    by n_chars): exercises the SALTED two-stage top-k — stage 1 ranks
+    within (domain, md5-salt) and keeps k per bucket, bounding any
+    hot domain to k*n_salts rows before the real per-domain window —
+    value-identical to the naive single window the oracle runs
+    (operators/sampling.py:per_domain_cap)."""
+    from json_schema_spark.operators.sampling import per_domain_cap
+
+    return per_domain_cap(
+        _docs(spark, sf_dir), "source", k=3,
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+        salt_key="doc_id", n_salts=8,
+    ).select("doc_id", "source", "n_chars", "rank_in_domain")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the lang='en' slice over a
+    4096-bucket hashed unigram feature space — the SCALE variant,
+    where the per-feature log-ratio table is bounded and broadcast so
+    the corpus never shuffles on vocabulary. md5 bucketing keeps every
+    weight oracle-reproducible (operators/sampling.py:dsir_weights)."""
+    from json_schema_spark.operators.sampling import dsir_weights
+
+    return dsir_weights(
+        _docs(spark, sf_dir), "doc_id", "text",
+        is_target=F.col("lang") == "en", alpha=1.0, n_buckets=4096,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline as a driver query (VERDICT r4
     next #7): documents gain a deterministic synthetic BINARY column
@@ -1374,6 +1419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: CCNet-style line-level boilerplate dedup (oracled; past
         # the window like the other rotated-out entries)
         "line_dedup": q_line_dedup,
+        # r5: retrieval + data-selection operators (oracled; born past
+        # the window — all 50 in-window slots taken)
+        "bm25_topk": q_bm25_topk,
+        "domain_cap": q_domain_cap,
+        "dsir_weights": q_dsir_weights,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -2224,6 +2274,80 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS removed_frac
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN agg a USING (doc_id)
+        """,
+        # BM25: arithmetic parenthesization mirrors the Spark column
+        # expression exactly (same fp op order), so the only cross-
+        # engine divergence is ln() at <=1 ulp — invisible at round(4)
+        "bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            corpus AS (
+              SELECT count(*) AS n_corpus, avg(len(t)) AS avgdl FROM toks),
+            matches AS (
+              SELECT doc_id, len(t) AS dl, u.tok AS term
+              FROM toks, UNNEST(t) AS u(tok)
+              WHERE u.tok IN ('customer', 'spark', 'stream', 'vector')),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM matches GROUP BY 1, 2, 3),
+            dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     ((ln(1.0 + (c.n_corpus - d.df_t + 0.5)
+                                / (d.df_t + 0.5)) * tf.tf) * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / c.avgdl))
+                       AS contrib
+              FROM tf JOIN dft d USING (term) CROSS JOIN corpus c)
+            SELECT doc_id, round(sum(contrib), 4) AS score,
+                   count(*) AS n_matched_terms
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars, rank_in_domain FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rank_in_domain
+              FROM documents)
+            WHERE rank_in_domain <= 3
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en') AS tgt,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(u.tok || '#1'), 1, 15))::BIGINT
+                       % 4096 AS feat
+              FROM toks, UNNEST(t) AS u(tok)),
+            vocab AS (
+              SELECT feat, count(*) AS c_raw,
+                     count(*) FILTER (WHERE tgt) AS c_tgt
+              FROM ex GROUP BY feat),
+            tot AS (
+              SELECT sum(c_raw) AS r_total, sum(c_tgt) AS t_total,
+                     count(*) AS v_size
+              FROM vocab),
+            ratio AS (
+              SELECT feat,
+                     ln((c_tgt + 1.0) / (t_total + (1.0 * v_size)))
+                     - ln((c_raw + 1.0) / (r_total + (1.0 * v_size)))
+                       AS logratio
+              FROM vocab CROSS JOIN tot)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(logratio), 6) AS weight
+            FROM ex JOIN ratio USING (feat)
+            GROUP BY doc_id
         """,
         "pii_scan": _pii_scan_sql(),
         "contamination_check": """

@@ -90,6 +90,8 @@ def contract_line(line: dict, limit: int = 1900) -> str:
     2. shed fields derivable from BENCH/last_run.json
        (constraint_pass_wall_s / n_docs / cpus — 64 queries crossed
        this threshold);
+    2.5 coarsen per-query rounding again (2 -> 1 decimal) — a coarse
+       wall time still beats omission (71 queries crossed this);
     3. omit the FASTEST per-query entries one at a time (adding a
        `queries_omitted` count; full list always in last_run.json) —
        the soak/recall scalars outrank a sub-second query's wall time;
@@ -104,6 +106,12 @@ def contract_line(line: dict, limit: int = 1900) -> str:
     if len(out_s) > limit:
         for k in ("constraint_pass_wall_s", "n_docs", "cpus"):
             line.pop(k, None)
+        out_s = json.dumps(line)
+    if len(out_s) > limit:
+        # 2.5: 1-decimal per-query rounding — a coarse wall time still
+        # beats omission (full-precision list always in last_run.json)
+        line["queries"] = {k: round(v, 1)
+                           for k, v in line["queries"].items()}
         out_s = json.dumps(line)
     if len(out_s) > limit:
         by_time = sorted(line["queries"], key=lambda k: line["queries"][k])

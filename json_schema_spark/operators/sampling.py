@@ -15,8 +15,10 @@ per-stratum variant broadcasts only the rate table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .textstats import ws_tokens
 
 
 def _bucket(key: Column, seed: int, buckets: int = 1_000_000) -> Column:
@@ -66,4 +68,120 @@ def stratified_sample(
                          F.lit(round(default_rate * 1_000_000)))
         )
         .drop("__stratum", "stratum_key", "keep_below")
+    )
+
+
+def per_domain_cap(
+    df: DataFrame,
+    domain: str | Column,
+    k: int,
+    order_by: list[Column],
+    salt_key: str | Column | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """RefinedWeb-style per-domain quota: keep at most ``k`` rows per
+    domain, ranked by ``order_by`` (which must be a TOTAL order within
+    a domain — end it with a unique id — or the cut is nondeterministic).
+    Emits the kept rows plus their ``rank_in_domain``.
+
+    Scale shape: a naive ``row_number() over (partition by domain)``
+    funnels every row of a hot domain (at web scale a single host can
+    hold 10^9 pages) through ONE task.  With ``salt_key`` set, a
+    two-stage top-k runs instead: stage 1 ranks within
+    (domain, md5-salt-bucket) and keeps only k rows per bucket —
+    correct because the global per-domain top-k is a subset of the
+    union of per-bucket top-ks — bounding any domain to k*n_salts rows
+    before the real per-domain window.  The corpus shuffles once
+    either way; the salt just splits hot keys across tasks.
+    """
+    d = F.col(domain) if isinstance(domain, str) else domain
+    out = df.withColumn("__dom", d)
+    if salt_key is not None:
+        sk = F.col(salt_key) if isinstance(salt_key, str) else salt_key
+        out = out.withColumn("__salt", _bucket(sk, seed=0, buckets=n_salts))
+        w1 = Window.partitionBy("__dom", "__salt").orderBy(*order_by)
+        out = (
+            out.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__r1", "__salt")
+        )
+    w2 = Window.partitionBy("__dom").orderBy(*order_by)
+    return (
+        out.withColumn("rank_in_domain", F.row_number().over(w2))
+        .where(F.col("rank_in_domain") <= k)
+        .drop("__dom")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    alpha: float = 1.0,
+    n_buckets: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    log-likelihood ratio between a TARGET unigram distribution (rows
+    where ``is_target``) and the RAW corpus distribution, both
+    Laplace-smoothed with ``alpha``.  Resampling the corpus with these
+    weights (e.g. via ``hash_sample`` on a weight-derived rate) shifts
+    it toward the target domain.
+
+    weight(d) = mean over tokens t of
+        ln((c_tgt(t)+a)/(T+aV)) - ln((c_raw(t)+a)/(R+aV))
+
+    Scale shape: tokens are materialized once; target and raw counts
+    come from ONE combinable groupBy (conditional sums, no second
+    corpus pass); with ``n_buckets`` set, tokens hash into a fixed
+    md5-bucket feature space so the per-feature log-ratio table is
+    bounded (<= n_buckets rows) and re-enters as a BROADCAST join —
+    the corpus never shuffles on the vocabulary.  The exact-token
+    variant (n_buckets=None) shuffle-joins on token and exists for
+    small-corpus / oracle work.  md5 bucketing (not xxhash) so the
+    DuckDB oracle reproduces every weight.
+
+    Emits (id, n_tokens, weight) for documents with >= 1 token.
+    """
+    did = F.col(id_col)
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        did.alias("id"),
+        is_target.cast("boolean").alias("__tgt"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    ex = toks.select("id", "__tgt", F.explode("__toks").alias("token"))
+    feat = (_bucket(F.col("token"), seed=1, buckets=n_buckets)
+            if n_buckets else F.col("token")).alias("feat")
+    ex = ex.select("id", "__tgt", feat)
+    vocab = ex.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count_if(F.col("__tgt")).alias("c_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("r_total"),
+        F.sum("c_tgt").alias("t_total"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    ratio = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "feat",
+            (F.log((F.col("c_tgt") + alpha)
+                   / (F.col("t_total") + alpha * F.col("v_size")))
+             - F.log((F.col("c_raw") + alpha)
+                     / (F.col("r_total") + alpha * F.col("v_size")))
+             ).alias("logratio"),
+        )
+    )
+    if n_buckets:  # bounded feature space -> broadcast, corpus never shuffles
+        ratio = F.broadcast(ratio)
+    return (
+        ex.join(ratio, "feat")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logratio"), round_to).alias("weight"),
+        )
     )

@@ -75,6 +75,12 @@ PAST_WINDOW_ORACLED = {
     # oracle-checked both here and in tests/test_quality.py (fixed
     # sf0.01 + seeded fuzz corpora)
     "line_dedup": "tests/test_quality.py",
+    # r5: retrieval + data-selection operators, also born past the
+    # window; value-checked by the parametrized oracle test below plus
+    # tests/test_retrieval_sampling.py (tiny hand-computed fixtures)
+    "bm25_topk": "tests/test_retrieval_sampling.py",
+    "domain_cap": "tests/test_retrieval_sampling.py",
+    "dsir_weights": "tests/test_retrieval_sampling.py",
 }
 
 

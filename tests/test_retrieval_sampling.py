@@ -1,0 +1,131 @@
+"""Value-level tests for the r5 retrieval + data-selection operators:
+BM25 top-k, per-domain quota (salted two-stage top-k), and DSIR
+importance weights — tiny hand-computed fixtures plus property checks
+the driver oracle can't express (salted == unsalted, weight ordering).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.operators.retrieval import bm25_topk
+from json_schema_spark.operators.sampling import dsir_weights, per_domain_cap
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "spark spark joins data", "en", "a.com"),
+        (2, "spark data", "en", "a.com"),
+        (3, "joins and more joins here", "de", "b.org"),
+        (4, "nothing relevant at all whatsoever", "en", "b.org"),
+        (5, "data data data spark", "fr", "a.com"),
+        (6, "", "en", "b.org"),
+        (7, None, "en", "c.net"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, host string")
+
+
+def _bm25(tf, df_t, dl, n, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_bm25_matches_hand_computation(tiny_docs):
+    out = {
+        r["id"]: r
+        for r in bm25_topk(tiny_docs, "doc_id", "text",
+                           ["spark", "joins"], k=10).collect()
+    }
+    # corpus: 6 non-null docs, dls 4,2,5,5,4,0 -> avgdl 20/6
+    n, avgdl = 6, 20 / 6
+    # doc 1: spark tf=2 (df=3), joins tf=1 (df=2), dl=4
+    exp1 = _bm25(2, 3, 4, n, avgdl) + _bm25(1, 2, 4, n, avgdl)
+    assert out[1]["score"] == pytest.approx(round(exp1, 4), abs=1e-9)
+    assert out[1]["n_matched_terms"] == 2
+    # doc 3: joins tf=2, dl=5
+    exp3 = _bm25(2, 2, 5, n, avgdl)
+    assert out[3]["score"] == pytest.approx(round(exp3, 4), abs=1e-9)
+    assert out[3]["n_matched_terms"] == 1
+    # docs 4, 6, 7 match nothing -> absent
+    assert set(out) == {1, 2, 3, 5}
+
+
+def test_bm25_k_cut_is_deterministic(tiny_docs):
+    top2 = bm25_topk(tiny_docs, "doc_id", "text",
+                     ["spark", "joins"], k=2).collect()
+    allr = sorted(
+        bm25_topk(tiny_docs, "doc_id", "text",
+                  ["spark", "joins"], k=10).collect(),
+        key=lambda r: (-r["score"], r["id"]))
+    assert [r["id"] for r in top2] == [r["id"] for r in allr[:2]]
+
+
+def test_per_domain_cap_exact_topk(tiny_docs):
+    df = tiny_docs.withColumn("n_chars", F.length("text"))
+    kept = per_domain_cap(
+        df, "host", k=2,
+        order_by=[F.desc_nulls_last("n_chars"), F.asc("doc_id")],
+    ).select("doc_id", "host", "rank_in_domain").collect()
+    got = {(r["doc_id"], r["host"], r["rank_in_domain"]) for r in kept}
+    # a.com lengths: d1=22, d2=10, d5=20 -> keep 1,5 ; b.org: d3=25,
+    # d4=34, d6=0 -> keep 4,3 ; c.net: d7 (null length sorts last,
+    # still rank 1 of 1)
+    assert got == {(1, "a.com", 1), (5, "a.com", 2),
+                   (4, "b.org", 1), (3, "b.org", 2),
+                   (7, "c.net", 1)}
+
+
+def test_per_domain_cap_salted_equals_unsalted(spark):
+    # 2000 rows over 3 domains (one hot), k=5: the two-stage salted
+    # plan must return EXACTLY the naive single-window result
+    rows = [(i, "hot.com" if i % 10 < 8 else f"d{i % 2}.org", i * 37 % 997)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, host string, score long")
+    order = [F.desc("score"), F.asc("id")]
+    naive = per_domain_cap(df, "host", 5, order).collect()
+    salted = per_domain_cap(df, "host", 5, order,
+                            salt_key="id", n_salts=16).collect()
+    key = lambda r: (r["host"], r["rank_in_domain"])
+    assert sorted((r["id"], *key(r)) for r in naive) \
+        == sorted((r["id"], *key(r)) for r in salted)
+
+
+def test_dsir_weights_hand_computed(spark):
+    # 3 docs, target = lang 'en'; exact-token feature space
+    rows = [(1, "aa aa bb", "en"), (2, "bb cc", "de"), (3, "aa cc", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["id"]: r for r in
+           dsir_weights(df, "doc_id", "text",
+                        F.col("lang") == "en", alpha=1.0).collect()}
+    # counts: aa raw 3 / tgt 2, bb raw 2 / tgt 1, cc raw 2 / tgt 0
+    # totals: R=7, T=3, V=3
+    lr = {t: math.log((ct + 1) / (3 + 3)) - math.log((cr + 1) / (7 + 3))
+          for t, (cr, ct) in {"aa": (3, 2), "bb": (2, 1), "cc": (2, 0)}.items()}
+    exp1 = (lr["aa"] + lr["aa"] + lr["bb"]) / 3
+    exp2 = (lr["bb"] + lr["cc"]) / 2
+    assert out[1]["weight"] == pytest.approx(round(exp1, 6), abs=1e-9)
+    assert out[2]["weight"] == pytest.approx(round(exp2, 6), abs=1e-9)
+    assert out[1]["n_tokens"] == 3 and out[3]["n_tokens"] == 2
+    # target-heavy tokens weigh more: doc1 (aa-heavy) > doc2 (bb+cc)
+    assert out[1]["weight"] > out[2]["weight"]
+
+
+def test_dsir_bucketed_is_broadcast_and_sane(spark):
+    # hashed feature space: weights shift the same direction as the
+    # exact variant even with collisions, and the ratio-table join is
+    # a BroadcastHashJoin (the corpus-never-shuffles scale claim)
+    rows = [(i, ("english target words here" if i % 2 == 0
+                 else "andere worte ganz anders"),
+             "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_weights(df, "doc_id", "text", F.col("lang") == "en",
+                       n_buckets=1 << 16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows_out = {r["id"]: r["weight"] for r in out.collect()}
+    assert rows_out[0] > rows_out[1]  # en doc outweighs de doc
