@@ -971,6 +971,45 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+SEMDEDUP_SEED = 7
+SEMDEDUP_CLUSTERS = 8
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: fixed
+    seeded unit centroids (components rounded to 6dp so the SQL-literal
+    round trip is exact), cluster assignment as a pure codegen column
+    expression (zero shuffle, no explode), within-cluster cosine >=
+    0.35 marks the higher-centroid-similarity member a duplicate
+    (operators/similarity.py:semdedup). Emits every row with its
+    cluster, centroid similarity, and is_dup verdict."""
+    from json_schema_spark.operators.similarity import (
+        seeded_unit_centroids, semdedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = seeded_unit_centroids(64, SEMDEDUP_CLUSTERS, seed=SEMDEDUP_SEED)
+    return semdedup(
+        emb, cents, threshold=SEMDEDUP_THRESHOLD,
+    ).withColumnRenamed("id", "vec_id")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 A1.1) per document:
+    word count / mean word length / symbol ratio / bullet + ellipsis
+    line fractions / alpha-word fraction / stopword presence, plus the
+    combined verdict (operators/quality.py:gopher_rules). min_stopwords
+    relaxed to 1 here because the synthetic corpus vocabulary caps
+    distinct stopwords at 1 — the published default (2) would make the
+    verdict constant-false and hash-trivial."""
+    from json_schema_spark.operators.quality import gopher_rules
+
+    return gopher_rules(
+        _docs(spark, sf_dir), "doc_id", "text", min_stopwords=1,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline as a driver query (VERDICT r4
     next #7): documents gain a deterministic synthetic BINARY column
@@ -1424,6 +1463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "domain_cap": q_domain_cap,
         "dsir_weights": q_dsir_weights,
+        # r5: SemDeDup + Gopher rule battery (oracled; past the window)
+        "semdedup": q_semdedup,
+        "gopher_rules": q_gopher_rules,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -1497,6 +1539,47 @@ def _pii_scan_sql() -> str:
         f"SELECT doc_id, {counts}, {total} AS n_pii, md5({red}) AS redacted_md5 "
         f"FROM documents WHERE text IS NOT NULL"
     )
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup oracle generated from the SAME seeded centroids the
+    Spark query inlines (similarity.seeded_unit_centroids rounds every
+    component to 6dp, so the SQL-literal round trip reproduces the
+    exact doubles; cosine parity at round(6) is the same contract the
+    green ann_topk / embedding_near_dup oracles rely on)."""
+    from json_schema_spark.operators.similarity import seeded_unit_centroids
+
+    cents = seeded_unit_centroids(64, SEMDEDUP_CLUSTERS, seed=SEMDEDUP_SEED)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cid, cv) AS (VALUES {values}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL),
+        scored AS (
+          SELECT vec_id, v, cid,
+                 round(list_cosine_similarity(v, cv), 6) AS cos
+          FROM e CROSS JOIN cents),
+        assigned AS (
+          SELECT vec_id, v, cid AS cluster_id, cos AS sim_centroid
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM scored)
+          WHERE rn = 1),
+        dups AS (
+          SELECT DISTINCT x.vec_id
+          FROM assigned x JOIN assigned y
+            ON x.cluster_id = y.cluster_id
+           AND ((y.sim_centroid < x.sim_centroid)
+                OR (y.sim_centroid = x.sim_centroid AND y.vec_id < x.vec_id))
+           AND round(list_cosine_similarity(x.v, y.v), 6)
+               >= {SEMDEDUP_THRESHOLD})
+        SELECT a.vec_id, a.cluster_id, a.sim_centroid,
+               (d.vec_id IS NOT NULL) AS is_dup
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2348,6 +2431,56 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(logratio), 6) AS weight
             FROM ex JOIN ratio USING (feat)
             GROUP BY doc_id
+        """,
+        "semdedup": _semdedup_sql(),
+        # Gopher rule battery: every ratio rounded to 6dp BEFORE the
+        # threshold compare on both engines, so the verdict column is
+        # reproducible; list_intersect dedups exactly like Spark's
+        # array_intersect (n_stopwords = DISTINCT stopword hits)
+        "gopher_rules": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text),
+                                                  '[\\s\\x0b]+') END AS t,
+                     string_split(text, chr(10)) AS lines,
+                     text
+              FROM documents WHERE text IS NOT NULL),
+            sig AS (
+              SELECT doc_id,
+                     len(t) AS word_count,
+                     CASE WHEN len(t) = 0 THEN NULL ELSE round(
+                       list_sum(list_transform(t, x -> length(x))) * 1.0
+                       / len(t), 6) END AS mean_word_len,
+                     CASE WHEN len(t) = 0 THEN NULL ELSE round(
+                       (len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+                       / len(t), 6) END AS symbol_word_ratio,
+                     round(len(list_filter(lines,
+                         l -> regexp_matches(ltrim(l), '^[-*•]'))) * 1.0
+                       / len(lines), 6) AS bullet_line_frac,
+                     round(len(list_filter(lines,
+                         l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) * 1.0
+                       / len(lines), 6) AS ellipsis_line_frac,
+                     CASE WHEN len(t) = 0 THEN NULL ELSE round(
+                       len(list_filter(t,
+                           x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                       / len(t), 6) END AS alpha_word_frac,
+                     len(list_intersect(
+                       list_transform(t, x -> lower(x)),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS n_stopwords
+              FROM base)
+            SELECT *,
+                   coalesce(word_count >= 50 AND word_count <= 100000
+                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                     AND symbol_word_ratio <= 0.1
+                     AND bullet_line_frac < 0.9
+                     AND ellipsis_line_frac < 0.3
+                     AND alpha_word_frac >= 0.8
+                     AND n_stopwords >= 1, FALSE) AS passes_gopher
+            FROM sig
         """,
         "pii_scan": _pii_scan_sql(),
         "contamination_check": """

@@ -510,3 +510,96 @@ def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[cnt.cast("long").alias(f"n_{k}") for k, cnt in counts],
         total.cast("long").alias("n_pii"),
     )
+
+
+# Gopher rules (Rae et al. 2021, arXiv:2112.11446 Appendix A1.1):
+# the canonical published heuristic-filter battery for web text.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document Gopher quality-rule battery.  Emits every signal
+    plus the combined verdict so downstream filters can loosen single
+    rules without recomputing:
+
+      (id, word_count, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       n_stopwords, passes_gopher)
+
+    Rules (Gopher A1.1): 50 <= words <= 100k; mean word length in
+    [3, 10]; '#'/'...' symbol-to-word ratio <= 0.1; < 90% of lines
+    bullet-started; < 30% of lines ellipsis-ended; >= 80% of words
+    contain an alphabetic character; >= 2 distinct stopwords from an
+    8-word list.
+
+    Scale shape: one projection materializes tokens and lines (the
+    O(tokens^2) HOF-inlining trap documented in this module's header),
+    then every signal is a codegen'd array/regex expression — zero
+    shuffle, zero executor Python, `text` never leaves the scan
+    projection. Ratios are rounded BEFORE threshold comparison so the
+    verdict is reproducible across engines (the DuckDB oracle compares
+    the same rounded values).
+    """
+    did = F.col(id_col)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        did.alias("id"),
+        ws_tokens(F.col(text_col)).alias("__toks"),
+        F.split(F.col(text_col), r"\n").alias("__lines"),
+        F.col(text_col).alias("__text"),
+    )
+    wc = F.size("__toks")
+    # try_divide: zero-word docs yield NULL ratios (ANSI mode would
+    # throw), and the final verdict coalesces NULL -> False
+    mean_wl = F.round(F.try_divide(
+        F.aggregate("__toks", F.lit(0.0),
+                    lambda acc, t: acc + F.char_length(t)), wc), round_to)
+    n_symbols = (F.regexp_count(F.col("__text"), F.lit(r"#"))
+                 + F.regexp_count(F.col("__text"), F.lit(r"\.\.\.")))
+    sym_ratio = F.round(F.try_divide(n_symbols, wc), round_to)
+    n_lines = F.size("__lines")
+    bullet_frac = F.round(
+        F.size(F.filter("__lines",
+                        lambda l: F.ltrim(l).rlike(r"^[-*•]")))
+        / n_lines, round_to)
+    ellipsis_frac = F.round(
+        F.size(F.filter("__lines",
+                        lambda l: F.rtrim(l).rlike(r"\.\.\.$")))
+        / n_lines, round_to)
+    alpha_frac = F.round(F.try_divide(
+        F.size(F.filter("__toks", lambda t: t.rlike("[A-Za-z]"))),
+        wc), round_to)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(
+        F.transform("__toks", lambda t: F.lower(t)), stop_arr))
+    sig = base.select(
+        "id",
+        wc.cast("long").alias("word_count"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        F.when(n_lines > 0, bullet_frac).otherwise(0.0)
+            .alias("bullet_line_frac"),
+        F.when(n_lines > 0, ellipsis_frac).otherwise(0.0)
+            .alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    passes = (
+        (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return sig.withColumn("passes_gopher", F.coalesce(passes, F.lit(False)))

@@ -452,3 +452,94 @@ def ann_ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def seeded_unit_centroids(dim: int, n_clusters: int,
+                          seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm Gaussian directions, components rounded
+    to 6 decimals so a SQL-literal round trip reproduces the exact
+    doubles (the SemDeDup oracle interpolates these into DuckDB).
+    Random directions are the fixed-quantizer stand-in for externally
+    trained k-means centroids (`train_ivf_centroids` plugs in the same
+    way) — at web scale you train the quantizer once on a bounded
+    sample and broadcast it, exactly like IVF."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_clusters, dim))
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return [[round(float(x), 6) for x in row] for row in c]
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
+    embeddings with a fixed coarse quantizer, then inside each cluster
+    mark a document as a semantic duplicate if some other member has
+    cosine similarity >= ``threshold`` and precedes it in the keep
+    order.  Keep order follows the paper's released recipe — LOWEST
+    similarity-to-centroid survives — with the doc id as a
+    deterministic tiebreak.
+
+    Emits every row: (id, cluster_id, sim_centroid, is_dup).
+
+    Scale shape: cluster assignment is a PURE column expression — the
+    centroid matrix is inlined as literals, so the argmax over
+    ``len(centroids)`` dot products rides whole-stage codegen with
+    ZERO shuffle and no explode (an exploded broadcast-join argmax
+    would move ``n_clusters``x the vector bytes).  The only shuffle is
+    the within-cluster self-join on cluster_id; its cost is
+    sum(cluster_size^2) — the quantizer's cluster count is chosen
+    proportional to corpus size (the paper runs 50k clusters on LAION)
+    precisely so that stays bounded.  A skewed giant cluster is the
+    known failure mode: cap it upstream by re-training the quantizer,
+    not by salting (correctness is per-cluster).
+    """
+    n = len(centroids)
+    vec = F.col(vec_col)
+    # argmax over literal centroids: array<struct<c,negi>> max picks
+    # highest cos, then LOWEST cluster id on exact ties
+    cos_exprs = [
+        F.round(cosine(vec, F.array(*[F.lit(x) for x in c])), round_to)
+        for c in centroids
+    ]
+    best = F.array_max(F.array(*[
+        F.struct(ce.alias("c"), F.lit(-i).alias("negi"))
+        for i, ce in enumerate(cos_exprs)
+    ]))
+    assigned = corpus.where(vec.isNotNull()).select(
+        F.col(id_col).alias("id"), vec.alias("__v"),
+        (-best["negi"]).cast("int").alias("cluster_id"),
+        best["c"].alias("sim_centroid"),
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    dup_ids = (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (
+                (F.col("y.sim_centroid") < F.col("x.sim_centroid"))
+                | ((F.col("y.sim_centroid") == F.col("x.sim_centroid"))
+                   & (F.col("y.id") < F.col("x.id")))
+            )
+            & (F.round(cosine(F.col("x.__v"), F.col("y.__v")), round_to)
+               >= F.lit(threshold)),
+            "left_semi",
+        )
+        .select(F.col("x.id").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, "id", "left")
+        .select(
+            "id", "cluster_id", "sim_centroid",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -81,6 +81,10 @@ PAST_WINDOW_ORACLED = {
     "bm25_topk": "tests/test_retrieval_sampling.py",
     "domain_cap": "tests/test_retrieval_sampling.py",
     "dsir_weights": "tests/test_retrieval_sampling.py",
+    # r5: SemDeDup + Gopher rules, same deal (oracled, born past the
+    # window; hand-computed fixtures in tests/test_semdedup_gopher.py)
+    "semdedup": "tests/test_semdedup_gopher.py",
+    "gopher_rules": "tests/test_semdedup_gopher.py",
 }
 
 
@@ -143,14 +147,16 @@ def test_bench_contract_line_stays_under_capture_window():
         "ann1m_recall_lsh": 0.999, "ann1m_recall_ivf": 1.0,
         "variant_speedup": 1.95,
     }
-    # today's surface: scalars intact, at most a few fast queries
-    # spill to the side artifact
+    # today's surface: scalars intact, at most a handful of FAST
+    # queries spill to the side artifact (they're the least
+    # information: sub-second walls, full precision in last_run.json)
     s = contract_line(dict(base, queries=dict(base["queries"])))
     assert len(s) <= 1900
     parsed = json.loads(s)
     assert parsed["skew_worst_ratio"] == 1.9
     assert parsed["ann1m_recall_lsh"] == 0.999
-    assert len(parsed["queries"]) >= len(names) - 5
+    assert len(parsed["queries"]) >= len(names) - 8
+    assert parsed["queries_omitted"] == len(names) - len(parsed["queries"])
     # +30 hypothetical queries: still parseable, scalars STILL intact —
     # fast-query entries get omitted (counted), never the evidence
     big = dict(base, queries={**base["queries"],
