@@ -1010,6 +1010,50 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity (Wenzek et al. 2020) with the
+    lang='en' slice as the reference corpus, over a 4096-bucket hashed
+    feature space — the SCALE variant, where both LM tables are
+    bounded and broadcast so the corpus never shuffles on vocabulary;
+    md5 bucketing keeps every score oracle-reproducible
+    (operators/lm.py:bigram_lm_perplexity)."""
+    from json_schema_spark.operators.lm import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(
+        _docs(spark, sf_dir), "doc_id", "text",
+        is_reference=F.col("lang") == "en", alpha=1.0, n_buckets=4096,
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _c4_derived_text() -> F.Column:
+    """The synthetic corpus is single-line, punctuation-free word
+    salad, which would make every C4 line rule constant-false; derive
+    a deterministic line structure instead (5-word sentences via one
+    regexp_replace, plus seeded marker lines on a doc_id modulus) —
+    same precedent as the multimodal query's synthetic binary column.
+    The oracle applies the identical derivation in DuckDB."""
+    lined = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1.\n")
+    return F.concat(
+        lined,
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("\nlorem ipsum dolor")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0,
+               F.lit("\nenable javascript and accept { cookies }"))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page/line heuristics (Raffel et al. 2020 §2.2) over the
+    derived line-structured text: terminal-punctuation + >=5-words
+    line keeps, >=3 kept lines per page, brace / lorem-ipsum /
+    javascript-line page drops (operators/quality.py:c4_rules)."""
+    from json_schema_spark.operators.quality import c4_rules
+
+    docs = _docs(spark, sf_dir).withColumn("text", _c4_derived_text())
+    return c4_rules(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
 def q_multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline as a driver query (VERDICT r4
     next #7): documents gain a deterministic synthetic BINARY column
@@ -1466,6 +1510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: SemDeDup + Gopher rule battery (oracled; past the window)
         "semdedup": q_semdedup,
         "gopher_rules": q_gopher_rules,
+        # r5: CCNet LM perplexity + C4 rules (oracled; past the window)
+        "lm_perplexity": q_lm_perplexity,
+        "c4_rules": q_c4_rules,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -2433,6 +2480,89 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "semdedup": _semdedup_sql(),
+        # bigram LM: same md5-bucket construction as dsir_weights
+        # (pair key seed #2, context key seed #3); alpha=1.0, V = exact
+        # distinct reference unigrams
+        "lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en') AS ref,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            pos AS (
+              SELECT doc_id, ref,
+                     ('0x' || substr(md5(t[i.g] || chr(31) || t[i.g+1]
+                                         || '#2'), 1, 15))::BIGINT
+                       % 4096 AS pair_key,
+                     ('0x' || substr(md5(t[i.g] || '#3'), 1, 15))::BIGINT
+                       % 4096 AS ctx_key
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(g)
+              WHERE len(t) >= 2),
+            pc AS (SELECT pair_key, count(*) AS c_pair
+                   FROM pos WHERE ref GROUP BY 1),
+            cc AS (SELECT ctx_key, count(*) AS c_ctx
+                   FROM pos WHERE ref GROUP BY 1),
+            v AS (SELECT count(DISTINCT u.tok) AS v_size
+                  FROM toks, UNNEST(t) AS u(tok) WHERE ref),
+            scored AS (
+              SELECT doc_id,
+                     ln((coalesce(c_pair, 0) + 1.0)
+                        / (coalesce(c_ctx, 0) + 1.0 * v_size)) AS logp
+              FROM pos LEFT JOIN pc USING (pair_key)
+                       LEFT JOIN cc USING (ctx_key)
+                       CROSS JOIN v),
+            per AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(exp(-avg(logp)), 6) AS perplexity
+              FROM scored GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   p.perplexity
+            FROM (SELECT DISTINCT doc_id FROM toks) t
+            LEFT JOIN per p USING (doc_id)
+        """,
+        # C4: identical line derivation (5-word sentences + seeded
+        # markers) then the same rounded rule battery
+        "c4_rules": """
+            WITH derived AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\\S+ ){4}\\S+) ',
+                                    '\\1.' || chr(10), 'g')
+                     || CASE WHEN doc_id % 17 = 0
+                             THEN chr(10) || 'lorem ipsum dolor'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 23 = 0
+                             THEN chr(10)
+                               || 'enable javascript and accept { cookies }'
+                             ELSE '' END AS text
+              FROM documents WHERE text IS NOT NULL),
+            base AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines,
+                     lower(text) AS lo
+              FROM derived),
+            sig AS (
+              SELECT doc_id,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines,
+                       l -> regexp_matches(rtrim(l), '[.!?\"]$')
+                        AND len(string_split_regex(trim(l),
+                                                   '[\\s\\x0b]+')) >= 5))
+                       AS n_kept_lines,
+                     position('{' IN lo) > 0 AS has_brace,
+                     position('lorem ipsum' IN lo) > 0 AS has_lorem,
+                     len(list_filter(lines,
+                       l -> regexp_matches(lower(l), '\\bjavascript\\b')))
+                       > 0 AS has_javascript_line
+              FROM base)
+            SELECT doc_id, n_lines, n_kept_lines,
+                   round(n_kept_lines * 1.0 / n_lines, 6) AS kept_frac,
+                   has_brace, has_lorem, has_javascript_line,
+                   coalesce(n_kept_lines >= 3 AND NOT has_brace
+                     AND NOT has_lorem AND NOT has_javascript_line,
+                     FALSE) AS passes_c4
+            FROM sig
+        """,
         # Gopher rule battery: every ratio rounded to 6dp BEFORE the
         # threshold compare on both engines, so the verdict column is
         # reproducible; list_intersect dedups exactly like Spark's

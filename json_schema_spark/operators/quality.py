@@ -603,3 +603,65 @@ def gopher_rules(
         & (F.col("n_stopwords") >= min_stopwords)
     )
     return sig.withColumn("passes_gopher", F.coalesce(passes, F.lit(False)))
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_kept_lines: int = 3,
+    min_words_per_line: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """C4 page/line heuristics (Raffel et al. 2020, arXiv:1910.10683
+    §2.2, the "Colossal Clean Crawled Corpus" cleaning recipe).
+    Line-level: a line is KEPT iff it ends in terminal punctuation
+    (. ! ? ") after right-trim AND contains >= ``min_words_per_line``
+    whitespace words.  Page-level: the page passes iff it keeps >=
+    ``min_kept_lines`` lines (C4's "at least 3 sentences" proxy) and
+    contains none of the markers C4 drops pages for — '{' (code),
+    'lorem ipsum' (boilerplate), or a line with the word 'javascript'
+    (the paper's un-renderable-JS warning lines).
+
+    Emits per page:
+      (id, n_lines, n_kept_lines, kept_frac, has_brace, has_lorem,
+       has_javascript_line, passes_c4)
+
+    Scale shape: one projection materializes the line array; every
+    signal is a codegen'd array/regex expression over it — zero
+    shuffle, zero executor Python, `text` read once.  (The companion
+    TRANSFORM — emitting the cleaned text itself — is
+    ``array_join(filter(lines, kept), '\\n')`` over the same
+    projection; this operator emits the signals so the verdict is
+    hash-comparable.)
+    """
+    did = F.col(id_col)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        did.alias("id"),
+        F.split(F.col(text_col), r"\n").alias("__lines"),
+        F.lower(F.col(text_col)).alias("__lower"),
+    )
+
+    def _kept(l: Column) -> Column:
+        return F.rtrim(l).rlike(r'[.!?"]$') & (
+            F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+
+    n_lines = F.size("__lines")
+    n_kept = F.size(F.filter("__lines", _kept))
+    sig = base.select(
+        "id",
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.round(F.try_divide(n_kept, n_lines), round_to).alias("kept_frac"),
+        F.col("__lower").contains("{").alias("has_brace"),
+        F.col("__lower").contains("lorem ipsum").alias("has_lorem"),
+        F.exists(
+            "__lines", lambda l: F.lower(l).rlike(r"\bjavascript\b")
+        ).alias("has_javascript_line"),
+    )
+    passes = (
+        (F.col("n_kept_lines") >= min_kept_lines)
+        & ~F.col("has_brace") & ~F.col("has_lorem")
+        & ~F.col("has_javascript_line")
+    )
+    return sig.withColumn("passes_c4", F.coalesce(passes, F.lit(False)))

@@ -85,6 +85,9 @@ PAST_WINDOW_ORACLED = {
     # window; hand-computed fixtures in tests/test_semdedup_gopher.py)
     "semdedup": "tests/test_semdedup_gopher.py",
     "gopher_rules": "tests/test_semdedup_gopher.py",
+    # r5: CCNet bigram-LM perplexity + C4 rules (tests/test_lm_c4.py)
+    "lm_perplexity": "tests/test_lm_c4.py",
+    "c4_rules": "tests/test_lm_c4.py",
 }
 
 
