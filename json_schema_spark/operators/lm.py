@@ -54,6 +54,19 @@ def bigram_lm_perplexity(
     undefined-score convention.
 
     Emits (id, n_bigrams, perplexity).
+
+    Plan-shape note (measured at sf0.1, 5-rep medians): this layout —
+    separate pair/context groupBys plus a broadcast id re-attach —
+    runs ~0.6 s.  Two "obvious" improvements were tried and REVERTED
+    as ~2x slower: (a) deriving both marginals from one
+    (pair, ctx)-keyed gram shuffle (Spark does not reuse the gram
+    exchange across the two marginal branches, so it pays the extra
+    corpus-wide shuffle and still rescans), and (b) an explode_outer
+    id spine with when()-guarded hash keys (the conditional around
+    md5/conv blocks whole-stage-codegen subexpression sharing — the
+    same branch-free lesson as BENCH/BASELINE.md's NULL-gate finding).
+    At real scale the id re-attach join shuffles; if that matters,
+    persist the tokenized projection and feed both branches from it.
     """
     did = F.col(id_col)
     toks = df.where(F.col(text_col).isNotNull()).select(
