@@ -201,9 +201,38 @@ def main() -> None:
     results["contamination_check"] = {"eval_docs_over_09_hit": n_cont,
                                       **stats}
 
+    # 8. per-domain quota (r5) — the hot domain holds 40% of ALL rows;
+    # the naive single window funnels every one of its rows through
+    # ONE task, the salted two-stage top-k bounds any domain to
+    # k*n_salts rows before the final window. The naive run is the
+    # CONTROL (excluded from the mitigated max, like the uncapped
+    # minhash slice).
+    from json_schema_spark.operators.sampling import per_domain_cap
+
+    order = [F.asc("doc_id")]
+    n_cap, stats = timed(watch, lambda: per_domain_cap(
+        docs, "domain", k=100, order_by=order,
+        salt_key="doc_id", n_salts=32).count())
+    results["domain_cap_salted"] = {"kept": n_cap, **stats}
+    n_naive, stats = timed(watch, lambda: per_domain_cap(
+        docs, "domain", k=100, order_by=order).count())
+    results["domain_cap_naive_control"] = {"kept": n_naive, **stats}
+
+    # 9. LM perplexity (r5) — the 25% boilerplate template makes a few
+    # bigram hash buckets extremely hot; the pair/context groupBys are
+    # combinable (hot grams partial-aggregate map-side) and the LM
+    # tables re-enter as broadcasts, so no reduce task owns a hot gram
+    from json_schema_spark.operators.lm import bigram_lm_perplexity
+
+    n_ppl, stats = timed(watch, lambda: bigram_lm_perplexity(
+        texts, "doc_id", "text", is_reference=F.col("lang") == "en",
+        n_buckets=4096).where(F.col("perplexity") < 100).count())
+    results["lm_perplexity"] = {"docs_under_100_ppl": n_ppl, **stats}
+
     worst = max(v["worst_ratio"] for v in results.values()
                 if isinstance(v, dict) and "worst_ratio" in v
-                and v is not results["dedup_minhash_uncapped_slice"])
+                and v is not results["dedup_minhash_uncapped_slice"]
+                and v is not results["domain_cap_naive_control"])
     results["worst_ratio_mitigated_jobs"] = worst
     results["pass_no_straggler_4x"] = bool(worst <= 4.0)
 

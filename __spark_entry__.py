@@ -972,7 +972,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_SEED = 7
-SEMDEDUP_CLUSTERS = 8
+# 32 clusters at this corpus size: the within-cluster pairwise cost is
+# sum(cluster_size^2) — under-clustering is the operator's documented
+# failure mode (8 clusters measured 6.8 s at sf0.1; 32 bounds the
+# self-join fan-out 4x lower while sf0.01 still yields a non-trivial
+# dup set)
+SEMDEDUP_CLUSTERS = 32
 SEMDEDUP_THRESHOLD = 0.35
 
 
@@ -1008,6 +1013,19 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(
         _docs(spark, sf_dir), "doc_id", "text", min_stopwords=1,
     ).withColumnRenamed("id", "doc_id")
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source-mixing rates (mT5 recipe, tau=0.7)
+    over the documents table, massed by characters: one combinable
+    groupBy, aggregate-sized windows, keep_rate feeds
+    stratified_sample's broadcast rate table
+    (operators/sampling.py:temperature_mix_rates)."""
+    from json_schema_spark.operators.sampling import temperature_mix_rates
+
+    return temperature_mix_rates(
+        _docs(spark, sf_dir), "source", tau=0.7, weight=F.col("n_chars"),
+    )
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1513,6 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: CCNet LM perplexity + C4 rules (oracled; past the window)
         "lm_perplexity": q_lm_perplexity,
         "c4_rules": q_c4_rules,
+        # r5: temperature source mixing (oracled; past the window)
+        "temperature_mix": q_temperature_mix,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -2521,6 +2541,26 @@ def oracle_sql() -> dict[str, str]:
                    p.perplexity
             FROM (SELECT DISTINCT doc_id FROM toks) t
             LEFT JOIN per p USING (doc_id)
+        """,
+        "temperature_mix": """
+            WITH mass AS (
+              SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+              FROM documents GROUP BY source),
+            t AS (
+              SELECT source, mass,
+                     mass / sum(mass) OVER () AS nshare,
+                     pow(mass / sum(mass) OVER (), 0.7) AS tpow
+              FROM mass),
+            u AS (
+              SELECT source, mass, nshare,
+                     tpow / sum(tpow) OVER () AS tshare
+              FROM t)
+            SELECT source, mass,
+                   round(nshare, 6) AS natural_share,
+                   round(tshare, 6) AS target_share,
+                   round((tshare / nshare)
+                         / max(tshare / nshare) OVER (), 6) AS keep_rate
+            FROM u
         """,
         # C4: identical line derivation (5-word sentences + seeded
         # markers) then the same rounded rule battery

@@ -185,3 +185,49 @@ def dsir_weights(
             F.round(F.avg("logratio"), round_to).alias("weight"),
         )
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    source: str | Column,
+    tau: float = 0.7,
+    weight: Column | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-pretraining
+    recipe of Arivazhagan et al. 2019 / mT5, Xue et al. 2021): the
+    target share of source i is p_i^tau / sum_j p_j^tau where p_i is
+    its corpus mass; tau=1 keeps natural proportions, tau->0 moves
+    toward uniform, upweighting the tail.  The per-source KEEP RATE is
+    the target share over the natural share, normalized so the largest
+    rate is 1.0 (pure downsampling — no row is ever repeated, matching
+    the deterministic-filter sampling model of this module).
+
+    Emits one row per source:
+      (source, mass, natural_share, target_share, keep_rate)
+
+    ``weight`` (default: row count) is the mass column — pass token
+    counts to mix by tokens rather than documents.
+
+    Scale shape: ONE combinable groupBy over the corpus; everything
+    downstream is aggregate-sized (one row per source).  Feed the
+    result's keep_rate into :func:`stratified_sample` — the rate table
+    broadcasts, the corpus never shuffles.
+    """
+    s = F.col(source) if isinstance(source, str) else source
+    w = F.lit(1).cast("double") if weight is None else weight.cast("double")
+    mass = df.select(s.alias("source"), w.alias("__w")).groupBy(
+        "source").agg(F.sum("__w").alias("mass"))
+    total = F.sum("mass").over(Window.partitionBy())
+    tpow = F.pow(F.col("mass") / total, F.lit(tau))
+    tshare = tpow / F.sum(tpow).over(Window.partitionBy())
+    nshare = F.col("mass") / total
+    raw_rate = tshare / nshare
+    max_rate = F.max(raw_rate).over(Window.partitionBy())
+    return mass.select(
+        "source",
+        "mass",
+        F.round(nshare, round_to).alias("natural_share"),
+        F.round(tshare, round_to).alias("target_share"),
+        F.round(raw_rate / max_rate, round_to).alias("keep_rate"),
+    )

@@ -88,6 +88,8 @@ PAST_WINDOW_ORACLED = {
     # r5: CCNet bigram-LM perplexity + C4 rules (tests/test_lm_c4.py)
     "lm_perplexity": "tests/test_lm_c4.py",
     "c4_rules": "tests/test_lm_c4.py",
+    # r5: temperature source mixing (tests/test_retrieval_sampling.py)
+    "temperature_mix": "tests/test_retrieval_sampling.py",
 }
 
 

@@ -129,3 +129,44 @@ def test_dsir_bucketed_is_broadcast_and_sane(spark):
     assert "BroadcastHashJoin" in plan
     rows_out = {r["id"]: r["weight"] for r in out.collect()}
     assert rows_out[0] > rows_out[1]  # en doc outweighs de doc
+
+
+def test_temperature_mix_rates_hand_values(spark):
+    from json_schema_spark.operators.sampling import temperature_mix_rates
+
+    # masses 80/20: tau=0.5 -> tpow sqrt(.8)/sqrt(.2); shares
+    # .8944/.4472 normalized -> 2/3, 1/3; raw rates (2/3)/.8=5/6 and
+    # (1/3)/.2=5/3 -> normalized keep rates .5 / 1.0
+    rows = [(i, "big") for i in range(80)] + [(i + 100, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in
+           temperature_mix_rates(df, "source", tau=0.5).collect()}
+    assert out["big"]["natural_share"] == pytest.approx(0.8)
+    assert out["big"]["target_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["small"]["target_share"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["small"]["keep_rate"] == pytest.approx(1.0)
+    assert out["big"]["keep_rate"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_temperature_one_is_identity(spark):
+    from json_schema_spark.operators.sampling import temperature_mix_rates
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for r in temperature_mix_rates(df, "source", tau=1.0).collect():
+        assert r["keep_rate"] == pytest.approx(1.0)
+        assert r["target_share"] == pytest.approx(r["natural_share"])
+
+
+def test_temperature_mix_by_token_weight(spark):
+    from json_schema_spark.operators.sampling import temperature_mix_rates
+    from pyspark.sql import functions as F
+
+    rows = [(1, "a", 300), (2, "b", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = {r["source"]: r for r in temperature_mix_rates(
+        df, "source", tau=0.0, weight=F.col("n_tok")).collect()}
+    # tau=0: uniform target shares regardless of mass
+    assert out["a"]["target_share"] == pytest.approx(0.5)
+    assert out["b"]["target_share"] == pytest.approx(0.5)
+    assert out["a"]["natural_share"] == pytest.approx(0.75)
