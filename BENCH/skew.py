@@ -225,7 +225,8 @@ def main() -> None:
     from json_schema_spark.operators.lm import bigram_lm_perplexity
 
     n_ppl, stats = timed(watch, lambda: bigram_lm_perplexity(
-        texts, "doc_id", "text", is_reference=F.col("lang") == "en",
+        texts, "doc_id", "text",
+        is_reference=F.col("doc_id") % 3 == 0,  # texts carries no lang
         n_buckets=4096).where(F.col("perplexity") < 100).count())
     results["lm_perplexity"] = {"docs_under_100_ppl": n_ppl, **stats}
 

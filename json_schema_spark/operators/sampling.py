@@ -93,6 +93,16 @@ def per_domain_cap(
     union of per-bucket top-ks — bounding any domain to k*n_salts rows
     before the real per-domain window.  The corpus shuffles once
     either way; the salt just splits hot keys across tasks.
+
+    Measured nuance (BENCH/skew.py, 4M rows / 40%-hot domain): Spark
+    4's WindowGroupLimit already caps the naive window's TASK HEAP at
+    k rows per key, so at this scale the naive plan is actually
+    FASTER (0.85 s vs 3.15 s — the salt pays an extra shuffle+window)
+    and its hot task is not a straggler (max/median 1.09).  Salting
+    earns its keep when one domain's ROW COUNT makes a single task's
+    linear scan dominate wall clock (the 10^9-page host), not merely
+    when the domain is hot — leave ``salt_key`` unset below that
+    regime.
     """
     d = F.col(domain) if isinstance(domain, str) else domain
     out = df.withColumn("__dom", d)
