@@ -36,8 +36,15 @@ def main() -> None:
     run = build_constraint_pass(spark, n_docs)
     for _ in range(3):
         run()
-    runs = sorted(run() for _ in range(3))
-    docs_per_sec, wall = runs[1]
+    # reps env knob: the 8M headline pass is ~2.5 s/rep, so bench.py
+    # asks for 5 measured reps — the median then survives one of this
+    # host's multi-second whole-VM stalls (measured: a rep flapping
+    # 2.7 s -> 32.6 s with 0.13 s of GC and zero PSI/steal/load —
+    # hypervisor-level, invisible to every guest metric). scaling.py
+    # keeps the default 3: its 64M reps are 12-90 s and self-amortize.
+    n_reps = int(os.environ.get("SPARK_GRAFT_PASS_REPS", "3"))
+    runs = sorted(run() for _ in range(n_reps))
+    docs_per_sec, wall = runs[len(runs) // 2]
     print(json.dumps({
         "cores": n_cores, "n_docs": n_docs,
         "docs_per_sec": round(docs_per_sec), "wall_s": round(wall, 3),
