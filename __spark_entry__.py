@@ -1043,6 +1043,20 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed bag-of-ngrams linear quality scorer
+    (Joulin et al. 2017; the gate CCNet/RefinedWeb/FineWeb put in
+    front of training corpora), 4096-bucket md5 feature space with the
+    deterministic placeholder weights — the identical zero-shuffle
+    inference plan a trained weight map would run
+    (operators/classifier.py:hashed_linear_score)."""
+    from json_schema_spark.operators.classifier import hashed_linear_score
+
+    return hashed_linear_score(
+        _docs(spark, sf_dir), "doc_id", "text", n_buckets=4096,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def _c4_derived_text() -> F.Column:
     """The synthetic corpus is single-line, punctuation-free word
     salad, which would make every C4 line rule constant-false; derive
@@ -1533,6 +1547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         # r5: temperature source mixing (oracled; past the window)
         "temperature_mix": q_temperature_mix,
+        # r5: fastText-style hashed-ngram linear quality classifier
+        # (oracled; past the window)
+        "quality_classifier": q_quality_classifier,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -2540,6 +2557,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
                    p.perplexity
             FROM (SELECT DISTINCT doc_id FROM toks) t
+            LEFT JOIN per p USING (doc_id)
+        """,
+        "quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id, CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id, u.g AS g FROM toks, UNNEST(t) AS u(g)
+              UNION ALL
+              SELECT doc_id, t[i.g] || chr(31) || t[i.g+1] AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(g)
+              WHERE len(t) >= 2),
+            wts AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('w#' || CAST(
+                        ('0x' || substr(md5(g || '#7'), 1, 15))::BIGINT
+                          % 4096 AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 * 2 - 1 AS w
+              FROM grams),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams, avg(w) AS raw
+              FROM wts GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   round(p.raw, 6) AS score,
+                   round(1 / (1 + exp(-12 * p.raw)), 6) AS quality_prob,
+                   (round(p.raw, 6) > 0) AS keep
+            FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) t
             LEFT JOIN per p USING (doc_id)
         """,
         "temperature_mix": """

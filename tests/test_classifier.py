@@ -1,0 +1,91 @@
+"""hashed_linear_score: fastText-style quality classifier inference.
+
+Every expectation below is computed in pure Python (hashlib.md5) —
+independent of both Spark and DuckDB — so the engine, the oracle SQL,
+and this file triangulate the same numbers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from json_schema_spark.operators.classifier import hashed_linear_score
+
+N_BUCKETS = 4096
+
+
+def py_bucket(key: str, seed: int = 7, buckets: int = N_BUCKETS) -> int:
+    h = int(hashlib.md5(f"{key}#{seed}".encode()).hexdigest()[:15], 16)
+    return h % buckets
+
+
+def py_weight(bucket: int) -> float:
+    h = int(hashlib.md5(f"w#{bucket}".encode()).hexdigest()[:15], 16)
+    return h / 2**60 * 2 - 1
+
+
+def py_score(text: str, gain: float = 12.0):
+    toks = text.strip().lower().split()
+    grams = toks + ["\x1f".join(p) for p in zip(toks, toks[1:])]
+    if not grams:
+        return 0, None, None, None
+    raw = sum(py_weight(py_bucket(g)) for g in grams) / len(grams)
+    return (len(grams), round(raw, 6),
+            round(1 / (1 + math.exp(-gain * raw)), 6),
+            round(raw, 6) > 0)
+
+
+DOCS = [
+    ("d1", "The quick brown Fox jumps"),
+    ("d2", "   "),                      # blank -> zero grams, NULL verdicts
+    ("d3", "hello"),                    # single token -> no bigrams
+    ("d4", None),                       # null text -> dropped
+    ("d5", "data data data"),           # repeated gram reuses its bucket
+]
+
+
+def test_scores_match_pure_python_replication(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           hashed_linear_score(df, "doc_id", "text").collect()}
+    assert set(out) == {"d1", "d2", "d3", "d5"}  # d4 (null text) dropped
+    for did, text in DOCS:
+        if text is None:
+            continue
+        n, score, prob, keep = py_score(text)
+        row = out[did]
+        assert row["n_grams"] == n, did
+        if n == 0:
+            assert row["score"] is None and row["quality_prob"] is None
+            assert row["keep"] is None
+        else:
+            assert row["score"] == pytest.approx(score, abs=1e-6), did
+            assert row["quality_prob"] == pytest.approx(prob, abs=1e-6), did
+            assert row["keep"] == keep, did
+
+
+def test_trained_weights_override_placeholder(spark):
+    df = spark.createDataFrame([("d3", "hello")], ["doc_id", "text"])
+    b = py_bucket("hello")
+    out = hashed_linear_score(
+        df, "doc_id", "text", weights={b: 5.0}).collect()[0]
+    # single gram, trained weight 5.0 -> raw = 5.0 exactly
+    assert out["score"] == pytest.approx(5.0)
+    assert out["quality_prob"] == pytest.approx(1.0)  # sigmoid(60)
+    assert out["keep"] is True
+    # a weight map that misses the bucket falls back to the placeholder
+    out2 = hashed_linear_score(
+        df, "doc_id", "text", weights={(b + 1) % N_BUCKETS: 5.0}).collect()[0]
+    assert out2["score"] == pytest.approx(round(py_weight(b), 6), abs=1e-6)
+
+
+def test_unigram_only_mode(spark):
+    df = spark.createDataFrame([("d1", "a b c")], ["doc_id", "text"])
+    out = hashed_linear_score(
+        df, "doc_id", "text", use_bigrams=False).collect()[0]
+    assert out["n_grams"] == 3
+    exp = sum(py_weight(py_bucket(g)) for g in "a b c".split()) / 3
+    assert out["score"] == pytest.approx(round(exp, 6), abs=1e-6)

@@ -90,6 +90,9 @@ PAST_WINDOW_ORACLED = {
     "c4_rules": "tests/test_lm_c4.py",
     # r5: temperature source mixing (tests/test_retrieval_sampling.py)
     "temperature_mix": "tests/test_retrieval_sampling.py",
+    # r5: fastText-style hashed-ngram quality classifier (hand-computed
+    # fixture in tests/test_classifier.py + the oracle test below)
+    "quality_classifier": "tests/test_classifier.py",
 }
 
 
@@ -160,7 +163,7 @@ def test_bench_contract_line_stays_under_capture_window():
     parsed = json.loads(s)
     assert parsed["skew_worst_ratio"] == 1.9
     assert parsed["ann1m_recall_lsh"] == 0.999
-    assert len(parsed["queries"]) >= len(names) - 8
+    assert len(parsed["queries"]) >= len(names) - 12
     assert parsed["queries_omitted"] == len(names) - len(parsed["queries"])
     # +30 hypothetical queries: still parseable, scalars STILL intact —
     # fast-query entries get omitted (counted), never the evidence
@@ -196,3 +199,23 @@ def test_rotated_out_queries_match_duckdb_oracle(spark, name):
     assert len(sdf) > 0 and len(sdf) == len(odf)
     pd.testing.assert_frame_equal(canon(sdf), canon(odf),
                                   check_dtype=False)
+
+
+def test_bench_conditions_probes():
+    """The bench's host-conditions instrumentation (BENCH/BASELINE.md
+    'Host conditions'): the trimmed-spread gate must ignore a single
+    stall-hit rep at >=5 reps but stay raw min/max below, and the
+    idle-fraction probe must return a sane instantaneous fraction
+    (getloadavg's 60s EMA was a self-defeating retry gate)."""
+    from bench import idle_frac, trimmed_spread
+
+    # 5 reps, one stall outlier: median (3.0M-ish) is trustworthy
+    assert trimmed_spread([290_000, 3_000_000, 3_100_000,
+                           3_200_000, 3_300_000]) < 1.3
+    # 5 reps genuinely unstable in the middle: still gated out
+    assert trimmed_spread([290_000, 1_000_000, 2_000_000,
+                           3_200_000, 3_300_000]) > 1.3
+    # 3 reps: no trimming, raw max/min (the r4 contract)
+    assert trimmed_spread([1_100_000, 2_950_000, 3_110_000]) == 2.83
+    f = idle_frac(window_s=0.2)
+    assert 0.0 <= f <= 1.0
