@@ -489,62 +489,81 @@ def semdedup(
 
     Emits every row: (id, cluster_id, sim_centroid, is_dup).
 
-    Scale shape: cluster assignment is a PURE column expression — the
-    centroid matrix is inlined as literals, so the argmax over
-    ``len(centroids)`` dot products rides whole-stage codegen with
-    ZERO shuffle and no explode (an exploded broadcast-join argmax
-    would move ``n_clusters``x the vector bytes).  The only shuffle is
-    the within-cluster self-join on cluster_id; its cost is
-    sum(cluster_size^2) — the quantizer's cluster count is chosen
-    proportional to corpus size (the paper runs 50k clusters on LAION)
-    precisely so that stays bounded.  A skewed giant cluster is the
-    known failure mode: cap it upstream by re-training the quantizer,
-    not by salting (correctness is per-cluster).
+    Scale shape: both stages are Arrow-batched numpy GEMMs — the
+    module's measured dense-linear-algebra rule (see lsh_buckets_udf,
+    embedding_near_duplicates_gemm: block GEMM beats per-element
+    Column expressions because higher-order lambdas are interpreted
+    per element).  Assignment is one (batch x dim) @ (dim x k) per
+    Arrow batch, zero shuffle; the pair stage shuffles ONCE on
+    cluster_id and runs one (m x dim) @ (dim x m) per cluster — the
+    paper's own per-cluster O(m^2) shape, with cost bounded because
+    the quantizer's cluster count is chosen proportional to corpus
+    size (the paper runs 50k clusters on LAION).  A skewed giant
+    cluster is the known failure mode — it must fit one task's Arrow
+    batch — cap it upstream by re-training the quantizer, not by
+    salting (correctness is per-cluster).
+
+    Two slower shapes were measured and replaced at sf0.1 (2000 rows,
+    32 clusters, 64 dims): (a) per-centroid literal cosine columns —
+    8-10 s of DRIVER planning alone (2048 Literal nodes, duplicated
+    by the self-join); (b) a single nested-array literal + transform
+    with a JVM self-join on the pair predicate — planning fixed but
+    ~8.5 s of interpreted HOF evaluation (the assignment expression
+    evaluates once per plan reference, and every candidate pair pays
+    an interpreted 64-dim fold).  This GEMM form: ~1.5 s end-to-end,
+    identical output.
+
+    Parity note: numpy sums in blocked/SIMD order vs the sequential
+    folds in an SQL twin; scores are rounded to ``round_to`` BEFORE
+    every argmax/threshold/keep-order comparison in both engines, so
+    verdicts only diverge if an unrounded score sits within fp-noise
+    (~1e-15) of a rounding boundary — the same tolerance every other
+    rounded oracle in this repo accepts.
     """
-    n = len(centroids)
-    vec = F.col(vec_col)
-    # argmax over literal centroids: array<struct<c,negi>> max picks
-    # highest cos, then LOWEST cluster id on exact ties
-    cos_exprs = [
-        F.round(cosine(vec, F.array(*[F.lit(x) for x in c])), round_to)
-        for c in centroids
-    ]
-    best = F.array_max(F.array(*[
-        F.struct(ce.alias("c"), F.lit(-i).alias("negi"))
-        for i, ce in enumerate(cos_exprs)
-    ]))
-    # norms materialize ONCE per row: the pair predicate then costs one
-    # interpreted dot() instead of three (dot + 2 norms) — measured 3x
-    # on the per-pair hot path (higher-order lambdas are interpreted)
-    assigned = corpus.where(vec.isNotNull()).select(
-        F.col(id_col).alias("id"), vec.alias("__v"),
-        l2norm(vec).alias("__n"),
-        (-best["negi"]).cast("int").alias("cluster_id"),
-        best["c"].alias("sim_centroid"),
-    )
-    x, y = assigned.alias("x"), assigned.alias("y")
-    dup_ids = (
-        x.join(
-            y,
-            (F.col("x.cluster_id") == F.col("y.cluster_id"))
-            & (
-                (F.col("y.sim_centroid") < F.col("x.sim_centroid"))
-                | ((F.col("y.sim_centroid") == F.col("x.sim_centroid"))
-                   & (F.col("y.id") < F.col("x.id")))
-            )
-            & (F.round(dot(F.col("x.__v"), F.col("y.__v"))
-                       / (F.col("x.__n") * F.col("y.__n")), round_to)
-               >= F.lit(threshold)),
-            "left_semi",
-        )
-        .select(F.col("x.id").alias("id"))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
-    return (
-        assigned.join(dup_ids, "id", "left")
-        .select(
-            "id", "cluster_id", "sim_centroid",
-            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
-        )
-    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64).T        # dim x k
+    cnorm = np.maximum(np.linalg.norm(cmat, axis=0), 1e-12)  # k
+
+    @pandas_udf("struct<cluster_id:int,sim_centroid:double>")
+    def assign(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cluster_id": pd.Series(dtype="int32"),
+                                 "sim_centroid": pd.Series(dtype="float64")})
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        xn = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = np.round((x / xn) @ (cmat / cnorm), round_to)
+        # np.argmax returns the FIRST max: lowest cluster id on ties,
+        # matching the SQL twin's (sim DESC, cluster ASC) order
+        cl = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "cluster_id": cl.astype("int32"),
+            "sim_centroid": sims[np.arange(len(x)), cl],
+        })
+
+    assigned = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v"),
+        assign(F.col(vec_col)).alias("__a"),
+    ).select("id", "__v", "__a.cluster_id", "__a.sim_centroid")
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (f"id {id_type}, cluster_id int, "
+                  "sim_centroid double, is_dup boolean")
+
+    def mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sim_centroid", "id"]).reset_index(drop=True)
+        x = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["__v"]])
+        xn = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        s = np.round((x / xn) @ (x / xn).T, round_to)
+        # row i precedes column j in keep order (i < j after the sort):
+        # j is a duplicate iff some earlier member clears the threshold
+        is_dup = np.triu(s >= threshold, k=1).any(axis=0)
+        return pd.DataFrame({
+            "id": pdf["id"], "cluster_id": pdf["cluster_id"],
+            "sim_centroid": pdf["sim_centroid"], "is_dup": is_dup,
+        })
+
+    return assigned.groupBy("cluster_id").applyInPandas(mark, out_schema)
