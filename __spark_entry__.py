@@ -916,6 +916,47 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   min_doc_freq=2)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup via the persistent fingerprint
+    ledger (operators/incremental_dedup.py): the corpus is split into 3
+    deterministic crawl "snapshots" (doc_id % 3) and each is deduped
+    against the LEDGER of all prior snapshots — one md5 row per distinct
+    fingerprint, IceTable-partitioned by first-seen snapshot — never
+    against raw history. Fingerprint = the first-4-token blocking key
+    (the corpus has no exact text dups; the prefix key is the
+    deterministic dup-rich surrogate, same family as dedup_prefix).
+    Returns per-snapshot (n_rows, n_new_unique, n_dup_within,
+    n_dup_history); incremental == one-shot global keep-first rule is
+    pinned in tests/test_incremental_dedup.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from json_schema_spark.operators.incremental_dedup import (
+        create_dedup_ledger,
+        incremental_dedup_snapshot,
+    )
+
+    key = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4))
+    keyed = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", key.alias("dup_key"),
+                (F.col("doc_id") % 3).cast("int").alias("snap"))
+    )
+    root = tempfile.mkdtemp(prefix="dedup_ledger_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ledger = create_dedup_ledger(spark, root)
+    out = None
+    for s in range(3):
+        stats = incremental_dedup_snapshot(
+            keyed.where(F.col("snap") == s).drop("snap"),
+            ledger, "doc_id", "dup_key", s)
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
 def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-compressibility quality signal per document (boilerplate
     proxy). No JVM/SQL twin exists for deflate, so this is rows-only
@@ -1550,6 +1591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: fastText-style hashed-ngram linear quality classifier
         # (oracled; past the window)
         "quality_classifier": q_quality_classifier,
+        # r5: cross-snapshot incremental dedup against the persistent
+        # fingerprint ledger (oracled; past the window)
+        "dedup_incremental": q_dedup_incremental,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -2589,6 +2633,31 @@ def oracle_sql() -> dict[str, str]:
                    (round(p.raw, 6) > 0) AS keep
             FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) t
             LEFT JOIN per p USING (doc_id)
+        """,
+        "dedup_incremental": """
+            WITH d AS (
+              SELECT doc_id,
+                     array_to_string(string_split_regex(
+                       trim(text), '[\\s\\x0b]+')[1:4], ' ') AS dup_key,
+                     CAST(doc_id % 3 AS INT) AS snap
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT dup_key, snap, count(*) AS n_rows
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT snap, n_rows,
+                     snap = min(snap) OVER (PARTITION BY dup_key)
+                       AS is_first
+              FROM g)
+            SELECT snap,
+                   CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (WHERE is_first) AS BIGINT)
+                     AS n_new_unique,
+                   CAST(coalesce(sum(n_rows - 1) FILTER (WHERE is_first),
+                                 0) AS BIGINT) AS n_dup_within,
+                   CAST(coalesce(sum(n_rows) FILTER (WHERE NOT is_first),
+                                 0) AS BIGINT) AS n_dup_history
+            FROM w GROUP BY snap
         """,
         "temperature_mix": """
             WITH mass AS (

@@ -22,8 +22,22 @@ broadcast dim would ship) or as the default md5-derived placeholder
 md5 derivation keeps every score DuckDB-reproducible, same rationale
 as operators/lm.py's bucketing).
 
-The O(tokens²) higher-order-function trap (operators/quality.py) does
-not bite here: each HOF makes one linear pass over the token array.
+The O(tokens²) higher-order-function trap (operators/quality.py) DOES
+bite here, twice — measured at sf0.1 (5k docs, 536k grams):
+
+* the bigram lambda references ``toks[i-1], toks[i]`` — with ``toks``
+  as a raw expression, the whole tokenize subtree re-evaluates per
+  element (~9.8 s for the bigram explode alone, vs 0.3 s from a
+  materialized token column);
+* ``size(grams)`` + ``aggregate(grams, ..)`` in one projection
+  evaluates the gram-concat twice (3.66 s vs 2.47 s materialized).
+
+So tokens and grams each get their own projection (the quality.py
+rule), and the per-bucket placeholder weight — a pure function of
+bucket id — is precomputed driver-side into ONE array literal
+(hashlib md5 replicates the JVM conv/cast bit-for-bit; pinned by
+tests) instead of an md5+conv chain per gram inside the interpreted
+lambda.  Whole rewrite: 27 s -> 2.5 s at sf0.1, sums bit-identical.
 """
 
 from __future__ import annotations
@@ -37,6 +51,18 @@ from .textstats import ws_tokens
 # md5-hex range for 15 hex chars: weights normalize against 2^60 so
 # the placeholder lands uniformly in [-1, 1)
 _MD5_SPAN = float(1 << 60)
+
+
+def _placeholder_weight_py(bucket: int) -> float:
+    """Driver-side replica of :func:`_placeholder_weight`, used to
+    precompute the whole weight table as one array literal.  Bit-exact
+    vs the JVM: ``float(int(hex, 16))`` and conv->cast both round the
+    same 60-bit integer to nearest double, then the arithmetic is the
+    same IEEE ops (pinned in tests/test_classifier.py)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"w#{bucket}".encode()).hexdigest()[:15], 16)
+    return float(h) / _MD5_SPAN * 2.0 - 1.0
 
 
 def _placeholder_weight(bucket: Column) -> Column:
@@ -79,8 +105,14 @@ def hashed_linear_score(
 
     Emits (id, n_grams, score, quality_prob, keep).
     """
-    did = F.col(id_col)
-    toks = ws_tokens(F.lower(F.col(text_col)))
+    # tokens materialized in their OWN projection: a bigram lambda over
+    # a raw tokenize expression re-evaluates the split per element
+    # (measured 9.8 s vs 0.3 s at sf0.1 — module docstring)
+    tokd = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
     grams = toks
     if use_bigrams:
         bis = F.when(
@@ -91,9 +123,23 @@ def hashed_linear_score(
             ),
         ).otherwise(F.array().cast("array<string>"))
         grams = F.concat(toks, bis)
+    # ...and grams too: size()+aggregate() in one projection would
+    # evaluate the concat twice
+    gramd = tokd.select("id", grams.alias("__grams"))
 
     def w_of(gram: Column) -> Column:
         b = _bucket(gram, seed=seed, buckets=n_buckets)
+        if n_buckets <= 65536:
+            # the placeholder is a pure function of bucket id: ship the
+            # whole weight table as ONE array literal (trained weights
+            # overlaid) and look up per gram — no md5+conv chain inside
+            # the interpreted lambda. hashlib replicates the JVM
+            # conv/cast doubles bit-for-bit (pinned by tests).
+            table = [
+                (weights or {}).get(i, _placeholder_weight_py(i))
+                for i in range(n_buckets)
+            ]
+            return F.element_at(F.lit(table), (b + F.lit(1)).cast("int"))
         placeholder = _placeholder_weight(b)
         if not weights:
             return placeholder
@@ -101,14 +147,15 @@ def hashed_linear_score(
             *[F.lit(x) for kv in weights.items() for x in kv])
         return F.coalesce(trained[b], placeholder)
 
-    out = df.where(F.col(text_col).isNotNull()).select(
-        did.alias("id"),
-        F.size(grams).alias("n_grams"),
+    ga = F.col("__grams")
+    out = gramd.select(
+        "id",
+        F.size(ga).alias("n_grams"),
         # try_divide: zero grams (blank text) -> NULL verdict, not an
         # ANSI divide-by-zero error
         F.try_divide(
-            F.aggregate(grams, F.lit(0.0), lambda acc, g: acc + w_of(g)),
-            F.size(grams),
+            F.aggregate(ga, F.lit(0.0), lambda acc, g: acc + w_of(g)),
+            F.size(ga),
         ).alias("__raw"),
     )
     score = F.round(F.col("__raw"), round_to)

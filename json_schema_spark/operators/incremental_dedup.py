@@ -1,0 +1,171 @@
+"""Cross-snapshot incremental deduplication — the per-crawl ledger.
+
+The production shape for Common-Crawl-scale pipelines: every new crawl
+snapshot is deduplicated against ALL prior crawls without rescanning
+raw history.  History is collapsed into a fingerprint LEDGER — one row
+per distinct fingerprint ever seen, stored in the Iceberg-style
+snapshot table (:mod:`json_schema_spark.sources.icetable`) partitioned
+by the snapshot that FIRST saw the fingerprint — so a new snapshot's
+pass costs O(new + ledger probe), never O(raw history).
+
+Semantics (deterministic, order-defined): a row of snapshot ``s``
+survives iff its fingerprint never appeared in snapshots ``< s`` AND it
+carries the minimum id among same-fingerprint rows within ``s``.
+Processing snapshots ``0..k`` one at a time therefore yields EXACTLY
+the one-shot global keep-first rule (min over ``(snap, id)``) — pinned
+bit-for-bit by ``tests/test_incremental_dedup.py``.
+
+Scale posture (10^12 docs, BASELINE.json north rule):
+
+* the ledger carries one md5 + keeper id per DISTINCT fingerprint —
+  orders of magnitude smaller than raw history and the ONLY thing a
+  probe reads; raw snapshots are never rescanned;
+* the within-snapshot rollup is one map-side-combinable hash
+  aggregation (the same salted-agg family as ``unique.py``); the
+  history probe is a single fingerprint-width left join feeding ONE
+  aggregate — no row of ``text`` ever crosses the probe shuffle.  A
+  deployment that probes repeatedly bucket-sorts the ledger on ``fp``
+  (``sources/tables.write_bucketed``) so the ledger side plans with
+  zero Exchange;
+* redo of snapshot ``s`` = IceTable dynamic-partition OVERWRITE of
+  partition ``snap=s`` — byte-idempotent (same ledger rows, same
+  stats; pytest-pinned), the same checkpoint-resume primitive
+  ``plans/runner.py`` uses.  Snapshots are processed in order; like
+  any incremental checkpoint, redoing ``s`` invalidates ``s+1..``
+  (re-run their partitions);
+* probes prune at the METADATA level: ``snap < s`` planning touches
+  only prior-snapshot manifests (pytest asserts the planned file set),
+  and per-file Bloom sidecars on ``fp`` answer ad-hoc "seen this
+  document before?" point lookups without data IO.
+
+Reference seam: fisxoj/json-schema validates one document at a time
+and keeps no cross-document state (src/json-schema.lisp:23-38); the
+cross-snapshot uniqueness ledger is the dataset-level generalization
+the north rule adds on top (SURVEY.md §2.4).  Within-table uniqueness
+lives in ``operators/unique.py``; the micro-batch sibling of the same
+suppress-across-time semantics is ``streaming/stateful.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _norm_text
+from ..sources.icetable import IceTable
+
+__all__ = [
+    "create_dedup_ledger",
+    "incremental_dedup_snapshot",
+    "snapshot_survivors",
+]
+
+
+def create_dedup_ledger(spark: SparkSession, root: str,
+                        id_type: str = "bigint") -> IceTable:
+    """Create the fingerprint ledger: ``(fp, keep_id, snap)`` partitioned
+    by first-seen snapshot, with a per-file Bloom sidecar on ``fp`` for
+    point-lookup pruning."""
+    return IceTable.create(
+        spark, root,
+        f"fp string, keep_id {id_type}, snap int",
+        partition_by=["snap"], bloom_cols=["fp"])
+
+
+def _fp_col(text_col: str, normalized: bool):
+    col = F.col(text_col)
+    return F.md5(_norm_text(col) if normalized else col)
+
+
+def _snapshot_rollup(new_df: DataFrame, id_col: str, text_col: str,
+                     normalized: bool) -> DataFrame:
+    """Per-fingerprint within-snapshot rollup: (fp, keep_id, n_rows).
+    One map-side-combinable hash aggregation; ``text`` is projected
+    away before the shuffle (fingerprints are hash-width)."""
+    return (
+        new_df.where(F.col(text_col).isNotNull())
+        .select(_fp_col(text_col, normalized).alias("fp"),
+                F.col(id_col).alias("_id"))
+        .groupBy("fp")
+        .agg(F.min("_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def incremental_dedup_snapshot(
+    new_df: DataFrame,
+    ledger: IceTable,
+    id_col: str,
+    text_col: str,
+    snap: int,
+    *,
+    normalized: bool = False,
+    update_ledger: bool = True,
+) -> DataFrame:
+    """Process one crawl snapshot against the ledger.
+
+    Commits the snapshot's first-seen fingerprints to ledger partition
+    ``snap=s`` (dynamic-partition overwrite — redo-idempotent) and
+    returns the 1-row stats DataFrame::
+
+        (snap, n_rows, n_new_unique, n_dup_within, n_dup_history)
+
+    where ``n_rows = n_new_unique + n_dup_within + n_dup_history``.
+    History is pinned BEFORE the commit (``scan`` resolves its file
+    list eagerly), so the lazy stats read a consistent ledger era even
+    after later snapshots commit.
+    """
+    day = _snapshot_rollup(new_df, id_col, text_col, normalized)
+    # metadata-pruned probe: only manifests/files of snap < s planned
+    history = ledger.scan([("snap", "<", int(snap))]).select("fp")
+
+    if update_ledger:
+        fresh = day.join(history, "fp", "left_anti")
+        ledger.overwrite_partitions(
+            fresh.select("fp", "keep_id",
+                         F.lit(int(snap)).cast("int").alias("snap")))
+
+    probe = day.join(history.withColumn("_hist", F.lit(True)), "fp", "left")
+    zero = F.lit(0).cast("long")
+    stats = probe.agg(
+        F.coalesce(F.sum("n_rows"), zero).alias("n_rows"),
+        F.coalesce(F.sum(F.when(F.col("_hist").isNull(), 1).otherwise(0)),
+                   zero).alias("n_new_unique"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hist").isNull(),
+                         F.col("n_rows") - 1).otherwise(0)),
+            zero).alias("n_dup_within"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hist").isNotNull(),
+                         F.col("n_rows")).otherwise(0)),
+            zero).alias("n_dup_history"),
+    )
+    return stats.select(
+        F.lit(int(snap)).cast("int").alias("snap"),
+        "n_rows", "n_new_unique", "n_dup_within", "n_dup_history")
+
+
+def snapshot_survivors(
+    new_df: DataFrame,
+    ledger: IceTable,
+    id_col: str,
+    text_col: str,
+    snap: int,
+    *,
+    normalized: bool = False,
+) -> DataFrame:
+    """Rows of snapshot ``s`` the incremental rule KEEPS, read straight
+    off the committed ledger: survivors are exactly the rows matching
+    ``(fp, keep_id)`` in partition ``snap=s``.  A left-semi join — the
+    input rows pass through untouched, so ``text`` stays byte-identical
+    (the north-rule per-row invariant)."""
+    keepers = ledger.scan([("snap", "=", int(snap))]) \
+        .select("fp", F.col("keep_id").alias("_keep"))
+    return (
+        new_df.withColumn("_fp", _fp_col(text_col, normalized))
+        .join(keepers,
+              (F.col("_fp") == F.col("fp"))
+              & (F.col(id_col) == F.col("_keep")),
+              "left_semi")
+        .drop("_fp")
+    )

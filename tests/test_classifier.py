@@ -89,3 +89,37 @@ def test_unigram_only_mode(spark):
     assert out["n_grams"] == 3
     exp = sum(py_weight(py_bucket(g)) for g in "a b c".split()) / 3
     assert out["score"] == pytest.approx(round(exp, 6), abs=1e-6)
+
+
+def test_array_weight_table_is_bit_exact_vs_jvm(spark):
+    """The precomputed driver-side weight table (hashlib) must equal
+    the JVM conv/cast formula EXACTLY — not approximately — or the
+    array-literal fast path would silently drift from the oracle."""
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.operators.classifier import (
+        _placeholder_weight,
+        _placeholder_weight_py,
+    )
+
+    buckets = list(range(64)) + [511, 1024, 4095]
+    jvm = (
+        spark.range(1)
+        .select([_placeholder_weight(F.lit(b)).alias(f"w{b}")
+                 for b in buckets])
+        .collect()[0]
+    )
+    for i, b in enumerate(buckets):
+        assert jvm[i] == _placeholder_weight_py(b), b  # exact ==
+
+
+def test_large_bucket_space_fallback_path(spark):
+    """n_buckets > 65536 takes the in-lambda md5 path (no giant array
+    literal); scores still match the pure-Python replication."""
+    df = spark.createDataFrame([("d1", "alpha beta")], ["doc_id", "text"])
+    n = 1 << 17
+    out = hashed_linear_score(
+        df, "doc_id", "text", n_buckets=n).collect()[0]
+    toks = ["alpha", "beta", "alpha\x1fbeta"]
+    exp = sum(py_weight(py_bucket(g, buckets=n)) for g in toks) / 3
+    assert out["score"] == pytest.approx(round(exp, 6), abs=1e-6)

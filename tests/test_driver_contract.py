@@ -93,6 +93,10 @@ PAST_WINDOW_ORACLED = {
     # r5: fastText-style hashed-ngram quality classifier (hand-computed
     # fixture in tests/test_classifier.py + the oracle test below)
     "quality_classifier": "tests/test_classifier.py",
+    # r5: cross-snapshot incremental dedup via the fingerprint ledger
+    # (incremental == global keep-first pinned in
+    # tests/test_incremental_dedup.py + the oracle test below)
+    "dedup_incremental": "tests/test_incremental_dedup.py",
 }
 
 
