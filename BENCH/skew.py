@@ -230,6 +230,32 @@ def main() -> None:
         n_buckets=4096).where(F.col("perplexity") < 100).count())
     results["lm_perplexity"] = {"docs_under_100_ppl": n_ppl, **stats}
 
+    # 10. cross-snapshot incremental dedup (r5) — fingerprint over the
+    # URL column, so the hot url (~5% of ALL rows) is ONE hot
+    # fingerprint: the within-snapshot rollup must absorb a ~100k-row
+    # group map-side (partial agg before the fp shuffle), and the
+    # snap-1 probe joins a ~1.9M-row ledger on fp while history stays
+    # unscanned (metadata-pruned to the snap-0 partition)
+    import shutil
+    import tempfile
+
+    from json_schema_spark.operators.incremental_dedup import (
+        create_dedup_ledger,
+        incremental_dedup_snapshot,
+    )
+
+    led_root = tempfile.mkdtemp(prefix="skew_ledger_", dir=HERE)
+    ledger = create_dedup_ledger(spark, led_root)
+    snap0 = docs.where(F.col("doc_id") % 2 == 0)
+    snap1 = docs.where(F.col("doc_id") % 2 == 1)
+    r0, stats = timed(watch, lambda: incremental_dedup_snapshot(
+        snap0, ledger, "doc_id", "url", 0).collect()[0].asDict())
+    results["dedup_incremental_snap0"] = {**r0, **stats}
+    r1, stats = timed(watch, lambda: incremental_dedup_snapshot(
+        snap1, ledger, "doc_id", "url", 1).collect()[0].asDict())
+    results["dedup_incremental_snap1"] = {**r1, **stats}
+    shutil.rmtree(led_root, ignore_errors=True)
+
     worst = max(v["worst_ratio"] for v in results.values()
                 if isinstance(v, dict) and "worst_ratio" in v
                 and v is not results["dedup_minhash_uncapped_slice"]

@@ -957,6 +957,42 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dup via the LSH band-bucket ledger
+    (operators/incremental_dedup.py): 3 crawl snapshots (doc_id % 3),
+    each probing the (band, bucket) ledger of prior snapshots — the
+    RefinedWeb-style "dedup against prior dumps" shape, with history
+    never re-minhashed. md5-derived signatures (k=8, 4 bands) so the
+    oracle reproduces every flag: a doc is a history near-dup iff some
+    band's signature slice was seen in an earlier snapshot. Returns
+    per-doc (snap, doc_id, n_hist_bands, is_hist_near_dup)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from json_schema_spark.operators.incremental_dedup import (
+        create_minhash_ledger,
+        incremental_minhash_snapshot,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text",
+                (F.col("doc_id") % 3).cast("int").alias("snap"))
+    )
+    root = tempfile.mkdtemp(prefix="mh_ledger_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ledger = create_minhash_ledger(spark, root)
+    out = None
+    for s in range(3):
+        flags = incremental_minhash_snapshot(
+            docs.where(F.col("snap") == s).drop("snap"),
+            ledger, "doc_id", "text", s, n=3, k=8, bands=4, hash_fn="md5")
+        out = flags if out is None else out.unionByName(flags)
+    return out
+
+
 def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-compressibility quality signal per document (boilerplate
     proxy). No JVM/SQL twin exists for deflate, so this is rows-only
@@ -1594,6 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: cross-snapshot incremental dedup against the persistent
         # fingerprint ledger (oracled; past the window)
         "dedup_incremental": q_dedup_incremental,
+        # r5: cross-snapshot NEAR-dup via the LSH band-bucket ledger
+        # (oracled; past the window)
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -2658,6 +2697,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(n_rows) FILTER (WHERE NOT is_first),
                                  0) AS BIGINT) AS n_dup_history
             FROM w GROUP BY snap
+        """,
+        "dedup_incremental_minhash": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t,
+                     CAST(doc_id % 3 AS INT) AS snap
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT DISTINCT doc_id, snap,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT DISTINCT doc_id, snap, array_to_string(t, ' ') AS gram
+              FROM toks WHERE len(t) < 3),
+            sig AS (
+              SELECT doc_id, any_value(snap) AS snap,
+                min(('0x' || substr(md5(gram || ':0'), 1, 15))::BIGINT) AS s0,
+                min(('0x' || substr(md5(gram || ':1'), 1, 15))::BIGINT) AS s1,
+                min(('0x' || substr(md5(gram || ':2'), 1, 15))::BIGINT) AS s2,
+                min(('0x' || substr(md5(gram || ':3'), 1, 15))::BIGINT) AS s3,
+                min(('0x' || substr(md5(gram || ':4'), 1, 15))::BIGINT) AS s4,
+                min(('0x' || substr(md5(gram || ':5'), 1, 15))::BIGINT) AS s5,
+                min(('0x' || substr(md5(gram || ':6'), 1, 15))::BIGINT) AS s6,
+                min(('0x' || substr(md5(gram || ':7'), 1, 15))::BIGINT) AS s7
+              FROM grams GROUP BY doc_id),
+            bandv AS (
+              SELECT doc_id, snap, b.band,
+                     CASE b.band
+                       WHEN 0 THEN s0 || ',' || s1
+                       WHEN 1 THEN s2 || ',' || s3
+                       WHEN 2 THEN s4 || ',' || s5
+                       ELSE s6 || ',' || s7 END AS key
+              FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
+            firsts AS (
+              SELECT band, key, min(snap) AS first_snap
+              FROM bandv GROUP BY band, key)
+            SELECT v.snap, v.doc_id,
+                   CAST(sum(CASE WHEN f.first_snap < v.snap
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hist_bands,
+                   sum(CASE WHEN f.first_snap < v.snap THEN 1 ELSE 0 END)
+                     >= 1 AS is_hist_near_dup
+            FROM bandv v
+            JOIN firsts f ON v.band = f.band AND v.key = f.key
+            GROUP BY v.snap, v.doc_id
         """,
         "temperature_mix": """
             WITH mass AS (

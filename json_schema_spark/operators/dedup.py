@@ -187,6 +187,37 @@ def minhash_signatures(
     )
 
 
+def band_buckets(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
+    """Explode a (doc, sig) signature frame into LSH band buckets:
+    (doc, sig, band, bucket) with bucket = xxhash64 of the band's
+    signature slice (k/bands rows per band).  Shared by the batch
+    candidate join (:func:`minhash_candidates`) and the cross-snapshot
+    bucket ledger (operators/incremental_dedup.py)."""
+    assert k % bands == 0
+    rows = k // bands
+    return sig_df.select(
+        "doc", "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_candidates(
     df: DataFrame, id_col: str, text_col: str,
     n: int = 3, k: int = 64, bands: int = 16,
@@ -212,28 +243,8 @@ def minhash_candidates(
     one survivor anyway.
     """
     assert k % bands == 0
-    rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k)
-    banded = sig.select(
-        "doc", "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        ),
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_buckets(sig, k, bands)
 
     if max_bucket is not None:
         # Bucket sizes need the signatures, so the size scan is one

@@ -56,7 +56,9 @@ from ..sources.icetable import IceTable
 
 __all__ = [
     "create_dedup_ledger",
+    "create_minhash_ledger",
     "incremental_dedup_snapshot",
+    "incremental_minhash_snapshot",
     "snapshot_survivors",
 ]
 
@@ -168,4 +170,92 @@ def snapshot_survivors(
               & (F.col(id_col) == F.col("_keep")),
               "left_semi")
         .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot NEAR-dup: the MinHash band-bucket ledger
+# ---------------------------------------------------------------------------
+
+def create_minhash_ledger(spark: SparkSession, root: str) -> IceTable:
+    """Create the LSH band-bucket ledger: ``(band, bucket, snap)``
+    partitioned by first-seen snapshot.  One row per distinct
+    (band, bucket) ever seen — the cross-crawl generalization of
+    RefinedWeb-style "dedup against prior dumps": a new snapshot's
+    near-dup check probes this instead of re-minhashing history."""
+    return IceTable.create(
+        spark, root, "band int, bucket bigint, snap int",
+        partition_by=["snap"])
+
+
+def incremental_minhash_snapshot(
+    new_df: DataFrame,
+    ledger: IceTable,
+    id_col: str,
+    text_col: str,
+    snap: int,
+    *,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+    min_bands: int = 1,
+    update_ledger: bool = True,
+) -> DataFrame:
+    """Flag each document of snapshot ``s`` as a near-duplicate of
+    PRIOR snapshots iff at least ``min_bands`` of its LSH band buckets
+    were seen in snapshots ``< s``.  Returns per-doc rows::
+
+        (snap, id, n_hist_bands, is_hist_near_dup)
+
+    and commits the snapshot's first-seen (band, bucket) pairs to
+    ledger partition ``snap=s`` (dynamic-partition overwrite —
+    redo-idempotent, same contract as the fingerprint ledger).
+
+    Scale shape: signatures are the one wide op (dedup.py's explode +
+    k partial-aggregable mins); banding is a narrow explode to
+    ``bands`` rows/doc; the history probe is a band+bucket-width left
+    join feeding one groupBy(doc) — raw history text is never
+    rescanned, and the ledger holds one 12-byte row per distinct
+    bucket (orders of magnitude below doc count on boilerplate-heavy
+    corpora, at most bands x docs above it).
+
+    Semantics notes: ALL of a snapshot's buckets commit (suppressed
+    docs' too) — suppression means "similar to anything previously
+    SEEN", which keeps the rule order-independent per bucket and the
+    oracle window-expressible.  Within-snapshot near-dups are out of
+    scope here (run :func:`dedup.minhash_candidates` inside the
+    snapshot for those).  Like all MinHash LSH, the flag is
+    probabilistic in the banding sense: band collision == identical
+    signature slice, so ``min_bands=1`` matches the batch candidate
+    rule.
+    """
+    from .dedup import band_buckets, minhash_signatures
+
+    sig = minhash_signatures(
+        new_df.select(F.col(id_col), F.col(text_col)),
+        id_col, text_col, n=n, k=k, hash_fn=hash_fn)
+    banded = band_buckets(sig, k, bands).select("doc", "band", "bucket")
+    history = ledger.scan([("snap", "<", int(snap))]) \
+        .select("band", "bucket")
+
+    if update_ledger:
+        fresh = (banded.select("band", "bucket").distinct()
+                 .join(history, ["band", "bucket"], "left_anti"))
+        ledger.overwrite_partitions(
+            fresh.select("band", "bucket",
+                         F.lit(int(snap)).cast("int").alias("snap")))
+
+    probe = banded.join(history.withColumn("_hist", F.lit(True)),
+                        ["band", "bucket"], "left")
+    return (
+        probe.groupBy(F.col("doc").alias(id_col))
+        .agg(F.sum(F.when(F.col("_hist").isNotNull(), 1).otherwise(0))
+             .cast("long").alias("n_hist_bands"))
+        .select(
+            F.lit(int(snap)).cast("int").alias("snap"),
+            id_col,
+            "n_hist_bands",
+            (F.col("n_hist_bands") >= min_bands).alias("is_hist_near_dup"),
+        )
     )

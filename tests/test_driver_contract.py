@@ -97,6 +97,7 @@ PAST_WINDOW_ORACLED = {
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
     "dedup_incremental": "tests/test_incremental_dedup.py",
+    "dedup_incremental_minhash": "tests/test_incremental_dedup.py",
 }
 
 

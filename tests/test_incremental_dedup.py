@@ -174,3 +174,88 @@ def test_recrawl_snapshot_entirely_duplicate(spark, tmp_path):
     assert snapshot_survivors(
         re_df, ledger, "doc_id", "text", 1).count() == 0
     assert ledger.scan([("snap", "=", 1)]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-bucket ledger (cross-snapshot NEAR-dup)
+# ---------------------------------------------------------------------------
+
+from json_schema_spark.operators.incremental_dedup import (  # noqa: E402
+    create_minhash_ledger,
+    incremental_minhash_snapshot,
+)
+
+MH = dict(n=3, k=8, bands=4)
+
+
+def _mh_run(spark, tmp, snaps):
+    """snaps: list of [(id, text), ...] per snapshot. Returns
+    {snap: {id: row}} of the per-doc flag frames."""
+    ledger = create_minhash_ledger(spark, str(tmp))
+    out = {}
+    for s, rows in enumerate(snaps):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        flags = incremental_minhash_snapshot(
+            df, ledger, "doc_id", "text", s, **MH).collect()
+        out[s] = {r.doc_id: r for r in flags}
+    return ledger, out
+
+
+def test_minhash_ledger_flags_cross_snapshot_copies(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark iceberg ledgers here"
+    third = "yet another unrelated document mentioning nothing shared"
+    ledger, out = _mh_run(spark, tmp_path / "mh", [
+        [(1, base), (2, other)],
+        [(11, base), (12, third)],          # 11 = exact re-crawl of 1
+        [(21, other), (22, base)],          # both seen before
+    ])
+    assert out[0][1].n_hist_bands == 0 and not out[0][1].is_hist_near_dup
+    assert out[1][11].n_hist_bands == 4 and out[1][11].is_hist_near_dup
+    assert out[1][12].n_hist_bands == 0 and not out[1][12].is_hist_near_dup
+    assert out[2][21].is_hist_near_dup and out[2][22].is_hist_near_dup
+    # ledger holds each distinct (band, bucket) exactly once
+    led = ledger.scan().collect()
+    assert len({(r.band, r.bucket) for r in led}) == len(led)
+
+
+def test_minhash_ledger_within_snapshot_not_flagged(spark, tmp_path):
+    """Within-snapshot dups are out of scope (minhash_candidates
+    covers them): two identical docs in the SAME snapshot both pass."""
+    text = "identical twins inside one single crawl snapshot body"
+    _, out = _mh_run(spark, tmp_path / "mh", [[(1, text), (2, text)]])
+    assert not out[0][1].is_hist_near_dup
+    assert not out[0][2].is_hist_near_dup
+
+
+def test_minhash_ledger_redo_idempotent(spark, tmp_path):
+    base = "some web page text shared across two crawls of the corpus"
+    ledger = create_minhash_ledger(spark, str(tmp_path / "mh"))
+    df0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    df1 = spark.createDataFrame(
+        [(11, base), (12, "fresh page")], "doc_id long, text string")
+    incremental_minhash_snapshot(
+        df0, ledger, "doc_id", "text", 0, **MH).collect()
+    first = incremental_minhash_snapshot(
+        df1, ledger, "doc_id", "text", 1, **MH).collect()
+    before = sorted(map(tuple, ledger.scan().collect()))
+    redo = incremental_minhash_snapshot(
+        df1, ledger, "doc_id", "text", 1, **MH).collect()
+    after = sorted(map(tuple, ledger.scan().collect()))
+    assert after == before
+    assert sorted(map(tuple, redo)) == sorted(map(tuple, first))
+
+
+def test_minhash_ledger_min_bands_threshold(spark, tmp_path):
+    """min_bands > matched bands suppresses the flag; the count column
+    is unchanged."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ledger = create_minhash_ledger(spark, str(tmp_path / "mh"))
+    df0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    df1 = spark.createDataFrame([(11, base)], "doc_id long, text string")
+    incremental_minhash_snapshot(
+        df0, ledger, "doc_id", "text", 0, **MH).collect()
+    strict = incremental_minhash_snapshot(
+        df1, ledger, "doc_id", "text", 1, min_bands=5, update_ledger=False,
+        **MH).collect()[0]
+    assert strict.n_hist_bands == 4 and not strict.is_hist_near_dup
