@@ -512,12 +512,50 @@ class ValidationRunner:
             )
 
             method = d.get("method", "exact")
-            if method not in ("exact", "fingerprint"):
+            if method not in ("exact", "fingerprint", "incremental"):
                 raise ValueError(
                     f"dataset dedup method {method!r} not supported "
-                    "(exact | fingerprint)")
-            fn = fingerprint_duplicates if method == "fingerprint" else exact_duplicates
+                    "(exact | fingerprint | incremental)")
             id_col = d.get("id", "doc_id")
+            if method == "incremental":
+                # cross-snapshot dedup against the persistent ledger
+                # (operators/incremental_dedup.py): spec carries the
+                # ledger root + this run's snapshot ordinal; redo of a
+                # snapshot is byte-idempotent, so a resumed/re-run
+                # validation changes no verdict (the runner's own
+                # checkpoint contract)
+                import os as _os
+
+                from json_schema_spark.operators.incremental_dedup import (
+                    create_dedup_ledger,
+                    incremental_dedup_snapshot,
+                )
+                from json_schema_spark.sources.icetable import IceTable
+
+                root = d["ledger"]
+                snap = int(d["snapshot"])
+                if _os.path.exists(_os.path.join(root, "metadata")):
+                    ledger = IceTable(self.spark, root)
+                else:
+                    # keep_id must take the id column's actual type
+                    # (url ids are strings; a bigint ledger column
+                    # would NULL them on scan-back)
+                    ledger = create_dedup_ledger(
+                        self.spark, root,
+                        id_type=dict(df.dtypes)[id_col])
+                st = incremental_dedup_snapshot(
+                    df, ledger, id_col, d["column"], snap,
+                    normalized=bool(d.get("normalized", False)),
+                ).collect()[0]
+                extra = st["n_dup_within"] + st["n_dup_history"]
+                frac = (extra / st["n_rows"]) if st["n_rows"] else 0.0
+                cap = float(d.get("max_dup_frac", 0.0))
+                results.append((
+                    f"dedup_incremental({d['column']}@snap{snap})",
+                    frac <= cap, int(extra), float(frac),
+                ))
+                continue
+            fn = fingerprint_duplicates if method == "fingerprint" else exact_duplicates
             groups = fn(df, id_col, d["column"])
             # extra copies beyond each group's survivor
             row = groups.agg(

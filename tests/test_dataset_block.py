@@ -73,3 +73,57 @@ def test_dataset_block_missing_dim_raises(spark, webpages, tmp_path):
     runner = ValidationRunner(spark, FULL_SPEC, str(tmp_path / "res2"), run_id="ds2")
     with pytest.raises(ValueError, match="lang_dim"):
         runner.run_dataset_checks(webpages, dims={})
+
+
+def test_dataset_block_incremental_dedup(spark, webpages, tmp_path):
+    """Spec-driven cross-snapshot dedup: two "crawl" runs share one
+    ledger; the second run's verdict counts history dups, and re-running
+    it (checkpoint redo) changes nothing — verdict included."""
+    from pyspark.sql import functions as F
+
+    led = str(tmp_path / "ledger")
+
+    def spec_for(snap):
+        return {
+            "draft": "draft7",
+            "columns": {"text": {"type": "string"}},
+            "dataset": {"dedup": [
+                {"column": "text", "id": "url", "method": "incremental",
+                 "ledger": led, "snapshot": snap, "max_dup_frac": 0.001},
+            ]},
+        }
+
+    # snapshot 0 = even-length urls, snapshot 1 = the rest; the planted
+    # duplicate texts guarantee cross-slice dups
+    snap0 = webpages.where(F.length("url") % 2 == 0)
+    snap1 = webpages.where(F.length("url") % 2 == 1)
+
+    r0 = ValidationRunner(spark, spec_for(0), str(tmp_path / "r0"), run_id="s0")
+    row0 = {r["check"]: r for r in
+            r0.run_dataset_checks(snap0).collect()}
+    chk0 = row0["dedup_incremental(text@snap0)"]
+
+    r1 = ValidationRunner(spark, spec_for(1), str(tmp_path / "r1"), run_id="s1")
+    row1 = {r["check"]: r for r in
+            r1.run_dataset_checks(snap1).collect()}
+    chk1 = row1["dedup_incremental(text@snap1)"]
+    assert chk1["n_violations"] > 0          # history dups detected
+    assert chk1["pass"] is False             # over the 0.1% cap
+
+    # redo of snapshot 1: identical verdict row, ledger unchanged
+    from json_schema_spark.sources.icetable import IceTable
+
+    before = sorted(map(tuple, IceTable(spark, led).scan().collect()))
+    row1b = {r["check"]: r for r in
+             ValidationRunner(spark, spec_for(1), str(tmp_path / "r1b"),
+                              run_id="s1b").run_dataset_checks(snap1).collect()}
+    assert row1b["dedup_incremental(text@snap1)"] == chk1
+    after = sorted(map(tuple, IceTable(spark, led).scan().collect()))
+    assert after == before
+    # string url ids survive the ledger roundtrip (keep_id typed from
+    # the input schema, not the bigint default)
+    led_df = IceTable(spark, led).scan()
+    assert dict(led_df.dtypes)["keep_id"] == "string"
+    assert led_df.where(F.col("keep_id").isNull()).count() == 0
+    # snapshot 0 had no history to collide with
+    assert chk0["check"] == "dedup_incremental(text@snap0)"
