@@ -149,6 +149,21 @@ def host_capacity_m_iters_s(workers: int = 32,
     return total * per_task / (time.perf_counter() - t0) / 1e6
 
 
+def attempt_is_clean(spread_ratio: float, idle: float,
+                     capacity_m_iters_s: float,
+                     cap_floor: float = 350.0) -> bool:
+    """Conditions gate for one constraint-pass attempt.
+
+    All three probes are necessary: spread catches unstable reps, idle
+    catches guest-side contention, and the capacity probe catches the
+    whole-VM throttle windows that slow every rep *uniformly* (spread
+    1.27 / idle 1.0 / capacity 258 published a 722k headline for a
+    ~3.4M engine on 2026-08-19 — the exact blind spot this closes).
+    """
+    return (spread_ratio <= 1.3 and idle >= 0.90
+            and capacity_m_iters_s >= cap_floor)
+
+
 def contract_line(line: dict, limit: int = 1900) -> str:
     """Serialize the driver contract line under the HARD length cap.
 
@@ -230,13 +245,23 @@ def main() -> None:
     # line so the artifact is self-describing. EVERY attempt's reps
     # and conditions land in last_run.json (nothing discarded
     # silently — ADVICE r4).
+    # Round-5 addition: spread + idle CANNOT catch a *uniformly*
+    # throttled whole-VM window (measured 2026-08-19: spread 1.27,
+    # idle 1.0, capacity probe 258 M-iters/s vs ~460 in good windows
+    # -> a 722k docs/s headline for a ~3.4M engine). The capacity
+    # probe already runs before every attempt; gate on it too. Floor
+    # default 350 sits between the measured bad (~225-270) and good
+    # (~430-470) bands of this sandbox; windows shift on a minutes
+    # scale, so sleeps escalate to span ~5-8 min before giving up.
     import subprocess
     attempts: list[dict] = []
     pass_res = None
-    max_attempts = int(os.environ.get("SPARK_GRAFT_PASS_ATTEMPTS", "4"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_PASS_ATTEMPTS", "6"))
+    cap_floor = float(os.environ.get("SPARK_GRAFT_CAP_FLOOR_M_ITERS",
+                                     "350"))
     for i in range(max_attempts):
         if i:
-            time.sleep(10)  # let a transient host burst drain
+            time.sleep(min(90, 15 * i))  # escalate: bad windows last minutes
         load1 = os.getloadavg()[0]
         idle = idle_frac()
         capacity = host_capacity_m_iters_s()
@@ -253,7 +278,8 @@ def main() -> None:
         res["load1_before"] = round(load1, 1)
         res["idle_frac_before"] = round(idle, 3)
         res["host_m_iters_s"] = round(capacity, 1)
-        res["clean"] = res["spread_ratio"] <= 1.3 and idle >= 0.90
+        res["clean"] = attempt_is_clean(res["spread_ratio"], idle,
+                                        capacity, cap_floor)
         attempts.append(res)
         if res["clean"]:
             pass_res = res

@@ -224,3 +224,17 @@ def test_bench_conditions_probes():
     assert trimmed_spread([1_100_000, 2_950_000, 3_110_000]) == 2.83
     f = idle_frac(window_s=0.2)
     assert 0.0 <= f <= 1.0
+
+
+def test_bench_capacity_gate():
+    """A uniformly-throttled whole-VM window passes the spread and
+    idle probes (all reps equally slow, box looks idle) — only the
+    capacity probe can veto it. Reproduces the 2026-08-19 blind spot:
+    spread 1.27 / idle 1.0 / capacity 258 must NOT be clean."""
+    from bench import attempt_is_clean
+
+    assert not attempt_is_clean(1.27, 1.0, 258.5)          # throttle window
+    assert attempt_is_clean(1.08, 0.97, 460.8)             # good window
+    assert not attempt_is_clean(1.5, 1.0, 460.8)           # unstable reps
+    assert not attempt_is_clean(1.05, 0.5, 460.8)          # busy guest
+    assert attempt_is_clean(1.05, 1.0, 300.0, cap_floor=250.0)  # floor env
