@@ -1298,6 +1298,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shard plan (stable global shuffle
+    as (shard_id, pos) rows): content-keyed md5 order, hash-mod shard
+    assignment (no global sort), per-shard parallel ranking — the
+    oracle recomputes the identical plan from the same md5 bytes."""
+    from json_schema_spark.operators.sampling import shard_plan
+
+    return shard_plan(
+        _docs(spark, sf_dir), key="doc_id", n_shards=8, seed=42,
+    ).select("doc_id", "shard_id", "pos")
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization: synthesize a messy URL per doc (mixed-case
     scheme/host, default port, fragment) and emit its canonical dedup
@@ -1633,6 +1645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: cross-snapshot NEAR-dup via the LSH band-bucket ledger
         # (oracled; past the window)
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        # r5: deterministic training-order shard plan (oracled; past
+        # the window)
+        "shard_plan": q_shard_plan,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -2742,6 +2757,24 @@ def oracle_sql() -> dict[str, str]:
             FROM bandv v
             JOIN firsts f ON v.band = f.band AND v.key = f.key
             GROUP BY v.snap, v.doc_id
+        """,
+        # training-order shard plan: identical md5 order key, hash-mod
+        # shard, per-shard rank — byte-reproducible across engines
+        "shard_plan": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || '#42') AS okey
+              FROM documents),
+            sharded AS (
+              SELECT doc_id, okey,
+                     ('0x' || substr(okey, 1, 15))::BIGINT % 8 AS shard_id
+              FROM keyed)
+            SELECT doc_id, shard_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY shard_id
+                        ORDER BY okey, CAST(doc_id AS VARCHAR))
+                        AS BIGINT) AS pos
+            FROM sharded
         """,
         "temperature_mix": """
             WITH mass AS (

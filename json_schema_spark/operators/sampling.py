@@ -241,3 +241,42 @@ def temperature_mix_rates(
         F.round(tshare, round_to).alias("target_share"),
         F.round(raw_rate / max_rate, round_to).alias("keep_rate"),
     )
+
+
+def shard_plan(
+    df: DataFrame, key: str | Column, n_shards: int, seed: int = 42,
+) -> DataFrame:
+    """Deterministic training-order shard plan: a stable global shuffle
+    materialized as ``(shard_id, pos)`` per document — the explicit
+    read order a training data loader consumes (the Megatron/datatrove
+    "shuffle once, write shards" step).
+
+    The order key is content-keyed ``md5(key#seed)``, so the plan is
+    byte-reproducible on any cluster, any partitioning, any engine
+    (the DuckDB oracle recomputes it verbatim), and a different seed
+    is a fresh epoch-level reshuffle of the same corpus.
+
+    Scale shape: shard assignment is a narrow projection (hash mod
+    n_shards — NOT ``ntile``, which would force ONE global sort of
+    10^12 rows through a single ordering); ``pos`` ranks WITHIN each
+    shard only, so the single shuffle partitions by shard_id and each
+    shard sorts independently in parallel. The md5 key is uniform, so
+    shards balance to +-O(sqrt n) rows with no planning pass; pick
+    n_shards >= cluster cores so the per-shard sorts saturate the
+    cluster and each stays executor-memory-sized.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = F.col(key) if isinstance(key, str) else key
+    okey = F.md5(F.concat(k.cast("string"), F.lit(f"#{seed}")))
+    out = df.withColumn("_okey", okey).withColumn(
+        "shard_id",
+        F.pmod(
+            F.conv(F.substring(F.col("_okey"), 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards).cast("long"),
+        ),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("_okey"),
+                                               k.cast("string"))
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("long")).drop("_okey")

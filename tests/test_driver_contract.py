@@ -87,6 +87,9 @@ PAST_WINDOW_ORACLED = {
     "gopher_rules": "tests/test_semdedup_gopher.py",
     # r5: CCNet bigram-LM perplexity + C4 rules (tests/test_lm_c4.py)
     "lm_perplexity": "tests/test_lm_c4.py",
+    # r5: deterministic training-order shard plan (oracled, born past
+    # the window; property tests in tests/test_retrieval_sampling.py)
+    "shard_plan": "tests/test_retrieval_sampling.py",
     "c4_rules": "tests/test_lm_c4.py",
     # r5: temperature source mixing (tests/test_retrieval_sampling.py)
     "temperature_mix": "tests/test_retrieval_sampling.py",
@@ -168,7 +171,7 @@ def test_bench_contract_line_stays_under_capture_window():
     parsed = json.loads(s)
     assert parsed["skew_worst_ratio"] == 1.9
     assert parsed["ann1m_recall_lsh"] == 0.999
-    assert len(parsed["queries"]) >= len(names) - 12
+    assert len(parsed["queries"]) >= len(names) - 13
     assert parsed["queries_omitted"] == len(names) - len(parsed["queries"])
     # +30 hypothetical queries: still parseable, scalars STILL intact —
     # fast-query entries get omitted (counted), never the evidence

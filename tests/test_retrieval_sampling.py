@@ -170,3 +170,63 @@ def test_temperature_mix_by_token_weight(spark):
     assert out["a"]["target_share"] == pytest.approx(0.5)
     assert out["b"]["target_share"] == pytest.approx(0.5)
     assert out["a"]["natural_share"] == pytest.approx(0.75)
+
+
+def test_shard_plan_is_partitioning_invariant(spark):
+    """The plan is keyed on content (md5), so ANY input partitioning
+    yields the identical (doc_id, shard_id, pos) rows — the property
+    that makes it reproducible on a real cluster."""
+    from json_schema_spark.operators.sampling import shard_plan
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = shard_plan(df, "doc_id", n_shards=4, seed=7)
+    b = shard_plan(df.repartition(13), "doc_id", n_shards=4, seed=7)
+    rows_a = sorted(map(tuple, a.select("doc_id", "shard_id", "pos").collect()))
+    rows_b = sorted(map(tuple, b.select("doc_id", "shard_id", "pos").collect()))
+    assert rows_a == rows_b
+
+
+def test_shard_plan_positions_and_balance(spark):
+    """Each shard's pos is contiguous 1..count; all shards populated;
+    the uniform md5 key keeps shard sizes within a loose balance band."""
+    from json_schema_spark.operators.sampling import shard_plan
+
+    n, k = 800, 8
+    df = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    out = shard_plan(df, "doc_id", n_shards=k, seed=42)
+    per = {r["shard_id"]: r for r in out.groupBy("shard_id").agg(
+        F.count("*").alias("c"), F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.count_distinct("pos").alias("d")).collect()}
+    assert set(per) == set(range(k))
+    assert sum(r["c"] for r in per.values()) == n
+    for r in per.values():
+        assert (r["lo"], r["hi"], r["d"]) == (1, r["c"], r["c"])
+        assert 0.5 * n / k <= r["c"] <= 1.5 * n / k  # uniform-hash band
+
+
+def test_shard_plan_seed_is_epoch_reshuffle(spark):
+    """A different seed re-orders the same corpus (fresh epoch): same
+    doc_id set, different (shard_id, pos) assignment."""
+    from json_schema_spark.operators.sampling import shard_plan
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard_id"], r["pos"])
+         for r in shard_plan(df, "doc_id", 4, seed=1).collect()}
+    b = {r["doc_id"]: (r["shard_id"], r["pos"])
+         for r in shard_plan(df, "doc_id", 4, seed=2).collect()}
+    assert set(a) == set(b)
+    assert any(a[d] != b[d] for d in a)
+
+
+def test_shard_plan_no_global_sort(spark):
+    """Scale guard: the plan must hash-partition by shard_id and sort
+    within shards — never range-partition (a global sort of the whole
+    corpus through one ordering)."""
+    from json_schema_spark.operators.sampling import shard_plan
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = shard_plan(df, "doc_id", 4).select(
+        "doc_id", "shard_id", "pos")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard_id" in plan
