@@ -220,9 +220,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    # 8M docs: enough rows that the ~0.3s fixed per-job cost amortizes
-    # (1M docs finishes in ~1s and understates throughput ~3x)
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
+    # 64M docs — the scaling sweep's rep size, for two measured
+    # reasons: (a) the ~0.3s fixed per-job cost amortizes (1M docs
+    # finishes in ~1s and understates throughput ~3x); (b) rep LENGTH
+    # is the stall defense: in one and the same degraded capacity
+    # window (probe 290-335 M-iters/s, 2026-08-19) 8M-doc ~2s reps
+    # read 436-782k docs/s while 64M-doc ~15s reps read 4.32M at
+    # spread 1.04 — sub-second whole-VM stalls dominate a 2s rep and
+    # amortize over a 15s one. Costs ~1.5 min more bench wall.
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "64000000"))
     # Measure the constraint pass FIRST, in its own JVM (BENCH/
     # run_pass.py — same methodology as BASELINE.md), BEFORE the
     # query-sweep session exists. Two reasons: (a) measured in the
