@@ -1310,6 +1310,30 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard_id", "pos")
 
 
+def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact signals (mojibake digraphs, U+FFFD, stray C0
+    controls — the ftfy/CCNet broken-bytes gate). The synthetic corpus
+    is clean, so deterministic artifacts are injected per doc_id
+    residue (both engines derive the identical damaged text); counts
+    are pure regexp_count in the Java-and-RE2 common subset."""
+    from json_schema_spark.operators.textstats import encoding_artifact_counts
+
+    moji = " caf\u00c3\u00a9 \u00e2\u0080\u0099ok\u00e2\u0080\u009d"
+    repl = " \ufffd\ufffd"
+    ctrl = " \u0001\u0002"
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(moji)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(repl)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(ctrl)).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    stats = encoding_artifact_counts(F.col("t"))
+    return df.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization: synthesize a messy URL per doc (mixed-case
     scheme/host, default port, fragment) and emit its canonical dedup
@@ -1648,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: deterministic training-order shard plan (oracled; past
         # the window)
         "shard_plan": q_shard_plan,
+        # r5: encoding-artifact signals (oracled; past the window)
+        "encoding_artifacts": q_encoding_artifacts,
         # rows-only by NATURE (deflate has no SQL twin); value-pinned
         # vs direct zlib in tests/test_quality.py
         "compression_signal": q_compression_signal,
@@ -1693,6 +1719,47 @@ def _summary_by_partition_sql() -> str:
         for col, kw, pred in _DOC_CHECKS_SQL
     ]
     return " UNION ALL ".join(parts)
+
+
+def _encoding_artifacts_sql() -> str:
+    """Encoding-artifact oracle generated from the SAME regex constants
+    the Spark query compiles (operators/textstats.MOJIBAKE_RX /
+    CONTROL_RX) — parity tested is Java regexp_count vs RE2
+    regexp_extract_all on literal digraphs and \\x classes. The damaged
+    text is re-derived via chr() codepoints, byte-identical to the
+    Spark side's \\u-escaped injections."""
+    from json_schema_spark.operators.textstats import (CONTROL_RX,
+                                                       MOJIBAKE_RX)
+
+    assert "'" not in MOJIBAKE_RX and "'" not in CONTROL_RX, \
+        "regex constants must stay SQL-literal-safe (no single quotes)"
+    # " caf\u00c3\u00a9 \u00e2\u0080\u0099ok\u00e2\u0080\u009d" / " \ufffd\ufffd" / " \u0001\u0002"
+    moji = ("' caf' || chr(195) || chr(169) || ' ' || chr(226) || "
+            "chr(128) || chr(153) || 'ok' || chr(226) || chr(128) || "
+            "chr(157)")
+    repl = "' ' || chr(65533) || chr(65533)"
+    ctrl = "' ' || chr(1) || chr(2)"
+    return f"""
+        WITH damaged AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0 THEN {moji} ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN {repl} ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN {ctrl} ELSE '' END AS t
+          FROM documents),
+        counted AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '{MOJIBAKE_RX}')) AS BIGINT)
+                   AS n_mojibake,
+                 CAST(len(regexp_extract_all(t, chr(65533)::VARCHAR)) AS BIGINT)
+                   AS n_replacement,
+                 CAST(len(regexp_extract_all(t, '{CONTROL_RX}')) AS BIGINT)
+                   AS n_control
+          FROM damaged)
+        SELECT doc_id, n_mojibake, n_replacement, n_control,
+               (n_mojibake + n_replacement + n_control) = 0 AS is_clean
+        FROM counted
+    """
 
 
 def _pii_scan_sql() -> str:
@@ -2887,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sig
         """,
         "pii_scan": _pii_scan_sql(),
+        "encoding_artifacts": _encoding_artifacts_sql(),
         "contamination_check": """
             WITH toks AS (
               SELECT doc_id, source,

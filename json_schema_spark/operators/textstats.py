@@ -214,3 +214,41 @@ def sessionize(
                      F.col("session_seq").cast("string")),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding-artifact detection (the ftfy/CCNet "broken bytes" cleaning signal)
+# ---------------------------------------------------------------------------
+
+# Classic UTF-8-decoded-as-Latin-1 double-encodings (mojibake): an
+# alternation of LITERAL digraphs (written with \u escapes because the
+# second char of each is often an invisible C1 control), not classes,
+# so Java regex (Spark) and RE2 (DuckDB oracle) count byte-identically.
+MOJIBAKE_RX = (
+    "\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00a4|\u00c3\u00b6|\u00c3\u00bc|"  # e/e/a/o/u accents
+    "\u00c3\u00b1|\u00c3\u00a7|"                                   # n-tilde, c-cedilla
+    "\u00e2\u0080\u0099|\u00e2\u0080\u009c|\u00e2\u0080\u009d|"  # smart quotes
+    "\u00e2\u0080\u0094|\u00e2\u0080\u0093|\u00e2\u0080\u00a6|"  # dashes, ellipsis
+    "\u00c2\u00a0|\u00c2\u00ae|\u00c2\u00a9"                      # nbsp, (R), (C)
+)
+# C0 controls except tab/newline/CR (structural whitespace stays legal)
+CONTROL_RX = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def encoding_artifact_counts(col: Column) -> dict[str, Column]:
+    """Per-document encoding-damage signals: mojibake digraph count,
+    U+FFFD replacement-char count, stray C0 control count, and an
+    is_clean verdict. Pure regexp_count built-ins — one codegen
+    projection, zero shuffle, zero executor Python; patterns live in
+    the Java-and-RE2 common subset so the DuckDB oracle reproduces
+    every count. At 100 TB this composes into the quality battery as
+    three more narrow columns on the existing single text pass."""
+    n_moji = F.regexp_count(col, F.lit(MOJIBAKE_RX))
+    n_repl = F.regexp_count(col, F.lit("\ufffd"))
+    n_ctrl = F.regexp_count(col, F.lit(CONTROL_RX))
+    return {
+        "n_mojibake": n_moji.cast("long"),
+        "n_replacement": n_repl.cast("long"),
+        "n_control": n_ctrl.cast("long"),
+        "is_clean": (n_moji + n_repl + n_ctrl) == F.lit(0),
+    }

@@ -419,3 +419,30 @@ def test_ann_lsh_null_embeddings_survive(spark, embeddings):
     rows = got.collect()
     assert len(rows) > 0
     assert all(r["neighbor_id"] != 99999 for r in rows)
+
+
+def test_encoding_artifact_counts(spark):
+    """Hand-built fixtures for the broken-bytes signals: each artifact
+    family counted exactly, tab/newline stay legal, clean text is
+    clean."""
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.operators.textstats import encoding_artifact_counts
+
+    rows = [
+        (1, "perfectly clean text with tabs\tand\nnewlines"),
+        (2, "double-encoded caf\u00c3\u00a9 and \u00e2\u0080\u0099quote\u00e2\u0080\u009d"),
+        (3, "lost bytes \ufffd here \ufffd\ufffd"),
+        (4, "stray controls \u0001\u0002\u001f end"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    stats = encoding_artifact_counts(F.col("t"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in stats.items()]).collect()}
+    assert (out[1]["n_mojibake"], out[1]["n_replacement"],
+            out[1]["n_control"], out[1]["is_clean"]) == (0, 0, 0, True)
+    assert out[2]["n_mojibake"] == 3 and out[2]["is_clean"] is False
+    assert out[3]["n_replacement"] == 3 and out[3]["n_mojibake"] == 0
+    assert out[4]["n_control"] == 3 and out[4]["is_clean"] is False
+    assert out[5]["n_mojibake"] is None  # null text propagates, not 0
