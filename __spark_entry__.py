@@ -1352,6 +1352,47 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", canonical_url(F.col("url")).alias("curl"))
 
 
+# UT1-style domain blocklist for the url_domain_filter query — tiny
+# here, but applied through the broadcast-join path a 4M-domain real
+# blocklist would take.
+_DOMAIN_BLOCKLIST = ["src1.com", "src7.co.uk", "src4.net", "badsite.org"]
+
+
+def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction + domain blocklist gate —
+    the RefinedWeb/FineWeb URL-filtering stage. Synthesizes a messy URL
+    per doc (mixed-case scheme/subdomain, userinfo on doc_id%7,
+    explicit port on doc_id%2, multi-label public suffixes on
+    doc_id%5), extracts the lowercase host, maps it to its eTLD+1 via
+    the vendored PSL subset (textstats.MULTI_LABEL_SUFFIXES), and flags
+    blocklisted domains through a broadcast left join. Host/eTLD+1 are
+    pure-regexp/codegen projections; only the broadcast of the (small)
+    blocklist leaves the scan, so at 10^12 rows this is shuffle-free."""
+    from json_schema_spark.operators.textstats import domain_blocklist_flag
+
+    d = _docs(spark, sf_dir)
+    sub = F.element_at(
+        F.array(F.lit("WWW."), F.lit("cdn."), F.lit("")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    suf = F.element_at(
+        F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"),
+                F.lit("com.au"), F.lit("net")),
+        (F.col("doc_id") % 5 + 1).cast("int"))
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("user:pw@")).otherwise(F.lit("")),
+        sub, F.col("source"), F.lit("."), suf,
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), F.col("doc_id").cast("string"))
+    blocked = spark.createDataFrame(
+        [(b,) for b in _DOMAIN_BLOCKLIST], "domain string")
+    return domain_blocklist_flag(
+        d.select("doc_id", url.alias("url")), "url", blocked,
+    ).select("doc_id", "host", "reg_domain", "blocked")
+
+
 def q_events_json_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-JSON validation on events.props against
     {required:[k], properties:{k:{type:integer, minimum:0, maximum:50}}}
@@ -1681,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surface (VERDICT r4 next #7) — rows-only by nature
         "multimodal_profile": q_multimodal_profile,
         "stream_dedup_stateful": q_stream_dedup_stateful,
+        # r5: URL-filtering stage (eTLD+1 + broadcast blocklist)
+        "url_domain_filter": q_url_domain_filter,
     }
 
 
@@ -1759,6 +1802,45 @@ def _encoding_artifacts_sql() -> str:
         SELECT doc_id, n_mojibake, n_replacement, n_control,
                (n_mojibake + n_replacement + n_control) = 0 AS is_clean
         FROM counted
+    """
+
+
+def _url_domain_filter_sql() -> str:
+    """url_domain_filter oracle generated from the SAME suffix table
+    the Spark operator compiles (textstats.MULTI_LABEL_SUFFIXES) and
+    the same blocklist — single source of truth. The oracle rebuilds
+    the lowercase host arithmetically (userinfo/port never reach the
+    host, mixed case lowers away), so it independently checks the
+    Spark side's regexp host extraction."""
+    from json_schema_spark.operators.textstats import MULTI_LABEL_SUFFIXES
+
+    assert all("'" not in s for s in MULTI_LABEL_SUFFIXES)
+    suf_in = ", ".join(f"'{s}'" for s in sorted(MULTI_LABEL_SUFFIXES))
+    blocked_in = ", ".join(f"'{b}'" for b in _DOMAIN_BLOCKLIST)
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 lower(CASE CAST(doc_id % 3 AS INT)
+                         WHEN 0 THEN 'WWW.' WHEN 1 THEN 'cdn.' ELSE '' END
+                       || source || '.' ||
+                       CASE CAST(doc_id % 5 AS INT)
+                         WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                         WHEN 2 THEN 'org' WHEN 3 THEN 'com.au'
+                         ELSE 'net' END) AS host
+          FROM documents),
+        p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM u),
+        d AS (
+          SELECT doc_id, host,
+                 CASE WHEN len(parts) >= 3
+                           AND array_to_string(parts[-2:], '.') IN ({suf_in})
+                      THEN array_to_string(parts[-3:], '.')
+                      WHEN len(parts) >= 2
+                      THEN array_to_string(parts[-2:], '.')
+                      ELSE host END AS reg_domain
+          FROM p)
+        SELECT doc_id, host, reg_domain,
+               reg_domain IN ({blocked_in}) AS blocked
+        FROM d
     """
 
 
@@ -2954,6 +3036,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sig
         """,
         "pii_scan": _pii_scan_sql(),
+        "url_domain_filter": _url_domain_filter_sql(),
         "encoding_artifacts": _encoding_artifacts_sql(),
         "contamination_check": """
             WITH toks AS (

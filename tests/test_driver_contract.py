@@ -104,6 +104,9 @@ PAST_WINDOW_ORACLED = {
     # tests/test_incremental_dedup.py + the oracle test below)
     "dedup_incremental": "tests/test_incremental_dedup.py",
     "dedup_incremental_minhash": "tests/test_incremental_dedup.py",
+    # r5: eTLD+1 extraction + domain blocklist gate (host/suffix edge
+    # fixtures in tests/test_weburl.py + the oracle test below)
+    "url_domain_filter": "tests/test_weburl.py",
 }
 
 

@@ -1,0 +1,99 @@
+"""Registrable-domain (eTLD+1) + blocklist gate unit tests
+(operators/textstats.py). The RefinedWeb/FineWeb URL-filtering stage:
+host extraction must survive userinfo/port/mixed case, the PSL-subset
+suffix logic must pick 3 labels exactly when the last two form a known
+multi-label suffix, and the blocklist must apply at the registrable
+domain, not the raw host."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.operators.textstats import (
+    MULTI_LABEL_SUFFIXES,
+    domain_blocklist_flag,
+    registrable_domain,
+    url_host,
+)
+
+
+HOST_CASES = [
+    # (url, host)
+    ("http://www.example.com/a?b#c", "www.example.com"),
+    ("HTTPS://WWW.Example.COM/path", "www.example.com"),       # case
+    ("http://example.com:8080/x", "example.com"),              # port
+    ("http://user:pw@example.co.uk/x", "example.co.uk"),       # userinfo
+    ("http://user:pw@example.co.uk:443/x", "example.co.uk"),   # both
+    ("ftp://files.example.org", "files.example.org"),          # no path
+    ("example.com/no-scheme", ""),                             # no scheme
+    ("http://localhost/x", "localhost"),
+    ("http://[2001:db8::1]/x", "2001:db8::1"),                 # IPv6
+    ("http://u@[2001:DB8::1]:8443/x", "2001:db8::1"),          # v6+both
+    ("http://93.184.216.34:80/x", "93.184.216.34"),            # IPv4
+]
+
+DOMAIN_CASES = [
+    # (host, eTLD+1)
+    ("www.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("www.example.co.uk", "example.co.uk"),        # multi-label suffix
+    ("a.b.c.example.co.uk", "example.co.uk"),      # deep subdomain
+    ("example.co.uk", "example.co.uk"),            # exactly 3 labels
+    ("cdn.news.com.au", "news.com.au"),
+    ("localhost", "localhost"),                    # single label
+    ("co.uk", "co.uk"),                            # bare suffix (n=2 branch)
+    ("93.184.216.34", "93.184.216.34"),            # IPv4 passes whole
+    ("2001:db8::1", "2001:db8::1"),                # IPv6 passes whole
+]
+
+
+def test_url_host_edges(spark):
+    df = spark.createDataFrame([(u,) for u, _ in HOST_CASES], "url string")
+    got = [r.h for r in
+           df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert got == [h for _, h in HOST_CASES]
+
+
+def test_registrable_domain_edges(spark):
+    df = spark.createDataFrame([(h,) for h, _ in DOMAIN_CASES], "host string")
+    got = [r.d for r in
+           df.select(registrable_domain(F.col("host")).alias("d")).collect()]
+    assert got == [d for _, d in DOMAIN_CASES]
+
+
+def test_suffix_table_is_two_label_lowercase():
+    # the compiled IN works on the joined LAST-TWO labels, so every
+    # vendored rule must be exactly two lowercase labels
+    for s in MULTI_LABEL_SUFFIXES:
+        assert s == s.lower() and s.count(".") == 1 and "'" not in s
+
+
+def test_blocklist_flags_at_domain_level(spark):
+    rows = [
+        (1, "http://www.bad.co.uk/x"),     # subdomain of a blocked domain
+        (2, "http://bad.co.uk:80/y"),      # the blocked domain itself
+        (3, "http://notbad.co.uk/z"),      # sibling domain — NOT blocked
+        (4, "http://bad.com.evil.net/w"),  # 'bad.com' as subdomain — eTLD+1
+                                           # is evil.net, NOT blocked
+        (5, "http://ok.com/v"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    blocked = spark.createDataFrame(
+        [("bad.co.uk",), ("BAD.COM",)], "domain string")  # lowered inside
+    out = {r.id: (r.reg_domain, r.blocked)
+           for r in domain_blocklist_flag(df, "url", blocked).collect()}
+    assert out[1] == ("bad.co.uk", True)
+    assert out[2] == ("bad.co.uk", True)
+    assert out[3] == ("notbad.co.uk", False)
+    assert out[4] == ("evil.net", False)
+    assert out[5] == ("ok.com", False)
+
+
+def test_blocklist_join_is_broadcast(spark):
+    df = spark.createDataFrame([(1, "http://a.com/x")], "id int, url string")
+    blocked = spark.createDataFrame([("a.com",)], "domain string")
+    plan = domain_blocklist_flag(
+        df, "url", blocked)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
