@@ -180,9 +180,10 @@ def canonical_url(col: Column) -> Column:
 # Deterministic vendored subset of the Public Suffix List's multi-label
 # rules. Production would vendor the full PSL (publicsuffix.org, ~9k
 # rules — still a broadcast-sized literal set); the sandbox has no
-# network, so this subset pins the ALGORITHM (longest-known-suffix
-# match, here depth 2) and the Spark shape. Single-label TLDs need no
-# table: they are the default branch.
+# network, so this subset pins the ALGORITHM (longest-matching rule,
+# with all three PSL rule kinds: plain multi-label, wildcard,
+# exception) and the Spark shape. Single-label TLDs need no table:
+# they are the default branch.
 MULTI_LABEL_SUFFIXES: frozenset[str] = frozenset({
     "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk",
     "co.jp", "ne.jp", "or.jp", "ac.jp",
@@ -191,6 +192,15 @@ MULTI_LABEL_SUFFIXES: frozenset[str] = frozenset({
     "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
     "com.sg", "com.hk", "com.tw", "com.pl",
 })
+
+# PSL wildcard rules (`*.ck`): EVERY second-level label under these
+# TLDs is itself a public suffix, so the registrable domain is three
+# labels — except for the explicitly-listed exception rules (`!www.ck`
+# in the PSL: that second-level IS registrable).
+WILDCARD_TLDS: frozenset[str] = frozenset({
+    "ck", "er", "bd", "jm", "kw", "mm", "np", "pg",
+})
+WILDCARD_EXCEPTIONS: frozenset[str] = frozenset({"www.ck"})
 
 
 def url_host(col: Column) -> Column:
@@ -215,11 +225,13 @@ _IPV4_RX = r"^\d{1,3}(\.\d{1,3}){3}$"
 
 def registrable_domain(host: Column) -> Column:
     """eTLD+1 of a lowercased host: if the last TWO labels form a known
-    multi-label public suffix, keep three labels, else keep two; hosts
-    with fewer labels (e.g. ``localhost``) and IP literals (dotted
-    quads, IPv6 with ':') pass through whole. Pure codegen (split +
-    element_at + one IN over the broadcast-literal suffix set) — at
-    10^12 rows this is a projection, zero shuffle."""
+    multi-label public suffix — or the TLD carries a PSL wildcard rule
+    (``*.ck``) and the second-level isn't an exception (``!www.ck``) —
+    keep three labels, else keep two; hosts with fewer labels (e.g.
+    ``localhost``) and IP literals (dotted quads, IPv6 with ':') pass
+    through whole. Pure codegen (split + element_at + INs over the
+    broadcast-literal rule sets) — at 10^12 rows this is a projection,
+    zero shuffle."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(
@@ -227,9 +239,12 @@ def registrable_domain(host: Column) -> Column:
     last3 = F.concat_ws(
         ".", F.element_at(parts, -3), F.element_at(parts, -2),
         F.element_at(parts, -1))
+    last1 = F.element_at(parts, -1)
     is_ip = host.rlike(_IPV4_RX) | host.contains(":")
     return (
         F.when(is_ip, host)
+        .when((n >= 3) & last1.isin(*sorted(WILDCARD_TLDS))
+              & ~last2.isin(*sorted(WILDCARD_EXCEPTIONS)), last3)
         .when((n >= 3) & last2.isin(*sorted(MULTI_LABEL_SUFFIXES)), last3)
         .when(n >= 2, last2)
         .otherwise(host)

@@ -45,6 +45,13 @@ DOMAIN_CASES = [
     ("co.uk", "co.uk"),                            # bare suffix (n=2 branch)
     ("93.184.216.34", "93.184.216.34"),            # IPv4 passes whole
     ("2001:db8::1", "2001:db8::1"),                # IPv6 passes whole
+    # PSL wildcard rule *.ck: every 2nd-level label is a suffix
+    ("shop.example.ck", "shop.example.ck"),        # exactly suffix+1
+    ("a.shop.example.ck", "shop.example.ck"),      # deeper subdomain
+    # PSL exception rule !www.ck: www.ck IS registrable
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    ("example.ck", "example.ck"),                  # host IS a suffix (n=2)
 ]
 
 
@@ -65,8 +72,18 @@ def test_registrable_domain_edges(spark):
 def test_suffix_table_is_two_label_lowercase():
     # the compiled IN works on the joined LAST-TWO labels, so every
     # vendored rule must be exactly two lowercase labels
+    from json_schema_spark.operators.textstats import (
+        WILDCARD_EXCEPTIONS,
+        WILDCARD_TLDS,
+    )
+
     for s in MULTI_LABEL_SUFFIXES:
         assert s == s.lower() and s.count(".") == 1 and "'" not in s
+    for s in WILDCARD_TLDS:
+        assert s == s.lower() and "." not in s  # matched on the LAST label
+    for s in WILDCARD_EXCEPTIONS:
+        assert s == s.lower() and s.count(".") == 1
+        assert s.rsplit(".", 1)[1] in WILDCARD_TLDS
 
 
 def test_blocklist_flags_at_domain_level(spark):
