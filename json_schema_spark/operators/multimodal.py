@@ -133,6 +133,67 @@ def extract_features(
     )
 
 
+RESIZE_SCHEMA = (
+    "id long, width int, height int, resized binary, resizer string"
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, binary_col: str,
+    width: int = 64, height: int = 64,
+) -> DataFrame:
+    """Resize binary images via mapInPandas — same contract as
+    :func:`extract_features`: the Spark plumbing (Arrow batch
+    iterator, output schema, NULL tolerance) is real; the codec is
+    PIL when importable, else a DETERMINISTIC FAKE that emits an
+    md5-seeded RGB byte plane of exactly width*height*3 bytes, so
+    downstream stages (re-encode, feature extract, sink) see the
+    correct shapes either way. Undecodable blobs yield NULL, never
+    an aborted job."""
+    import pandas as pd
+
+    try:
+        import io
+
+        from PIL import Image
+
+        def _resize(data: bytes) -> bytes | None:
+            try:
+                img = Image.open(io.BytesIO(data)).convert("RGB")
+                return img.resize((width, height)).tobytes()
+            except Exception:
+                return None
+
+        name = "real"
+    except ImportError:
+        n_out = width * height * 3
+
+        def _resize(data: bytes) -> bytes | None:
+            out, h = bytearray(), hashlib.md5(data or b"").digest()
+            while len(out) < n_out:
+                out.extend(h)
+                h = hashlib.md5(h).digest()
+            return bytes(out[:n_out])
+
+        name = "fake-md5"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[binary_col]
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "width": width,
+                "height": height,
+                "resized": [None if b is None else _resize(bytes(b))
+                            for b in blobs],
+                "resizer": name,
+            })
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, binary_col: str, every_n: int = 10,
 ) -> DataFrame:

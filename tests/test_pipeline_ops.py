@@ -161,6 +161,25 @@ def test_multimodal_plumbing(webpages):
     plan = multimodal.frame_sample_plan(docs, "doc_id", "html", every_n=2)
     prows = plan.collect()
     assert all(r["frame_idx"] % 2 == 0 for r in prows)
+    # resize: exact byte-plane shape (w*h*3) either codec branch, NULL
+    # tolerance, and determinism across runs
+    with_null = docs.withColumn(
+        "html", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("html")))
+    rz = multimodal.resize_images(with_null, "doc_id", "html", 16, 12)
+    rrows = rz.collect()
+    assert all(r["width"] == 16 and r["height"] == 12 for r in rrows)
+    for r in rrows:
+        if r["id"] % 7 == 0:
+            assert r["resized"] is None
+        else:
+            assert len(r["resized"]) == 16 * 12 * 3
+    rrows2 = multimodal.resize_images(
+        with_null, "doc_id", "html", 16, 12).collect()
+    assert {(r["id"], bytes(r["resized"]) if r["resized"] is not None
+             else None) for r in rrows} == \
+           {(r["id"], bytes(r["resized"]) if r["resized"] is not None
+             else None) for r in rrows2}
 
 
 def test_simhash_wider_hamming_band_guarantee(spark):
