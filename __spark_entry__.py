@@ -705,6 +705,44 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-aware dedup: per near-dup GROUP keep the highest-
+    quality_score document (tie-break lowest doc_id), not merely the
+    first-seen — the representative-selection step real pipelines run
+    after grouping. Scale shape: the group labels cover only docs that
+    appear in the pair graph (a small fraction of the corpus), so
+    singleton docs take the cheap left-join path and only group
+    members pay the per-group window; the window's shuffle key is grp,
+    whose cardinality the connected-components pass already bounded."""
+    from json_schema_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from json_schema_spark.operators.textstats import quality_score
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text",
+                                n=3, threshold=0.4, max_df=5)
+    cc = connected_components(pairs)  # (node, grp) — group members only
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    joined = scored.join(cc, scored["doc_id"] == cc["node"], "left")
+    # split BEFORE the window: singletons (grp null — the overwhelming
+    # majority at web scale) are kept unconditionally and never enter
+    # the shuffle; only pair-graph members pay the per-group sort
+    w = Window.partitionBy("grp").orderBy(F.desc("q"), F.asc("doc_id"))
+    members = (
+        joined.where(F.col("node").isNotNull())
+        .select("doc_id", "grp", "q",
+                (F.row_number().over(w) == 1).alias("kept"))
+    )
+    singletons = (
+        joined.where(F.col("node").isNull())
+        .select("doc_id", F.col("doc_id").alias("grp"), "q",
+                F.lit(True).alias("kept"))
+    )
+    return members.unionByName(singletons)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (rows-only check: xxhash64 has no
     DuckDB twin)."""
@@ -1724,12 +1762,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_stateful": q_stream_dedup_stateful,
         # r5: URL-filtering stage (eTLD+1 + broadcast blocklist)
         "url_domain_filter": q_url_domain_filter,
+        # r5: representative selection — keep best-quality doc per
+        # near-dup group (policy-aware dedup, not keep-first)
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# n-gram-Jaccard near-dup groups as a DuckDB recursive CTE — shared by
+# the dedup_groups oracle and the dedup_keep_best oracle (one source
+# of truth for the pair graph + connected components).
+_DEDUP_GROUPS_CTE = """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams0 AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT doc_id, array_to_string(t, ' ') AS gram
+              FROM toks WHERE len(t) < 3),
+            hot AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) > 5),
+            grams AS (
+              SELECT * FROM grams0 WHERE gram NOT IN (SELECT gram FROM hot)),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.4),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            cc(node, label) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b)
+"""
+
 
 def _violations_union_sql() -> str:
     parts = [
@@ -2308,40 +2387,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.01
         """,
-        "dedup_groups": """
-            WITH RECURSIVE toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
-              FROM documents WHERE text IS NOT NULL),
-            grams0 AS (
-              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
-              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
-              WHERE len(t) >= 3
-              UNION
-              SELECT doc_id, array_to_string(t, ' ') AS gram
-              FROM toks WHERE len(t) < 3),
-            hot AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) > 5),
-            grams AS (
-              SELECT * FROM grams0 WHERE gram NOT IN (SELECT gram FROM hot)),
-            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM grams a JOIN grams b
-                ON a.gram = b.gram AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            pairs AS (
-              SELECT doc_a, doc_b FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.4),
-            edges AS (
-              SELECT doc_a AS a, doc_b AS b FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs),
-            cc(node, label) AS (
-              SELECT a, a FROM edges
-              UNION
-              SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b)
+        "dedup_groups": _DEDUP_GROUPS_CTE + """
             SELECT node, CAST(min(label) AS BIGINT) AS grp
             FROM cc GROUP BY node
+        """,
+        "dedup_keep_best": _DEDUP_GROUPS_CTE + """,
+            grp AS (
+              SELECT node, CAST(min(label) AS BIGINT) AS grp
+              FROM cc GROUP BY node),
+            q AS (
+              SELECT doc_id,
+                round(
+                  0.3 * least(length(text) / 500.0, 1.0)
+                + 0.3 * (CASE WHEN length(text) > 0 THEN
+                    length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+                      / length(text) ELSE 0 END)
+                + 0.2 * (1.0 - least(
+                    (CASE WHEN length(text) > 0 THEN
+                      length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                        / length(text) ELSE 0 END) * 4, 1.0))
+                + 0.2 * (CASE WHEN trim(text) <> ''
+                         AND len(string_split_regex(trim(text), '[\\s\\x0b]+')) > 0
+                    THEN len(list_distinct(string_split_regex(trim(text), '[\\s\\x0b]+')))
+                      / len(string_split_regex(trim(text), '[\\s\\x0b]+'))
+                    ELSE 0 END), 6) AS q
+              FROM documents WHERE text IS NOT NULL),
+            lab AS (
+              SELECT q.doc_id, q.q, coalesce(grp.grp, q.doc_id) AS grp
+              FROM q LEFT JOIN grp ON grp.node = q.doc_id)
+            SELECT doc_id, grp, q,
+                   (row_number() OVER (
+                      PARTITION BY grp ORDER BY q DESC, doc_id) = 1) AS kept
+            FROM lab
         """,
         "dedup_minhash_md5": """
             WITH toks AS (

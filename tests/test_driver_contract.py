@@ -107,6 +107,9 @@ PAST_WINDOW_ORACLED = {
     # r5: eTLD+1 extraction + domain blocklist gate (host/suffix edge
     # fixtures in tests/test_weburl.py + the oracle test below)
     "url_domain_filter": "tests/test_weburl.py",
+    # r5: keep-best-quality representative per near-dup group (policy
+    # fixture in tests/test_pipeline_ops.py + the oracle test below)
+    "dedup_keep_best": "tests/test_pipeline_ops.py",
 }
 
 

@@ -182,6 +182,41 @@ def test_multimodal_plumbing(webpages):
              else None) for r in rrows2}
 
 
+def test_dedup_keep_best_policy(spark):
+    """dedup_keep_best keeps the HIGHEST-quality_score member of each
+    near-dup group (tie-break lowest doc_id), not the first-seen: a
+    planted pair where the better doc has the HIGHER id must keep the
+    higher id; singletons are always kept."""
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "jumping over that dog")
+    rich = base + (" with many additional varied words improving the "
+                   "length and lexical diversity of this document "
+                   "considerably beyond the shorter twin")
+    docs = spark.createDataFrame(
+        [(1, base + " x"), (2, base + " y"),   # near-dup pair
+         (7, rich + " " + base),               # near-dup of the pair, richer
+         (9, "a completely different singleton document about spark")],
+        "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.3, max_df=10)
+    cc = dedup.connected_components(pairs)
+    scored = docs.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("q"))
+    from pyspark.sql import Window
+    lab = (scored.join(cc, scored["doc_id"] == cc["node"], "left")
+           .select("doc_id", "q",
+                   F.coalesce(F.col("grp"), F.col("doc_id")).alias("grp")))
+    w = Window.partitionBy("grp").orderBy(F.desc("q"), F.asc("doc_id"))
+    out = {r.doc_id: (r.grp, r.kept) for r in lab.select(
+        "doc_id", "grp", (F.row_number().over(w) == 1).alias("kept")
+    ).collect()}
+    grp_of_1 = out[1][0]
+    assert out[7][0] == grp_of_1 and out[2][0] == grp_of_1  # one group
+    assert out[7][1] is True          # richest doc kept, despite max id
+    assert out[1][1] is False and out[2][1] is False
+    assert out[9][1] is True          # singleton kept
+
+
 def test_simhash_wider_hamming_band_guarantee(spark):
     """ADVICE r1: max_hamming >= 4 must still have pigeonhole recall.
 
