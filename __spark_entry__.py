@@ -1158,6 +1158,52 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, docs are bucketed by bigram-LM perplexity into thirds —
+    the knob CCNet tunes to trade data quality against volume. Scale
+    shape: cutoffs come from a per-(lang, rounded-perplexity) HISTOGRAM
+    (aggregate-sized) with a cumulative window over histogram rows
+    only, then broadcast back for a comparison-based assignment — the
+    corpus is never globally sorted and never enters an ntile window,
+    which is what survives 10^12 rows. Bucket granularity is the 0.01
+    perplexity rounding (CCNet itself uses sample-estimated cutoffs).
+    Docs with <2 tokens (undefined perplexity) are dropped, matching
+    CCNet."""
+    from json_schema_spark.operators.lm import bigram_lm_perplexity
+
+    d = _docs(spark, sf_dir)
+    ppl = bigram_lm_perplexity(
+        d, "doc_id", "text",
+        is_reference=F.col("lang") == "en", alpha=1.0, n_buckets=4096,
+    ).withColumnRenamed("id", "doc_id")
+    j = (
+        d.select("doc_id", "lang")
+        .join(ppl.where(F.col("perplexity").isNotNull()), "doc_id")
+        .select("doc_id", "lang", "perplexity")
+    )
+    hist = j.groupBy(
+        "lang", F.round("perplexity", 2).alias("pv")).agg(
+        F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy("pv")
+    cum = (
+        hist.withColumn("cumc", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("lang")))
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cumc") >= F.col("n"),
+                     F.col("pv"))).alias("cut1"),
+        F.min(F.when(3 * F.col("cumc") >= 2 * F.col("n"),
+                     F.col("pv"))).alias("cut2"),
+    )
+    pv = F.round("perplexity", 2)
+    return j.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "perplexity",
+        F.when(pv <= F.col("cut1"), F.lit("head"))
+        .when(pv <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("ppl_bucket"))
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed bag-of-ngrams linear quality scorer
     (Joulin et al. 2017; the gate CCNet/RefinedWeb/FineWeb put in
@@ -1765,12 +1811,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: representative selection — keep best-quality doc per
         # near-dup group (policy-aware dedup, not keep-first)
         "dedup_keep_best": q_dedup_keep_best,
+        # r5: CCNet head/middle/tail perplexity split
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# CCNet bigram-LM per-doc perplexity as a DuckDB CTE — shared by the
+# lm_perplexity oracle and the perplexity_buckets oracle (one source
+# of truth for tokenization, hashed LM tables, and scoring).
+_LM_PPL_CTE = """
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en') AS ref,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            pos AS (
+              SELECT doc_id, ref,
+                     ('0x' || substr(md5(t[i.g] || chr(31) || t[i.g+1]
+                                         || '#2'), 1, 15))::BIGINT
+                       % 4096 AS pair_key,
+                     ('0x' || substr(md5(t[i.g] || '#3'), 1, 15))::BIGINT
+                       % 4096 AS ctx_key
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(g)
+              WHERE len(t) >= 2),
+            pc AS (SELECT pair_key, count(*) AS c_pair
+                   FROM pos WHERE ref GROUP BY 1),
+            cc AS (SELECT ctx_key, count(*) AS c_ctx
+                   FROM pos WHERE ref GROUP BY 1),
+            v AS (SELECT count(DISTINCT u.tok) AS v_size
+                  FROM toks, UNNEST(t) AS u(tok) WHERE ref),
+            scored AS (
+              SELECT doc_id,
+                     ln((coalesce(c_pair, 0) + 1.0)
+                        / (coalesce(c_ctx, 0) + 1.0 * v_size)) AS logp
+              FROM pos LEFT JOIN pc USING (pair_key)
+                       LEFT JOIN cc USING (ctx_key)
+                       CROSS JOIN v),
+            per AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(exp(-avg(logp)), 6) AS perplexity
+              FROM scored GROUP BY doc_id)
+"""
+
 
 # n-gram-Jaccard near-dup groups as a DuckDB recursive CTE — shared by
 # the dedup_groups oracle and the dedup_keep_best oracle (one source
@@ -2844,44 +2932,35 @@ def oracle_sql() -> dict[str, str]:
         # bigram LM: same md5-bucket construction as dsir_weights
         # (pair key seed #2, context key seed #3); alpha=1.0, V = exact
         # distinct reference unigrams
-        "lm_perplexity": """
-            WITH toks AS (
-              SELECT doc_id, (lang = 'en') AS ref,
-                     CASE WHEN trim(lower(text)) = ''
-                          THEN CAST([] AS VARCHAR[])
-                          ELSE string_split_regex(trim(lower(text)),
-                                                  '[\\s\\x0b]+') END AS t
-              FROM documents WHERE text IS NOT NULL),
-            pos AS (
-              SELECT doc_id, ref,
-                     ('0x' || substr(md5(t[i.g] || chr(31) || t[i.g+1]
-                                         || '#2'), 1, 15))::BIGINT
-                       % 4096 AS pair_key,
-                     ('0x' || substr(md5(t[i.g] || '#3'), 1, 15))::BIGINT
-                       % 4096 AS ctx_key
-              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(g)
-              WHERE len(t) >= 2),
-            pc AS (SELECT pair_key, count(*) AS c_pair
-                   FROM pos WHERE ref GROUP BY 1),
-            cc AS (SELECT ctx_key, count(*) AS c_ctx
-                   FROM pos WHERE ref GROUP BY 1),
-            v AS (SELECT count(DISTINCT u.tok) AS v_size
-                  FROM toks, UNNEST(t) AS u(tok) WHERE ref),
-            scored AS (
-              SELECT doc_id,
-                     ln((coalesce(c_pair, 0) + 1.0)
-                        / (coalesce(c_ctx, 0) + 1.0 * v_size)) AS logp
-              FROM pos LEFT JOIN pc USING (pair_key)
-                       LEFT JOIN cc USING (ctx_key)
-                       CROSS JOIN v),
-            per AS (
-              SELECT doc_id, count(*) AS n_bigrams,
-                     round(exp(-avg(logp)), 6) AS perplexity
-              FROM scored GROUP BY doc_id)
+        "lm_perplexity": _LM_PPL_CTE + """
             SELECT t.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
                    p.perplexity
             FROM (SELECT DISTINCT doc_id FROM toks) t
             LEFT JOIN per p USING (doc_id)
+        """,
+        "perplexity_buckets": _LM_PPL_CTE + """,
+            ppl AS (
+              SELECT d.doc_id, d.lang, p.perplexity
+              FROM documents d JOIN per p USING (doc_id)
+              WHERE p.perplexity IS NOT NULL),
+            hist AS (
+              SELECT lang, round(perplexity, 2) AS pv, count(*) AS c
+              FROM ppl GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, pv,
+                     sum(c) OVER (PARTITION BY lang ORDER BY pv) AS cumc,
+                     sum(c) OVER (PARTITION BY lang) AS n
+              FROM hist),
+            cuts AS (
+              SELECT lang,
+                     min(CASE WHEN 3 * cumc >= n THEN pv END) AS cut1,
+                     min(CASE WHEN 3 * cumc >= 2 * n THEN pv END) AS cut2
+              FROM cum GROUP BY lang)
+            SELECT p.doc_id, p.lang, p.perplexity,
+                   CASE WHEN round(p.perplexity, 2) <= c.cut1 THEN 'head'
+                        WHEN round(p.perplexity, 2) <= c.cut2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM ppl p JOIN cuts c USING (lang)
         """,
         "quality_classifier": """
             WITH toks AS (

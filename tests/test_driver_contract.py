@@ -110,6 +110,9 @@ PAST_WINDOW_ORACLED = {
     # r5: keep-best-quality representative per near-dup group (policy
     # fixture in tests/test_pipeline_ops.py + the oracle test below)
     "dedup_keep_best": "tests/test_pipeline_ops.py",
+    # r5: CCNet head/middle/tail perplexity split (bucket-semantics
+    # fixture in tests/test_lm_c4.py + the oracle test below)
+    "perplexity_buckets": "tests/test_lm_c4.py",
 }
 
 

@@ -111,3 +111,30 @@ def test_c4_kept_frac_value(c4_docs):
     out = {r["id"]: r for r in c4_rules(c4_docs).collect()}
     assert out[2]["kept_frac"] == pytest.approx(2.0 / 3, abs=1e-6)
     assert out[4]["kept_frac"] == pytest.approx(3.0 / 4, abs=1e-6)
+
+
+def test_perplexity_buckets_semantics(spark):
+    """The CCNet head/middle/tail split (driver query
+    perplexity_buckets): within each language every head doc must
+    score <= every middle doc <= every tail doc (at the 0.01 cutoff
+    granularity), all three buckets are populated on a spread corpus,
+    and sizes are near-thirds."""
+    import __spark_entry__ as em
+
+    out = em.queries()["perplexity_buckets"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(out) > 0
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {}).setdefault(
+            r["ppl_bucket"], []).append(round(r["perplexity"], 2))
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        if n < 9:
+            continue  # too few docs for a meaningful third
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        assert max(buckets["head"]) <= min(buckets["middle"]) + 0.011
+        assert max(buckets["middle"]) <= min(buckets["tail"]) + 0.011
+        # histogram-granular thirds: head is a prefix whose size is
+        # >= n/3 only once the cutoff value's ties are included
+        assert len(buckets["head"]) >= n / 3 - 1
