@@ -429,7 +429,9 @@ class ValidationRunner:
             "dataset": {"unique": ["url"],
                         "ref":   [{"column","table","key"}, ...],
                         "drift": [{"column","test","by"}, ...],
-                        "dedup": [{"column","id","method","max_dup_frac"}, ...]}
+                        "dedup": [{"column","id","method","max_dup_frac"}, ...],
+                        "blocklist": [{"column","domains"|"table",
+                                       "max_blocked_frac"}, ...]}
 
         ``dims`` maps ref-check table names to dimension DataFrames.
         Returns one verdict row per check (check, pass, n_violations,
@@ -567,6 +569,46 @@ class ValidationRunner:
             results.append((
                 f"dedup_{method}({d['column']})", frac <= cap,
                 int(row["extra"]), float(frac),
+            ))
+
+        for b in block.get("blocklist", []):
+            # domain blocklist gate at the registrable-domain level
+            # (operators/textstats.domain_blocklist_flag): inline
+            # "domains" list or a dims-provided one-column table;
+            # verdict in ONE fused aggregate over the broadcast join
+            from json_schema_spark.operators.textstats import (
+                domain_blocklist_flag,
+            )
+
+            url_col = b.get("column", "url")
+            if "table" in b:
+                blocked = (dims or {}).get(b["table"])
+                if blocked is None:
+                    raise ValueError(
+                        f"blocklist table {b['table']!r} not provided")
+                src = b["table"]
+            else:
+                blocked = self.spark.createDataFrame(
+                    [(x,) for x in b["domains"]], "domain string")
+                ds = sorted(b["domains"])
+                src = ",".join(ds[:2]) + ("…" if len(ds) > 2 else "")
+            agg = (
+                domain_blocklist_flag(
+                    df.where(F.col(url_col).isNotNull()).select(url_col),
+                    url_col, blocked)
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("blocked").cast("long")), F.lit(0)
+                    ).alias("n_blocked"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+                .collect()[0]
+            )
+            frac = (agg["n_blocked"] / agg["n_rows"]) if agg["n_rows"] else 0.0
+            cap = float(b.get("max_blocked_frac", 0.0))
+            results.append((
+                f"blocklist({url_col} vs {src})", frac <= cap,
+                int(agg["n_blocked"]), float(frac),
             ))
 
         return self.spark.createDataFrame(

@@ -189,7 +189,8 @@ class ConstraintSpec:
          "columns": {colname: <json-schema keywords>},
          "required": [colname, ...],
          "$defs": {...},
-         "dataset": {"unique": [...], "ref": [...], "drift": [...]}}
+         "dataset": {"unique": [...], "ref": [...], "drift": [...],
+                     "dedup": [...], "blocklist": [...]}}
 
     The column sub-schemas reuse the reference's keyword vocabulary
     (src/validators.lisp:657-808 dispatch tables).

@@ -32,6 +32,14 @@ FULL_SPEC = {
             {"column": "text", "id": "url", "method": "fingerprint",
              "max_dup_frac": 0.5},
         ],
+        # domain blocklist at the eTLD+1 level: news.example.com etc.
+        # all collapse to example.com (~18% of rows), so the zero-cap
+        # check must fail; the unmatched blocklist must pass clean
+        "blocklist": [
+            {"column": "url", "domains": ["example.com"]},
+            {"column": "url", "domains": ["not-in-corpus.org"],
+             "max_blocked_frac": 0.0},
+        ],
     },
 }
 
@@ -58,6 +66,14 @@ def test_dataset_block(spark, webpages, tmp_path):
     chi2 = rows["drift_chi2(lang by days(warc_ts))"]
     assert chi2["pass"] is False  # DRIFT_DAY has a shifted distribution
     assert chi2["metric"] > 0
+
+    bl = rows["blocklist(url vs example.com)"]
+    assert bl["pass"] is False and bl["n_violations"] > 0
+    # news.example.com (~18%) + the site-N.example.com tail (~60%) all
+    # collapse to eTLD+1 example.com — that collapsing IS the check
+    assert 0.70 < bl["metric"] < 0.85
+    clean = rows["blocklist(url vs not-in-corpus.org)"]
+    assert clean["pass"] is True and clean["n_violations"] == 0
 
     ks = rows["drift_ks(char_length(text) by days(warc_ts))"]
     tdg = rows["drift_tdigest(char_length(text) by days(warc_ts))"]
