@@ -926,6 +926,19 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_coverage(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL (the transformation
+    dup_span_coverage only measures): every token covered by a trigram
+    that also occurs in another document is cut in every document, and
+    the survivors are reassembled in order. The dup-gram vocabulary is
+    filtered to doc-count > 1 BEFORE the position join; the token mask
+    is doc-local array expressions — no extra shuffle, no executor
+    Python. Oracle compares the reassembled text string end-to-end."""
+    from json_schema_spark.operators.quality import duplicate_span_removal
+
+    return duplicate_span_removal(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination (GPT-3-style n-gram overlap): treat
     source='src0' documents as the EVAL set and everything else as the
@@ -1813,6 +1826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         # r5: CCNet head/middle/tail perplexity split
         "perplexity_buckets": q_perplexity_buckets,
+        # r5: duplicate-span removal — the transformation coverage
+        # only measures; oracle checks the reassembled text itself
+        "dup_span_removal": q_dup_span_removal,
     }
 
 
@@ -2819,6 +2835,40 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(dup_spans / n_spans, 9)
                         ELSE 0.0 END AS dup_span_frac
             FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN cov USING (doc_id)
+        """,
+        "dup_span_removal": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '[\\s\\x0b]+') END AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM base, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            dup_grams AS (
+              SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                             FROM grams GROUP BY g) WHERE nd > 1),
+            covered AS (
+              SELECT DISTINCT grams.doc_id, i + k.k AS idx
+              FROM grams JOIN dup_grams USING (g),
+                   UNNEST(generate_series(0, 2)) AS k(k)),
+            toks AS (
+              SELECT doc_id, u.i AS idx, t[u.i] AS tok
+              FROM base, UNNEST(generate_series(1, len(t))) AS u(i)),
+            kept AS (
+              SELECT t.doc_id, count(*) AS kept_n,
+                     string_agg(t.tok, ' ' ORDER BY t.idx) AS kept_text
+              FROM toks t LEFT JOIN covered c
+                ON t.doc_id = c.doc_id AND t.idx = c.idx
+              WHERE c.idx IS NULL
+              GROUP BY t.doc_id)
+            SELECT n.doc_id, n.n_tokens,
+                   n.n_tokens - coalesce(k.kept_n, 0) AS removed_tokens,
+                   coalesce(k.kept_text, '') AS kept_text
+            FROM (SELECT doc_id, len(t) AS n_tokens FROM base) n
+            LEFT JOIN kept k USING (doc_id)
         """,
         "line_dedup": """
             WITH lines AS (

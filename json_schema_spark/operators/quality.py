@@ -57,6 +57,7 @@ __all__ = [
     "repetition_signals",
     "repetition_profile",
     "duplicate_span_coverage",
+    "duplicate_span_removal",
     "cross_contamination",
     "line_boilerplate_dedup",
     "compression_ratio",
@@ -262,6 +263,80 @@ def duplicate_span_coverage(
                    F.round(F.col("dup_spans") / F.col("n_spans"), 9))
             .otherwise(F.lit(0.0)).alias("dup_span_frac"),
         )
+    )
+
+
+def duplicate_span_removal(
+    df: DataFrame, id_col: str, text_col: str, n: int = 10,
+    hash_bits: int = 64,
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL — the transformation that
+    :func:`duplicate_span_coverage` only measures (Lee et al. 2022,
+    exact-substring dedup, here at word-n-gram granularity): every
+    token covered by at least one n-gram that also occurs in ANOTHER
+    document is cut, in every document it appears in; the surviving
+    tokens are reassembled in original order.
+
+    Returns (id, n_tokens, removed_tokens, kept_text).  ``kept_text``
+    is tokenizer-granular canonical text (whitespace runs collapse to
+    single spaces, even for documents with zero removals) — callers
+    needing the byte-identity invariant use the VALIDATION path, not a
+    transformative dedup; NULL/blank text yields ``kept_text = ''``
+    with zero counts.
+
+    Scale shape: the same two partial-aggregable groupBys as coverage
+    (dedupe (doc, gram-hash), count docs per gram), but the gram-docs
+    side is FILTERED to doc-count > 1 **before** the position join, so
+    only the duplicated-gram vocabulary (typically a small fraction of
+    the corpus) flows through the inner join; duplicated START
+    positions then collapse to one sorted per-doc array (one
+    groupBy(doc), AQE-coalesced) and the token mask is evaluated
+    doc-locally as pure array expressions — O(tokens x dup_positions)
+    per document, bounded by page size, zero extra shuffle, no
+    executor Python.  Same 64-bit signal-grade / 128-bit exact hashing
+    ladder as the other gram operators (module docstring); the DuckDB
+    oracle compares exact strings end-to-end (the reassembled text
+    itself), so any hash collision at test scale surfaces as a value
+    mismatch.
+    """
+    toksdf = tokens_df(df, id_col, text_col)
+    toks = F.col("__toks")
+    pos = (
+        toksdf.select(
+            F.col(id_col),
+            F.posexplode_outer(
+                F.transform(word_ngram_strings(toks, n),
+                            lambda g: _gram_key(g, hash_bits)))
+            .alias("__p", "__g"),
+        )
+        .where(F.col("__g").isNotNull())
+    )
+    doc_gram = pos.select(id_col, "__g").distinct()
+    dup_grams = (
+        doc_gram.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") > 1)
+        .select("__g")
+    )
+    dup_pos = (
+        pos.join(dup_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("__dup"))
+    )
+    joined = toksdf.join(dup_pos, id_col, "left")
+    dup = F.coalesce(F.col("__dup"), F.array().cast("array<int>"))
+    # token i is cut iff some duplicated gram STARTS in [i-n+1, i];
+    # F.filter's 0-based index matches posexplode's __p numbering
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(dup, lambda p: (p <= i) & (i <= p + (n - 1))),
+    )
+    ntok = F.coalesce(F.size(toks), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+        (ntok - F.coalesce(F.size(kept), F.lit(0))).alias("removed_tokens"),
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("kept_text"),
     )
 
 

@@ -75,6 +75,9 @@ PAST_WINDOW_ORACLED = {
     # oracle-checked both here and in tests/test_quality.py (fixed
     # sf0.01 + seeded fuzz corpora)
     "line_dedup": "tests/test_quality.py",
+    # r5: duplicate-span removal (the transformation dup_span_coverage
+    # measures); oracle compares the reassembled text string itself
+    "dup_span_removal": "tests/test_quality.py",
     # r5: retrieval + data-selection operators, also born past the
     # window; value-checked by the parametrized oracle test below plus
     # tests/test_retrieval_sampling.py (tiny hand-computed fixtures)

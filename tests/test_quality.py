@@ -14,6 +14,7 @@ from json_schema_spark.operators.quality import (
     cross_contamination,
     dup_ngram_frac,
     duplicate_span_coverage,
+    duplicate_span_removal,
     pii_counts,
     pii_profile,
     pii_redact,
@@ -86,6 +87,31 @@ def test_duplicate_span_coverage_values(docs):
     assert got[4]["n_spans"] == 0 and got[5]["n_spans"] == 0
 
 
+def test_duplicate_span_removal_values(docs):
+    got = {r["doc_id"]: r.asDict() for r in
+           duplicate_span_removal(docs, "doc_id", "text", n=3).collect()}
+    # docs 0 and 2 share trigrams; every shared-gram-covered token is
+    # cut from BOTH docs (all-copies removal, Lee et al. semantics)
+    assert got[0]["removed_tokens"] > 0
+    assert got[2]["removed_tokens"] > 0
+    # doc 0 "the cat sat on the mat": doc 2's trigram set covers
+    # every position of doc 0 -> fully removed
+    assert got[0]["kept_text"] == "" and got[0]["removed_tokens"] == 6
+    # within-doc-only repetition is NOT cross-doc duplication: doc 1
+    # survives untouched (canonical single-space join)
+    assert got[1]["removed_tokens"] == 0
+    assert got[1]["kept_text"] == "spam spam spam spam spam"
+    assert got[3]["removed_tokens"] == 0
+    assert got[3]["kept_text"] == "completely unique words nothing shared here"
+    # degenerate docs: zero counts, empty (never NULL) kept_text
+    assert got[4]["n_tokens"] == 0 and got[4]["kept_text"] == ""
+    # token-count conservation on every row
+    for r in got.values():
+        assert 0 <= r["removed_tokens"] <= r["n_tokens"]
+        n_kept = len(r["kept_text"].split()) if r["kept_text"] else 0
+        assert n_kept == r["n_tokens"] - r["removed_tokens"]
+
+
 def test_cross_contamination_values(docs):
     train = docs.where("doc_id IN (0, 3)")     # "the cat sat on the mat" + unique words
     ev = docs.where("doc_id IN (1, 2, 4, 6)")
@@ -108,6 +134,7 @@ def test_gram_hash_128_matches_64(docs):
     a struct) must be row-identical to the default 64-bit key at test
     scale, where both are collision-free — same rows, same schema."""
     for fn, kw in ((duplicate_span_coverage, {}),
+                   (duplicate_span_removal, {}),
                    (cross_contamination, {})):
         if fn is cross_contamination:
             args64 = (docs.where("doc_id IN (0, 3)"),
@@ -127,6 +154,7 @@ def test_gram_hash_128_matches_64(docs):
 @pytest.mark.parametrize("build", [
     lambda d: repetition_profile(d, "doc_id", "text", n=2),
     lambda d: duplicate_span_coverage(d, "doc_id", "text", n=3),
+    lambda d: duplicate_span_removal(d, "doc_id", "text", n=3),
     lambda d: cross_contamination(d.where("doc_id % 2 = 0"),
                                   d.where("doc_id % 2 = 1"),
                                   "doc_id", "text", n=3),
@@ -190,7 +218,8 @@ def test_pack_assignments_greedy_boundaries(spark):
 
 @pytest.mark.parametrize(
     "name", ["repetition_profile", "dup_span_coverage", "pii_scan",
-             "contamination_check", "sequence_packing", "line_dedup"])
+             "contamination_check", "sequence_packing", "line_dedup",
+             "dup_span_removal"])
 def test_past_window_queries_match_duckdb_oracle(spark, name):
     """The exact sf0.01 driver comparison, run in-tree: these queries
     sit past the driver's 50-entry sample window
@@ -258,7 +287,8 @@ def test_quality_queries_fuzz_vs_duckdb(spark, tmp_path, seed):
     con.execute(f"CREATE VIEW documents AS SELECT * "
                 f"FROM '{sf}/documents.parquet/*.parquet'")
     for name in ("repetition_profile", "dup_span_coverage", "pii_scan",
-                 "contamination_check", "sequence_packing", "line_dedup"):
+                 "contamination_check", "sequence_packing", "line_dedup",
+                 "dup_span_removal"):
         sdf = entry.queries()[name](spark, sf).toPandas()
         odf = con.execute(entry.oracle_sql()[name]).df()
         pd.testing.assert_frame_equal(
