@@ -939,6 +939,20 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_removal(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction with the north rule's byte-identity
+    invariant: each document is wrapped in a deterministic
+    Common-Crawl-style page (head/script/style/nav/aside/footer
+    boilerplate, entities encoded) and run through the tag-structural
+    extractor; per lang we report docs, byte-identical extractions,
+    exact char sums, and the markup-overhead ratio. The whole pipeline
+    is regexp/replace Column expressions — one codegen projection + one
+    partial-aggregable groupBy, no shuffle of page bodies."""
+    from json_schema_spark.operators.html_extract import html_extract_report
+
+    return html_extract_report(_docs(spark, sf_dir), "doc_id", "text", "lang")
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination (GPT-3-style n-gram overlap): treat
     source='src0' documents as the EVAL set and everything else as the
@@ -1829,6 +1843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: duplicate-span removal — the transformation coverage
         # only measures; oracle checks the reassembled text itself
         "dup_span_removal": q_dup_span_removal,
+        # r5: HTML->text extraction; byte-identity invariant per row
+        "html_extract": q_html_extract,
     }
 
 
@@ -2053,6 +2069,62 @@ def _pii_scan_sql() -> str:
         f"SELECT doc_id, {counts}, {total} AS n_pii, md5({red}) AS redacted_md5 "
         f"FROM documents WHERE text IS NOT NULL"
     )
+
+
+def _html_extract_sql() -> str:
+    """html_extract oracle generated from the SAME constants the Spark
+    operator uses (html_extract.BOILERPLATE_BLOCKS/_ENCODE/_DECODE/
+    block_pattern) — single source of truth for patterns and entity
+    tables; parity tested is Java regex vs RE2 on the shared subset
+    (inline (?s), lazy quantifiers, no backreferences)."""
+    from json_schema_spark.operators.html_extract import (
+        _DECODE, _ENCODE, BOILERPLATE_BLOCKS, block_pattern,
+    )
+
+    def sq(s: str) -> str:  # SQL single-quoted literal
+        return "'" + s.replace("'", "''") + "'"
+
+    enc = "text"
+    for raw, ent in _ENCODE:
+        enc = f"replace({enc}, {sq(raw)}, {sq(ent)})"
+    t = "md5('title:' || key)"
+    page = " || ".join([
+        sq('<!DOCTYPE html><html lang="en"><head><title>'), t,
+        sq('</title><meta charset="utf-8"/>'
+           '<script type="text/javascript">var k="'), "key",
+        sq('";if(k<"0"){k="x"}</script>'
+           "<style>.m{color:#fff;margin:0}</style></head>"
+           "<body><header><h1>"), t,
+        sq('</h1></header><nav><a href="/">Home</a>'
+           '<a href="/about">About</a></nav><!-- warc:'), "key",
+        sq(" --><main><p>"), enc,
+        sq("</p></main><aside>Related: "), t,
+        sq("</aside><footer>&copy; 2024 "), "domain",
+        sq("</footer></body></html>"),
+    ])
+    ext = "page"
+    for pat in [r"(?s)<!--.*?-->"] + [block_pattern(b) for b in BOILERPLATE_BLOCKS] \
+            + [r"<[^>]+>"]:
+        assert "'" not in pat, "patterns must stay SQL-literal-safe"
+        ext = f"regexp_replace({ext}, {sq(pat)}, '', 'g')"
+    for ent, raw in _DECODE:
+        ext = f"replace({ext}, {sq(ent)}, {sq(raw)})"
+    return f"""
+        WITH src AS (
+          SELECT lang, text,
+                 md5('k:' || CAST(doc_id AS VARCHAR)) AS key,
+                 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+          FROM documents WHERE text IS NOT NULL),
+        built AS (SELECT lang, text, {page} AS page FROM src),
+        ext AS (SELECT lang, text, page, {ext} AS extracted FROM built)
+        SELECT lang, count(*) AS n_docs,
+               sum(CASE WHEN extracted = text THEN 1 ELSE 0 END) AS n_byte_identical,
+               sum(length(page)) AS sum_html_chars,
+               sum(length(text)) AS sum_text_chars,
+               round(CAST(sum(length(page)) AS DOUBLE) / sum(length(text)), 6)
+                 AS markup_ratio
+        FROM ext GROUP BY lang ORDER BY lang
+    """
 
 
 def _semdedup_sql() -> str:
@@ -3242,6 +3314,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sig
         """,
         "pii_scan": _pii_scan_sql(),
+        "html_extract": _html_extract_sql(),
         "url_domain_filter": _url_domain_filter_sql(),
         "encoding_artifacts": _encoding_artifacts_sql(),
         "contamination_check": """

@@ -1,0 +1,138 @@
+"""HTML -> text extraction (boilerplate removal) for Common-Crawl-style
+web pages.
+
+The north rule's per-row invariant is "byte-identical extracted text per
+url": the text a page carries must survive the extraction pipeline
+byte-for-byte. This module implements the extraction as a pure Column
+regexp pipeline (whole-stage codegen, zero executor Python, zero
+shuffle — a per-row projection that scales embarrassingly to 10^12
+rows), plus a deterministic page synthesizer so the invariant is
+provable end-to-end: wrap(text) |> extract == text, checked per row
+against a DuckDB twin running the same RE2-compatible pipeline.
+
+Extraction semantics (jusText/trafilatura-lite, tag-structural only):
+  1. drop <!-- comments -->
+  2. drop container blocks whose CONTENT is boilerplate by construction:
+     script, style, head (title/meta), nav, header, aside, footer
+  3. strip every remaining tag
+  4. decode the five core HTML entities (&amp; last, so "&amp;lt;"
+     round-trips to the literal text "&lt;" and not "<")
+
+Regex subset note: every pattern is shared verbatim between Spark
+(java.util.regex) and DuckDB (RE2) — lazy quantifiers and inline (?s)
+only, NO backreferences (RE2 has none), which is why the block list is
+expanded per tag instead of <(nav|footer)>.*?</\\1>.
+
+Reference seam: the reference validates documents it is handed
+(validators.lisp keyword dispatch); extraction is the upstream stage a
+web-scale deployment needs so `text` exists to validate. The invariant
+mirrors the reference's do-not-mutate discipline: validation (and now
+extraction) must never alter the bytes it reports on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Containers removed WITH their content. Order matters only for
+# readability; '<head(?:\s[^>]*)?>' cannot match '<header>' because the
+# char after 'head' must be whitespace or '>'.
+BOILERPLATE_BLOCKS = ("script", "style", "head", "nav", "header", "aside", "footer")
+
+# encode: '&' FIRST (else already-encoded entities double-encode);
+# decode: '&amp;' LAST (else '&amp;lt;' collapses to '<').
+_ENCODE = (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+           ('"', "&quot;"), ("'", "&#39;"))
+_DECODE = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+           ("&#39;", "'"), ("&amp;", "&"))
+
+
+def encode_entities(col: Column) -> Column:
+    for raw, ent in _ENCODE:
+        col = F.replace(col, F.lit(raw), F.lit(ent))
+    return col
+
+
+def decode_entities(col: Column) -> Column:
+    for ent, raw in _DECODE:
+        col = F.replace(col, F.lit(ent), F.lit(raw))
+    return col
+
+
+def block_pattern(tag: str) -> str:
+    """(?s) so block content may span newlines; lazy body so sibling
+    blocks of the same tag are removed independently."""
+    return rf"(?s)<{tag}(?:\s[^>]*)?>.*?</{tag}>"
+
+
+def extract_text(html: Column) -> Column:
+    """Main-content text of an HTML string column. Pure regexp/replace
+    Column pipeline — rides whole-stage codegen."""
+    x = F.regexp_replace(html, r"(?s)<!--.*?-->", "")
+    for tag in BOILERPLATE_BLOCKS:
+        x = F.regexp_replace(x, block_pattern(tag), "")
+    x = F.regexp_replace(x, r"<[^>]+>", "")
+    return decode_entities(x)
+
+
+def wrap_page(text: Column, key: Column, domain: Column) -> Column:
+    """Deterministic Common-Crawl-style page around `text`: doctype,
+    head (title/meta/script/style), nav/header chrome, the content in
+    <main><p>, aside + footer boilerplate, an HTML comment. The script
+    body deliberately contains a raw '<' so tag-strip-only extractors
+    corrupt it — content must come back byte-identical anyway."""
+    t = F.md5(F.concat(F.lit("title:"), key))
+    return F.concat(
+        F.lit('<!DOCTYPE html><html lang="en"><head><title>'), t,
+        F.lit('</title><meta charset="utf-8"/>'
+              '<script type="text/javascript">var k="'), key,
+        F.lit('";if(k<"0"){k="x"}</script>'
+              "<style>.m{color:#fff;margin:0}</style></head>"
+              "<body><header><h1>"), t,
+        F.lit('</h1></header><nav><a href="/">Home</a>'
+              '<a href="/about">About</a></nav><!-- warc:'), key,
+        F.lit(" --><main><p>"), encode_entities(text),
+        F.lit("</p></main><aside>Related: "), t,
+        F.lit("</aside><footer>&copy; 2024 "), domain,
+        F.lit("</footer></body></html>"),
+    )
+
+
+def html_extract_report(df: DataFrame, id_col: str, text_col: str,
+                        lang_col: str) -> DataFrame:
+    """Wrap every document in a deterministic page, run the extractor,
+    and report per-lang: docs, byte-identical count (the invariant),
+    exact char sums, and the markup-overhead ratio. One projection +
+    one partial-aggregable groupBy — no shuffle of page bodies beyond
+    the aggregate."""
+    key = F.md5(F.concat(F.lit("k:"), F.col(id_col).cast("string")))
+    domain = F.concat(F.lit("example"),
+                      F.pmod(F.col(id_col), F.lit(7)).cast("string"),
+                      F.lit(".com"))
+    page = wrap_page(F.col(text_col), key, domain)
+    rows = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.char_length(page).alias("html_chars"),
+            F.char_length(F.col(text_col)).alias("text_chars"),
+            (extract_text(page) == F.col(text_col)).alias("ok"),
+        )
+    )
+    return (
+        rows.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("bigint")).alias("n_byte_identical"),
+            F.sum("html_chars").alias("sum_html_chars"),
+            F.sum("text_chars").alias("sum_text_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_byte_identical",
+            "sum_html_chars", "sum_text_chars",
+            F.round(F.col("sum_html_chars").cast("double")
+                    / F.col("sum_text_chars"), 6).alias("markup_ratio"),
+        )
+        .orderBy("lang")
+    )

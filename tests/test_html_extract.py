@@ -1,0 +1,132 @@
+"""HTML -> text extraction: the north rule's byte-identity invariant
+under hostile content, boilerplate actually dropped, and the Spark/
+DuckDB pattern-parity seam (same constants drive both sides)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json_schema_spark.operators.html_extract import (
+    decode_entities,
+    encode_entities,
+    extract_text,
+    html_extract_report,
+    wrap_page,
+)
+
+# the strings an extractor corrupts if its entity/tag handling is naive
+HOSTILE = [
+    "plain words only",
+    "",
+    "a & b < c > d",
+    'quotes " and \' mixed',
+    "pre-encoded &lt;tag&gt; and &amp; stay literal",
+    "fake closers </p></main></body> inside text",
+    "comment opener <!-- not a real comment",
+    "<script>alert(1)</script> quoted markup in content",
+    "line\nbreaks\n\nand\ttabs",
+    "unicode: наука 科学 ciência — ümläut",
+    "&amp;amp; double-encoded chain",
+    "angle storm <<<>>> &&& '''",
+]
+
+
+def _roundtrip(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    page = wrap_page(
+        F.col("text"),
+        F.md5(F.concat(F.lit("k:"), F.col("id").cast("string"))),
+        F.lit("example0.com"),
+    )
+    return df.select("id", "text", page.alias("page"),
+                     extract_text(page).alias("extracted"))
+
+
+def test_byte_identity_on_hostile_content(spark):
+    rows = _roundtrip(spark, HOSTILE).collect()
+    assert len(rows) == len(HOSTILE)
+    for r in rows:
+        assert r.extracted == r.text, (r.text, r.extracted)
+
+
+def test_entity_codec_inverse(spark):
+    df = spark.createDataFrame([(t,) for t in HOSTILE], "text string")
+    out = df.select(
+        "text", decode_entities(encode_entities(F.col("text"))).alias("rt"),
+        encode_entities(F.col("text")).alias("enc"),
+    ).collect()
+    for r in out:
+        assert r.rt == r.text
+        # encoded form is markup-inert: no raw structural chars remain
+        assert "<" not in r.enc and ">" not in r.enc
+
+
+def test_boilerplate_dropped_and_script_lt_survives(spark):
+    """The synthetic page's script body contains a raw '<'; a
+    tag-strip-only extractor corrupts everything after it. Also: no
+    title/nav/footer text may leak into the extraction."""
+    row = _roundtrip(spark, ["the only real content"]).collect()[0]
+    assert 'if(k<"0")' in row.page  # the trap is actually present
+    assert "<script" in row.page and "<nav>" in row.page
+    assert row.extracted == "the only real content"
+    for leak in ("Home", "About", "Related", "2024", "example0.com"):
+        assert leak not in row.extracted
+
+
+def test_extractor_on_non_synthetic_markup(spark):
+    """Extraction semantics on pages we did NOT build: multiple sibling
+    blocks removed independently (lazy bodies), attributes tolerated,
+    comments spanning lines dropped, <header> not eaten by the <head>
+    pattern prefix."""
+    html = (
+        '<html><head profile="x"><title>T</title></head><body>'
+        "<header class='h'>H1</header>keep1 "
+        "<script a=1>s1</script><script>s2</script>"
+        "<!-- multi\nline\ncomment -->"
+        "<div>keep2</div><nav>n1</nav><nav>n2</nav>"
+        "<footer>f</footer> keep3</body></html>"
+    )
+    out = spark.range(1).select(
+        extract_text(F.lit(html)).alias("x")).collect()[0].x
+    assert out == "keep1 keep2 keep3"
+
+
+def test_report_all_identical_on_webpages(spark, webpages):
+    rep = html_extract_report(
+        webpages.withColumn("doc_id", F.xxhash64("url")),
+        "doc_id", "text", "lang",
+    ).collect()
+    assert rep
+    for r in rep:
+        assert r.n_byte_identical == r.n_docs, r
+        assert r.sum_html_chars > r.sum_text_chars
+        assert r.markup_ratio > 1.0
+
+
+def test_oracle_sql_duckdb_parity_on_hostile(spark, tmp_path):
+    """Run the generated DuckDB oracle on a parquet corpus whose text
+    IS the hostile list — full value parity with the Spark report,
+    exercising the Java-vs-RE2 seam beyond the sf corpus."""
+    import duckdb
+
+    from __spark_entry__ import _html_extract_sql
+
+    df = spark.createDataFrame(
+        [(i, t, "xx", "src0", len(t)) for i, t in enumerate(HOSTILE)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+
+    srep = html_extract_report(df, "doc_id", "text", "lang").collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    drep = con.execute(_html_extract_sql()).fetchall()
+    assert len(srep) == len(drep) == 1
+    s, d = srep[0], drep[0]
+    assert (s.lang, s.n_docs, s.n_byte_identical, s.sum_html_chars,
+            s.sum_text_chars) == tuple(d[:5])
+    assert s.n_byte_identical == len(HOSTILE)
+    assert abs(s.markup_ratio - d[5]) < 1e-9
