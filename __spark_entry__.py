@@ -953,6 +953,18 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract_report(_docs(spark, sf_dir), "doc_id", "text", "lang")
 
 
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-filtering metadata profile over the synthetic pages:
+    meta-robots noindex, rel=canonical presence, title round-trip,
+    anchor counts and link density (anchor chars / extracted content
+    chars from exact sums). Same Java-vs-RE2 pattern-parity seam and
+    the same scale shape as html_extract: one codegen projection, one
+    partial-aggregable groupBy, nothing but (lang, counters) shuffles."""
+    from json_schema_spark.operators.html_extract import html_metadata_report
+
+    return html_metadata_report(_docs(spark, sf_dir), "doc_id", "text", "lang")
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination (GPT-3-style n-gram overlap): treat
     source='src0' documents as the EVAL set and everything else as the
@@ -1845,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         # r5: HTML->text extraction; byte-identity invariant per row
         "html_extract": q_html_extract,
+        # r5: crawl-filtering metadata (noindex/canonical/link density)
+        "html_metadata": q_html_metadata,
     }
 
 
@@ -2124,6 +2138,87 @@ def _html_extract_sql() -> str:
                round(CAST(sum(length(page)) AS DOUBLE) / sum(length(text)), 6)
                  AS markup_ratio
         FROM ext GROUP BY lang ORDER BY lang
+    """
+
+
+def _html_metadata_sql() -> str:
+    """html_metadata oracle, generated from the same constants as the
+    Spark operator (wrap_page_meta's template + the metadata regexes).
+    The per-row metadata derivations (noindex id%7, canonical id%3,
+    extra anchors id%5) are rebuilt verbatim."""
+    from json_schema_spark.operators.html_extract import (
+        _DECODE, _ENCODE, ANCHOR_RE, BOILERPLATE_BLOCKS, CANONICAL_RE,
+        NOINDEX_RE, TITLE_RE, block_pattern,
+    )
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    enc = "text"
+    for raw, ent in _ENCODE:
+        enc = f"replace({enc}, {sq(raw)}, {sq(ent)})"
+    t = "md5('title:' || key)"
+    robots = ("CASE WHEN doc_id % 7 = 0 THEN "
+              + sq('<meta name="robots" content="noindex,nofollow"/>')
+              + " ELSE '' END")
+    canon = ("CASE WHEN doc_id % 3 = 0 THEN "
+             + sq('<link rel="canonical" href="')
+             + " || 'https://' || domain || '/c/' || key || " + sq('"/>')
+             + " ELSE '' END")
+    extra_anchor = sq('<a href="/p">more links here</a>')
+    extra = f"repeat({extra_anchor}, CAST(doc_id % 5 AS INT))"
+    page = " || ".join([
+        sq('<!DOCTYPE html><html lang="en"><head><title>'), t,
+        sq('</title><meta charset="utf-8"/>'), robots, canon,
+        sq('<script type="text/javascript">var k="'), "key",
+        sq('";if(k<"0"){k="x"}</script>'
+           "<style>.m{color:#fff;margin:0}</style></head>"
+           "<body><header><h1>"), t,
+        sq('</h1></header><nav><a href="/">Home</a>'
+           '<a href="/about">About</a>'), extra,
+        sq("</nav><!-- warc:"), "key",
+        sq(" --><main><p>"), enc,
+        sq("</p></main><aside>Related: "), t,
+        sq("</aside><footer>&copy; 2024 "), "domain",
+        sq("</footer></body></html>"),
+    ])
+    ext = "page"
+    for pat in [r"(?s)<!--.*?-->"] + [block_pattern(b) for b in BOILERPLATE_BLOCKS] \
+            + [r"<[^>]+>"]:
+        ext = f"regexp_replace({ext}, {sq(pat)}, '', 'g')"
+    for ent, raw in _DECODE:
+        ext = f"replace({ext}, {sq(ent)}, {sq(raw)})"
+    title = f"regexp_extract(page, {sq(TITLE_RE)}, 1)"
+    for ent, raw in _DECODE:
+        title = f"replace({title}, {sq(ent)}, {sq(raw)})"
+    return f"""
+        WITH src AS (
+          SELECT doc_id, lang, text,
+                 md5('k:' || CAST(doc_id AS VARCHAR)) AS key,
+                 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+          FROM documents WHERE text IS NOT NULL),
+        built AS (SELECT doc_id, lang, text, key, {page} AS page FROM src),
+        sig AS (
+          SELECT lang,
+                 CASE WHEN regexp_matches(page, {sq(NOINDEX_RE)})
+                      THEN 1 ELSE 0 END AS noindex,
+                 CASE WHEN regexp_extract(page, {sq(CANONICAL_RE)}, 1) <> ''
+                      THEN 1 ELSE 0 END AS canon,
+                 CASE WHEN {title} = md5('title:' || key)
+                      THEN 1 ELSE 0 END AS title_ok,
+                 length(regexp_extract_all(page, {sq(ANCHOR_RE)}, 1)) AS n_anchors,
+                 length(array_to_string(
+                     regexp_extract_all(page, {sq(ANCHOR_RE)}, 1), '')) AS anchor_chars,
+                 length({ext}) AS content_chars
+          FROM built)
+        SELECT lang, count(*) AS n_docs,
+               sum(noindex) AS n_noindex, sum(canon) AS n_canonical,
+               sum(title_ok) AS n_title_ok, sum(n_anchors) AS sum_anchors,
+               sum(anchor_chars) AS sum_anchor_chars,
+               sum(content_chars) AS sum_content_chars,
+               round(CAST(sum(anchor_chars) AS DOUBLE) / sum(content_chars), 6)
+                 AS link_density
+        FROM sig GROUP BY lang ORDER BY lang
     """
 
 
@@ -3315,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scan": _pii_scan_sql(),
         "html_extract": _html_extract_sql(),
+        "html_metadata": _html_metadata_sql(),
         "url_domain_filter": _url_domain_filter_sql(),
         "encoding_artifacts": _encoding_artifacts_sql(),
         "contamination_check": """

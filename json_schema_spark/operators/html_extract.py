@@ -99,6 +99,125 @@ def wrap_page(text: Column, key: Column, domain: Column) -> Column:
     )
 
 
+# --- page metadata signals (crawl-filtering stage) ---------------------
+# All patterns stay in the Java∩RE2 subset (no backreferences, inline
+# (?s) + lazy bodies only) so the DuckDB oracle runs them verbatim.
+TITLE_RE = r"(?s)<title(?:\s[^>]*)?>(.*?)</title>"
+ANCHOR_RE = r"(?s)<a(?:\s[^>]*)?>(.*?)</a>"
+NOINDEX_RE = r'<meta\s[^>]*name="robots"[^>]*content="[^"]*noindex'
+CANONICAL_RE = r'<link\s[^>]*rel="canonical"[^>]*href="([^"]*)"'
+
+
+def page_title(html: Column) -> Column:
+    return decode_entities(F.regexp_extract(html, TITLE_RE, 1))
+
+
+def has_noindex(html: Column) -> Column:
+    """Meta-robots noindex — pages a polite training pipeline drops."""
+    return F.regexp_count(html, F.lit(NOINDEX_RE)) > 0
+
+
+def canonical_href(html: Column) -> Column:
+    """rel=canonical target ('' when absent) — the key for canonical-
+    aware URL dedup upstream of content dedup."""
+    return F.regexp_extract(html, CANONICAL_RE, 1)
+
+
+def anchor_texts(html: Column) -> Column:
+    return F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1)
+
+
+def wrap_page_meta(text: Column, key: Column, domain: Column,
+                   noindex: Column, canonical: Column,
+                   extra_anchors: Column) -> Column:
+    """wrap_page variant with per-page metadata variation: optional
+    meta-robots noindex, optional rel=canonical link, and a variable
+    number of extra nav anchors — so the metadata extractors have
+    real per-row variance to prove themselves on."""
+    t = F.md5(F.concat(F.lit("title:"), key))
+    robots = F.when(
+        noindex, F.lit('<meta name="robots" content="noindex,nofollow"/>')
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        canonical != "",
+        F.concat(F.lit('<link rel="canonical" href="'), canonical, F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    extra = F.repeat(F.lit('<a href="/p">more links here</a>'), extra_anchors)
+    return F.concat(
+        F.lit('<!DOCTYPE html><html lang="en"><head><title>'), t,
+        F.lit('</title><meta charset="utf-8"/>'), robots, canon,
+        F.lit('<script type="text/javascript">var k="'), key,
+        F.lit('";if(k<"0"){k="x"}</script>'
+              "<style>.m{color:#fff;margin:0}</style></head>"
+              "<body><header><h1>"), t,
+        F.lit('</h1></header><nav><a href="/">Home</a>'
+              '<a href="/about">About</a>'), extra,
+        F.lit("</nav><!-- warc:"), key,
+        F.lit(" --><main><p>"), encode_entities(text),
+        F.lit("</p></main><aside>Related: "), t,
+        F.lit("</aside><footer>&copy; 2024 "), domain,
+        F.lit("</footer></body></html>"),
+    )
+
+
+def html_metadata_report(df: DataFrame, id_col: str, text_col: str,
+                         lang_col: str) -> DataFrame:
+    """Crawl-filtering metadata profile per lang: noindex pages,
+    canonical-bearing pages, anchor counts, and link density (anchor
+    chars / extracted content chars, from exact sums so the ratio is
+    order-independent). Deterministic per-row metadata derives from
+    the id (noindex: id%7==0, canonical: id%3==0, extra anchors:
+    id%5), so the DuckDB twin rebuilds the identical corpus. Same
+    scale shape as html_extract_report: one codegen projection + one
+    partial-aggregable groupBy."""
+    i = F.col(id_col)
+    key = F.md5(F.concat(F.lit("k:"), i.cast("string")))
+    domain = F.concat(F.lit("example"),
+                      F.pmod(i, F.lit(7)).cast("string"), F.lit(".com"))
+    canonical = F.when(
+        F.pmod(i, F.lit(3)) == 0,
+        F.concat(F.lit("https://"), domain, F.lit("/c/"), key),
+    ).otherwise(F.lit(""))
+    page = wrap_page_meta(
+        F.col(text_col), key, domain,
+        F.pmod(i, F.lit(7)) == 0, canonical,
+        F.pmod(i, F.lit(5)).cast("int"),
+    )
+    ats = anchor_texts(page)
+    rows = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(lang_col).alias("lang"),
+            has_noindex(page).cast("bigint").alias("noindex"),
+            (canonical_href(page) != "").cast("bigint").alias("canon"),
+            (page_title(page) == F.md5(F.concat(F.lit("title:"), key)))
+            .cast("bigint").alias("title_ok"),
+            F.size(ats).cast("bigint").alias("n_anchors"),
+            F.char_length(F.array_join(ats, "")).alias("anchor_chars"),
+            F.char_length(extract_text(page)).alias("content_chars"),
+        )
+    )
+    return (
+        rows.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("noindex").alias("n_noindex"),
+            F.sum("canon").alias("n_canonical"),
+            F.sum("title_ok").alias("n_title_ok"),
+            F.sum("n_anchors").alias("sum_anchors"),
+            F.sum("anchor_chars").alias("sum_anchor_chars"),
+            F.sum("content_chars").alias("sum_content_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_noindex", "n_canonical", "n_title_ok",
+            "sum_anchors", "sum_anchor_chars", "sum_content_chars",
+            F.round(F.col("sum_anchor_chars").cast("double")
+                    / F.col("sum_content_chars"), 6).alias("link_density"),
+        )
+        .orderBy("lang")
+    )
+
+
 def html_extract_report(df: DataFrame, id_col: str, text_col: str,
                         lang_col: str) -> DataFrame:
     """Wrap every document in a deterministic page, run the extractor,

@@ -105,6 +105,69 @@ def test_report_all_identical_on_webpages(spark, webpages):
         assert r.markup_ratio > 1.0
 
 
+def test_metadata_signals(spark):
+    """noindex / canonical / title / anchors on pages we build with
+    known metadata, plus absence on pages without it."""
+    from json_schema_spark.operators.html_extract import (
+        anchor_texts, canonical_href, has_noindex, page_title,
+        wrap_page_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "body zero"), (1, "body one")], "id long, text string"
+    )
+    page = wrap_page_meta(
+        F.col("text"), F.lit("k0" * 16), F.lit("example0.com"),
+        F.col("id") == 0,
+        F.when(F.col("id") == 0, F.lit("https://example0.com/c/k")).otherwise(F.lit("")),
+        F.col("id").cast("int") * 3,
+    )
+    rows = {r.id: r for r in df.select(
+        "id",
+        has_noindex(page).alias("ni"),
+        canonical_href(page).alias("canon"),
+        page_title(page).alias("title"),
+        F.size(anchor_texts(page)).alias("n_a"),
+        extract_text(page).alias("ext"),
+        "text",
+    ).collect()}
+    assert rows[0].ni and not rows[1].ni
+    assert rows[0].canon == "https://example0.com/c/k" and rows[1].canon == ""
+    assert rows[0].n_a == 2 and rows[1].n_a == 5  # 2 nav + id*3 extra
+    assert len(rows[0].title) == 32
+    for r in rows.values():
+        assert r.ext == r.text  # metadata never breaks the invariant
+
+
+def test_metadata_report_duckdb_parity(spark, tmp_path):
+    """Full value parity of html_metadata_report vs the generated
+    DuckDB oracle on a corpus with every metadata combination
+    (ids 0..104 cover the 3x5x7 residue lattice)."""
+    import duckdb
+
+    from __spark_entry__ import _html_metadata_sql
+    from json_schema_spark.operators.html_extract import html_metadata_report
+
+    df = spark.createDataFrame(
+        [(i, f"text body {i} & <tag>", "xx" if i % 2 else "en", "s", 10)
+         for i in range(105)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    srep = {r.lang: r for r in
+            html_metadata_report(df, "doc_id", "text", "lang").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    for d in con.execute(_html_metadata_sql()).fetchall():
+        s = srep[d[0]]
+        assert (s.n_docs, s.n_noindex, s.n_canonical, s.n_title_ok,
+                s.sum_anchors, s.sum_anchor_chars,
+                s.sum_content_chars) == tuple(d[1:8])
+        assert s.n_title_ok == s.n_docs
+        assert abs(s.link_density - d[8]) < 1e-9
+
+
 def test_oracle_sql_duckdb_parity_on_hostile(spark, tmp_path):
     """Run the generated DuckDB oracle on a parquet corpus whose text
     IS the hostile list — full value parity with the Spark report,
