@@ -965,6 +965,42 @@ def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_metadata_report(_docs(spark, sf_dir), "doc_id", "text", "lang")
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph degree profile (Common Crawl web-graph
+    recipe): each synthetic page carries 1-3 deterministic outbound
+    cross-domain anchors (residue lattice over 7 domains); edges are
+    extracted via the href regex, host-mapped, eTLD+1-collapsed, and
+    degree-aggregated. The DuckDB oracle derives the SAME edges
+    directly from the id lattice — an independent derivation, so a
+    break anywhere in page-build/extraction/host-mapping/aggregation
+    diverges. Scale shape: explode collapses immediately into a
+    partial-aggregable groupBy on two short keys; page bodies never
+    shuffle; the profile join runs on aggregate-sized tables."""
+    from json_schema_spark.operators.html_extract import (
+        degree_profile, link_edges, wrap_page_links,
+    )
+
+    i = F.col("doc_id")
+    key = F.md5(F.concat(F.lit("k:"), i.cast("string")))
+    domain = F.concat(F.lit("example"),
+                      F.pmod(i, F.lit(7)).cast("string"), F.lit(".com"))
+    links = F.transform(
+        F.sequence(F.lit(1), F.pmod(i, F.lit(3)) + 1),
+        lambda j: F.concat(
+            F.lit("https://example"),
+            F.pmod(i + j, F.lit(7)).cast("string"), F.lit(".com/d/"),
+            F.md5(F.concat(F.lit("l:"), i.cast("string"),
+                           F.lit(":"), j.cast("string"))),
+        ),
+    )
+    docs = (_docs(spark, sf_dir).where(F.col("text").isNotNull())
+            .select(i, domain.alias("src_domain"),
+                    wrap_page_links(F.col("text"), key, domain, links)
+                    .alias("page")))
+    return degree_profile(
+        link_edges(docs, F.col("src_domain"), F.col("page")))
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination (GPT-3-style n-gram overlap): treat
     source='src0' documents as the EVAL set and everything else as the
@@ -1859,6 +1895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         # r5: crawl-filtering metadata (noindex/canonical/link density)
         "html_metadata": q_html_metadata,
+        # r5: host-level link graph from anchor hrefs
+        "link_graph": q_link_graph,
     }
 
 
@@ -3411,6 +3449,27 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": _pii_scan_sql(),
         "html_extract": _html_extract_sql(),
         "html_metadata": _html_metadata_sql(),
+        "link_graph": """
+            -- independent edge derivation: the id residue lattice, not
+            -- the page pipeline (q_link_graph builds pages and extracts)
+            WITH links AS (
+              SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS src_d,
+                     'example' || CAST((doc_id + j) % 7 AS VARCHAR) || '.com' AS dst_d
+              FROM documents, unnest(range(1, CAST(doc_id % 3 AS BIGINT) + 2)) AS t(j)
+              WHERE text IS NOT NULL),
+            e AS (SELECT src_d, dst_d, count(*) AS n FROM links GROUP BY 1, 2),
+            o AS (SELECT src_d AS domain, CAST(sum(n) AS BIGINT) AS out_links,
+                         count(*) AS out_domains FROM e GROUP BY 1),
+            i AS (SELECT dst_d AS domain, CAST(sum(n) AS BIGINT) AS in_links,
+                         count(*) AS in_domains FROM e GROUP BY 1)
+            SELECT coalesce(o.domain, i.domain) AS domain,
+                   coalesce(out_links, 0) AS out_links,
+                   coalesce(out_domains, 0) AS out_domains,
+                   coalesce(in_links, 0) AS in_links,
+                   coalesce(in_domains, 0) AS in_domains
+            FROM o FULL OUTER JOIN i ON o.domain = i.domain
+            ORDER BY 1
+        """,
         "url_domain_filter": _url_domain_filter_sql(),
         "encoding_artifacts": _encoding_artifacts_sql(),
         "contamination_check": """

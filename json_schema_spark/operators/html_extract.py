@@ -218,6 +218,90 @@ def html_metadata_report(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+# --- host-level link graph (Common-Crawl web-graph style) ---------------
+HREF_RE = r'<a\s[^>]*href="([^"]*)"'
+
+
+def extract_hrefs(html: Column) -> Column:
+    """All anchor href values in document order (relative ones
+    included — callers host-map and filter)."""
+    return F.regexp_extract_all(html, F.lit(HREF_RE), 1)
+
+
+def wrap_page_links(text: Column, key: Column, domain: Column,
+                    links: Column) -> Column:
+    """wrap_page variant whose nav carries an arbitrary array of
+    absolute outbound links alongside the two relative chrome links —
+    the fixture for link-graph extraction."""
+    t = F.md5(F.concat(F.lit("title:"), key))
+    anchors = F.array_join(
+        F.transform(links, lambda u: F.concat(
+            F.lit('<a href="'), u, F.lit('">out</a>'))), "")
+    return F.concat(
+        F.lit('<!DOCTYPE html><html lang="en"><head><title>'), t,
+        F.lit('</title><meta charset="utf-8"/>'
+              '<script type="text/javascript">var k="'), key,
+        F.lit('";if(k<"0"){k="x"}</script>'
+              "<style>.m{color:#fff;margin:0}</style></head>"
+              "<body><header><h1>"), t,
+        F.lit('</h1></header><nav><a href="/">Home</a>'
+              '<a href="/about">About</a>'), anchors,
+        F.lit("</nav><!-- warc:"), key,
+        F.lit(" --><main><p>"), encode_entities(text),
+        F.lit("</p></main><aside>Related: "), t,
+        F.lit("</aside><footer>&copy; 2024 "), domain,
+        F.lit("</footer></body></html>"),
+    )
+
+
+def link_edges(df: DataFrame, src_domain: Column, html: Column) -> DataFrame:
+    """(src_domain, dst_domain, n_links) host-level edge table from
+    anchor hrefs: explode hrefs, host-map (relative links host to ''
+    and are dropped), eTLD+1-collapse, aggregate. The explode is the
+    only row-multiplying step and it collapses immediately through a
+    partial-aggregable groupBy on two short keys — page bodies never
+    shuffle. This is exactly the Common Crawl host-level web-graph
+    recipe (edges from WAT anchor metadata, degree-aggregated)."""
+    from json_schema_spark.operators.textstats import (
+        registrable_domain, url_host,
+    )
+
+    href = F.explode(extract_hrefs(html))
+    pairs = df.select(src_domain.alias("src_d"), href.alias("href"))
+    host = url_host(F.col("href"))
+    return (
+        pairs.select("src_d", registrable_domain(host).alias("dst_d"),
+                     host.alias("h"))
+        .where(F.col("h") != "")
+        .groupBy("src_d", "dst_d")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def degree_profile(edges: DataFrame) -> DataFrame:
+    """Per-domain in/out degree profile over an edge-weight table:
+    two partial-aggregable groupBys on domain + one full outer join of
+    the aggregate-sized results."""
+    out = edges.groupBy(F.col("src_d").alias("domain")).agg(
+        F.sum("n_links").alias("out_links"),
+        F.count(F.lit(1)).alias("out_domains"))
+    inn = edges.groupBy(F.col("dst_d").alias("domain")).agg(
+        F.sum("n_links").alias("in_links"),
+        F.count(F.lit(1)).alias("in_domains"))
+    z = F.lit(0).cast("bigint")
+    return (
+        out.join(inn, "domain", "full")
+        .select(
+            "domain",
+            F.coalesce("out_links", z).alias("out_links"),
+            F.coalesce("out_domains", z).alias("out_domains"),
+            F.coalesce("in_links", z).alias("in_links"),
+            F.coalesce("in_domains", z).alias("in_domains"),
+        )
+        .orderBy("domain")
+    )
+
+
 def html_extract_report(df: DataFrame, id_col: str, text_col: str,
                         lang_col: str) -> DataFrame:
     """Wrap every document in a deterministic page, run the extractor,

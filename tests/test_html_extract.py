@@ -168,6 +168,65 @@ def test_metadata_report_duckdb_parity(spark, tmp_path):
         assert abs(s.link_density - d[8]) < 1e-9
 
 
+def test_link_graph_hand_fixture(spark):
+    """Edges and degrees on a 3-page corpus computed by hand; relative
+    links and scheme-less hrefs drop; subdomains collapse to eTLD+1;
+    duplicate links aggregate into edge weight."""
+    from json_schema_spark.operators.html_extract import (
+        degree_profile, link_edges, wrap_page_links,
+    )
+
+    pages = [
+        ("a.com", ["https://b.com/x", "https://www.b.com/y", "/rel",
+                   "https://c.co.uk/z"]),
+        ("b.com", ["https://a.com/1"]),
+        ("c.co.uk", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, d, ls) for i, (d, ls) in enumerate(pages)],
+        "id long, dom string, links array<string>",
+    )
+    page = wrap_page_links(F.lit("body"), F.lit("k" * 32),
+                           F.col("dom"), F.col("links"))
+    edges = link_edges(df.select("dom", page.alias("p")),
+                       F.col("dom"), F.col("p"))
+    got = {(r.src_d, r.dst_d): r.n_links for r in edges.collect()}
+    # www.b.com collapses into b.com => weight 2 on (a.com, b.com);
+    # c.co.uk keeps three labels (co.uk is a multi-label suffix)
+    assert got == {("a.com", "b.com"): 2, ("a.com", "c.co.uk"): 1,
+                   ("b.com", "a.com"): 1}
+    prof = {r.domain: r for r in degree_profile(edges).collect()}
+    assert prof["a.com"].out_links == 3 and prof["a.com"].out_domains == 2
+    assert prof["a.com"].in_links == 1 and prof["a.com"].in_domains == 1
+    assert prof["b.com"].out_links == 1 and prof["b.com"].in_links == 2
+    assert prof["c.co.uk"].out_links == 0 and prof["c.co.uk"].in_links == 1
+
+
+def test_link_graph_conservation(spark, webpages):
+    """Flow conservation: sum(out_links) == sum(in_links) == |edges
+    weighted|, on the 5k synthetic corpus with lattice links."""
+    from json_schema_spark.operators.html_extract import (
+        degree_profile, link_edges, wrap_page_links,
+    )
+
+    df = webpages.withColumn("doc_id", F.xxhash64("url")) \
+                 .where(F.col("text").isNotNull())
+    i = F.pmod(F.col("doc_id"), F.lit(1000))
+    dom = F.concat(F.lit("d"), F.pmod(i, F.lit(11)).cast("string"),
+                   F.lit(".org"))
+    links = F.transform(
+        F.sequence(F.lit(1), F.pmod(i, F.lit(4)) + 1),
+        lambda j: F.concat(F.lit("https://d"),
+                           F.pmod(i + j, F.lit(11)).cast("string"),
+                           F.lit(".org/p")))
+    page = wrap_page_links(F.col("text"), F.md5(i.cast("string")),
+                           dom, links)
+    prof = degree_profile(
+        link_edges(df.select(dom.alias("d"), page.alias("p")),
+                   F.col("d"), F.col("p"))).collect()
+    assert sum(r.out_links for r in prof) == sum(r.in_links for r in prof) > 0
+
+
 def test_oracle_sql_duckdb_parity_on_hostile(spark, tmp_path):
     """Run the generated DuckDB oracle on a parquet corpus whose text
     IS the hostile list — full value parity with the Spark report,
