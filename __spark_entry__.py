@@ -977,8 +977,19 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable groupBy on two short keys; page bodies never
     shuffle; the profile join runs on aggregate-sized tables."""
     from json_schema_spark.operators.html_extract import (
-        degree_profile, link_edges, wrap_page_links,
+        degree_profile, link_edges,
     )
+
+    docs = _lattice_link_docs(spark, sf_dir)
+    return degree_profile(
+        link_edges(docs, F.col("src_domain"), F.col("page")))
+
+
+def _lattice_link_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the link-graph family: synthetic pages whose
+    nav carries 1-3 deterministic outbound cross-domain anchors
+    (residue lattice over 7 domains)."""
+    from json_schema_spark.operators.html_extract import wrap_page_links
 
     i = F.col("doc_id")
     key = F.md5(F.concat(F.lit("k:"), i.cast("string")))
@@ -993,12 +1004,29 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.lit(":"), j.cast("string"))),
         ),
     )
-    docs = (_docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return (_docs(spark, sf_dir).where(F.col("text").isNotNull())
             .select(i, domain.alias("src_domain"),
                     wrap_page_links(F.col("text"), key, domain, links)
                     .alias("page")))
-    return degree_profile(
-        link_edges(docs, F.col("src_domain"), F.col("page")))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host link graph (power iteration,
+    damping 0.85, 10 iterations, uniform dangling redistribution).
+    Rank table is node-cardinality; each iteration = one edges-ranks
+    join + one partial-aggregable groupBy + one scalar dangling
+    aggregate, lineage truncated per iteration via localCheckpoint
+    (same discipline as dedup_groups). Oracle: the 10 iterations
+    UNROLLED as chained DuckDB CTEs over the independently-derived
+    lattice edges — full double-arithmetic value parity at 6dp."""
+    from json_schema_spark.operators.html_extract import (
+        link_edges, pagerank_hosts,
+    )
+
+    docs = _lattice_link_docs(spark, sf_dir)
+    return pagerank_hosts(
+        link_edges(docs, F.col("src_domain"), F.col("page")),
+        damping=0.85, iters=10)
 
 
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1897,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": q_html_metadata,
         # r5: host-level link graph from anchor hrefs
         "link_graph": q_link_graph,
+        # r5: PageRank power iteration over the host graph
+        "pagerank_hosts": q_pagerank,
     }
 
 
@@ -2258,6 +2288,55 @@ def _html_metadata_sql() -> str:
                  AS link_density
         FROM sig GROUP BY lang ORDER BY lang
     """
+
+
+def _pagerank_sql(damping: float = 0.85, iters: int = 10) -> str:
+    """PageRank oracle: the power iteration UNROLLED as chained CTEs
+    (pr0..pr{iters}) over the independently-derived lattice edges —
+    plain SQL, no recursion, same double arithmetic ((1 - 0.85) stays
+    an expression so both engines bind the identical binary double).
+    Dangling mass is a scalar subquery per step, mirroring the Spark
+    operator's per-iteration scalar aggregate. Every step CTE is AS
+    MATERIALIZED: DuckDB inlines CTEs by default and each step
+    references its predecessor 3x, so the inlined expression tree
+    grows ~4^iters (measured: 6 unrolled inline steps already cost
+    7 s; materialized, 10 steps are instant)."""
+    head = f"""
+        WITH links AS (
+          SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS src_d,
+                 'example' || CAST((doc_id + j) % 7 AS VARCHAR) || '.com' AS dst_d
+          FROM documents, unnest(range(1, CAST(doc_id % 3 AS BIGINT) + 2)) AS t(j)
+          WHERE text IS NOT NULL),
+        e AS (SELECT src_d, dst_d, count(*) AS n FROM links GROUP BY 1, 2),
+        o AS (SELECT src_d, sum(n) AS out_w FROM e GROUP BY 1),
+        nodes AS (SELECT DISTINCT domain FROM
+                  (SELECT src_d AS domain FROM e
+                   UNION ALL SELECT dst_d FROM e)),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        pr0 AS MATERIALIZED (
+          SELECT domain, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        steps.append(f""",
+        {f'pr{k}'} AS MATERIALIZED (
+          SELECT nd.domain,
+                 (1 - {damping}) / (SELECT n FROM nn)
+                 + {damping} * (
+                     coalesce(c.in_c, 0.0)
+                     + (SELECT coalesce(sum(p.rank), 0.0) FROM {p} p
+                        WHERE p.domain NOT IN (SELECT src_d FROM o))
+                       / (SELECT n FROM nn))
+                 AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst_d AS domain, sum(p.rank * e.n / o.out_w) AS in_c
+            FROM e JOIN o ON e.src_d = o.src_d
+                   JOIN {p} p ON p.domain = e.src_d
+            GROUP BY 1) c ON nd.domain = c.domain)""")
+    return (head + "".join(steps)
+            + f"""
+        SELECT domain, round(rank, 6) AS pagerank
+        FROM pr{iters} ORDER BY domain""")
 
 
 def _semdedup_sql() -> str:
@@ -3470,6 +3549,7 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN i ON o.domain = i.domain
             ORDER BY 1
         """,
+        "pagerank_hosts": _pagerank_sql(damping=0.85, iters=10),
         "url_domain_filter": _url_domain_filter_sql(),
         "encoding_artifacts": _encoding_artifacts_sql(),
         "contamination_check": """

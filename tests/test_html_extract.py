@@ -227,6 +227,51 @@ def test_link_graph_conservation(spark, webpages):
     assert sum(r.out_links for r in prof) == sum(r.in_links for r in prof) > 0
 
 
+def test_pagerank_two_node_closed_form(spark):
+    """A -> B, B -> A with damping d converges to 0.5/0.5; A -> B only
+    (B dangling) has the closed-form fixed point r_B = (1+d)/(2+d) *
+    ... verified numerically against a python power iteration."""
+    from json_schema_spark.operators.html_extract import pagerank_hosts
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", 3)], "src_d string, dst_d string, n_links long")
+    got = {r.domain: r.pagerank for r in pagerank_hosts(edges, 0.85, 20).collect()}
+    # python reference power iteration (same update rule)
+    ra, rb, d, n = 0.5, 0.5, 0.85, 2
+    for _ in range(20):
+        dang = rb  # b has no out-edges
+        ra, rb = ((1 - d) / n + d * (dang / n),
+                  (1 - d) / n + d * (ra + dang / n))
+    assert abs(got["a.com"] - ra) < 1e-6 and abs(got["b.com"] - rb) < 1e-6
+    # symmetric 2-cycle: exact 0.5/0.5 fixed point from the uniform start
+    cyc = spark.createDataFrame(
+        [("a.com", "b.com", 1), ("b.com", "a.com", 9)],
+        "src_d string, dst_d string, n_links long")
+    got = {r.domain: r.pagerank for r in pagerank_hosts(cyc, 0.85, 5).collect()}
+    assert got == {"a.com": 0.5, "b.com": 0.5}
+
+
+def test_pagerank_mass_conservation(spark):
+    """Rank mass sums to 1 on the lattice graph (dangling mass is
+    redistributed, not lost), and weighted edges matter: a domain
+    receiving heavier in-links outranks symmetric peers."""
+    from json_schema_spark.operators.html_extract import pagerank_hosts
+
+    edges = spark.createDataFrame(
+        [("a.com", "hub.com", 10), ("b.com", "hub.com", 10),
+         ("hub.com", "a.com", 1), ("a.com", "b.com", 1),
+         ("c.com", "a.com", 2)],
+        "src_d string, dst_d string, n_links long")
+    prof = pagerank_hosts(edges, 0.85, 15).collect()
+    assert abs(sum(r.pagerank for r in prof) - 1.0) < 1e-4
+    got = {r.domain: r.pagerank for r in prof}
+    # hub.com drains everything it gets into a.com (its only out-edge),
+    # so the two dominate; b.com sees only a 1/11 split of a's rank
+    top2 = sorted(got, key=got.get)[-2:]
+    assert set(top2) == {"hub.com", "a.com"}
+    assert got["b.com"] < got["hub.com"] / 3
+
+
 def test_oracle_sql_duckdb_parity_on_hostile(spark, tmp_path):
     """Run the generated DuckDB oracle on a parquet corpus whose text
     IS the hostile list — full value parity with the Spark report,
