@@ -116,6 +116,15 @@ PAST_WINDOW_ORACLED = {
     # r5: CCNet head/middle/tail perplexity split (bucket-semantics
     # fixture in tests/test_lm_c4.py + the oracle test below)
     "perplexity_buckets": "tests/test_lm_c4.py",
+    # r5: HTML->text extraction + crawl metadata (hostile-content and
+    # residue-lattice fixtures in tests/test_html_extract.py + the
+    # oracle test below)
+    "html_extract": "tests/test_html_extract.py",
+    "html_metadata": "tests/test_html_extract.py",
+    # r5: host link graph + PageRank (hand fixtures, conservation and
+    # closed-form pins in tests/test_html_extract.py + the oracle test)
+    "link_graph": "tests/test_html_extract.py",
+    "pagerank_hosts": "tests/test_html_extract.py",
 }
 
 
