@@ -1029,6 +1029,40 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=0.85, iters=10)
 
 
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed domain-reputation score: PageRank over the host link
+    graph x per-domain mean text quality — the cross-operator rollup a
+    crawl-selection policy ranks domains by (popularity alone keeps
+    link farms; quality alone keeps orphaned pages). Both factors are
+    rounded BEFORE the product, so the composite is engine- and
+    partitioning-reproducible. Scale shape: the quality branch is one
+    partial-aggregable groupBy on domain; the rank branch is
+    pagerank_hosts on the once-checkpointed edge table; the final join
+    runs on two domain-cardinality aggregates."""
+    from json_schema_spark.operators.html_extract import (
+        link_edges, pagerank_hosts,
+    )
+    from json_schema_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    domain = F.concat(F.lit("example"),
+                      F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                      F.lit(".com"))
+    qual = (docs.groupBy(domain.alias("domain"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(quality_score(F.col("text"))), 4)
+                 .alias("avg_quality")))
+    pr = pagerank_hosts(
+        link_edges(_lattice_link_docs(spark, sf_dir),
+                   F.col("src_domain"), F.col("page")),
+        damping=0.85, iters=10)
+    return (qual.join(pr, "domain")
+            .select("domain", "n_docs", "avg_quality", "pagerank",
+                    F.round(F.col("pagerank") * F.col("avg_quality"), 6)
+                    .alias("reputation"))
+            .orderBy("domain"))
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination (GPT-3-style n-gram overlap): treat
     source='src0' documents as the EVAL set and everything else as the
@@ -1927,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         # r5: PageRank power iteration over the host graph
         "pagerank_hosts": q_pagerank,
+        # r5: composed rank x quality domain-selection score
+        "domain_reputation": q_domain_reputation,
     }
 
 
@@ -2290,6 +2326,25 @@ def _html_metadata_sql() -> str:
     """
 
 
+# per-doc quality score, the SQL twin of textstats.quality_score —
+# shared by the text_quality and domain_reputation oracles (single
+# source for the formula)
+_QUALITY_SQL = """round(
+                  0.3 * least(length(text) / 500.0, 1.0)
+                + 0.3 * (CASE WHEN length(text) > 0 THEN
+                    length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+                      / length(text) ELSE 0 END)
+                + 0.2 * (1.0 - least(
+                    (CASE WHEN length(text) > 0 THEN
+                      length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                        / length(text) ELSE 0 END) * 4, 1.0))
+                + 0.2 * (CASE WHEN trim(text) <> ''
+                         AND len(string_split_regex(trim(text), '[\\s\\x0b]+')) > 0
+                    THEN len(list_distinct(string_split_regex(trim(text), '[\\s\\x0b]+')))
+                      / len(string_split_regex(trim(text), '[\\s\\x0b]+'))
+                    ELSE 0 END), 6)"""
+
+
 def _pagerank_sql(damping: float = 0.85, iters: int = 10) -> str:
     """PageRank oracle: the power iteration UNROLLED as chained CTEs
     (pr0..pr{iters}) over the independently-derived lattice edges —
@@ -2337,6 +2392,28 @@ def _pagerank_sql(damping: float = 0.85, iters: int = 10) -> str:
             + f"""
         SELECT domain, round(rank, 6) AS pagerank
         FROM pr{iters} ORDER BY domain""")
+
+
+def _domain_reputation_sql(damping: float = 0.85, iters: int = 10) -> str:
+    """domain_reputation oracle: the pagerank CTE chain extended with
+    the shared per-doc quality expression, joined on domain. Both
+    factors are rounded BEFORE the product so the composite is
+    bitwise reproducible on any partitioning/engine."""
+    pr = _pagerank_sql(damping, iters)
+    ctes = pr[:pr.rindex("SELECT")]  # strip the final SELECT, keep CTEs
+    return (ctes + f""", q AS (
+          SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+                 {_QUALITY_SQL} AS quality
+          FROM documents WHERE text IS NOT NULL),
+        qa AS (
+          SELECT domain, count(*) AS n_docs,
+                 round(avg(quality), 4) AS avg_quality
+          FROM q GROUP BY 1)
+        SELECT qa.domain, n_docs, avg_quality,
+               round(p.rank, 6) AS pagerank,
+               round(round(p.rank, 6) * avg_quality, 6) AS reputation
+        FROM qa JOIN pr{iters} p ON qa.domain = p.domain
+        ORDER BY 1""")
 
 
 def _semdedup_sql() -> str:
@@ -2867,23 +2944,9 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
         """,
-        "text_quality": """
+        "text_quality": f"""
             WITH q AS (
-              SELECT lang,
-                round(
-                  0.3 * least(length(text) / 500.0, 1.0)
-                + 0.3 * (CASE WHEN length(text) > 0 THEN
-                    length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
-                      / length(text) ELSE 0 END)
-                + 0.2 * (1.0 - least(
-                    (CASE WHEN length(text) > 0 THEN
-                      length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
-                        / length(text) ELSE 0 END) * 4, 1.0))
-                + 0.2 * (CASE WHEN trim(text) <> ''
-                         AND len(string_split_regex(trim(text), '[\\s\\x0b]+')) > 0
-                    THEN len(list_distinct(string_split_regex(trim(text), '[\\s\\x0b]+')))
-                      / len(string_split_regex(trim(text), '[\\s\\x0b]+'))
-                    ELSE 0 END), 6) AS quality
+              SELECT lang, {_QUALITY_SQL} AS quality
               FROM documents WHERE text IS NOT NULL)
             SELECT lang, count(*) AS n_docs,
                    round(avg(quality), 4) AS avg_quality,
@@ -3550,6 +3613,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1
         """,
         "pagerank_hosts": _pagerank_sql(damping=0.85, iters=10),
+        "domain_reputation": _domain_reputation_sql(damping=0.85, iters=10),
         "url_domain_filter": _url_domain_filter_sql(),
         "encoding_artifacts": _encoding_artifacts_sql(),
         "contamination_check": """

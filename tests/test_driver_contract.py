@@ -125,6 +125,9 @@ PAST_WINDOW_ORACLED = {
     # closed-form pins in tests/test_html_extract.py + the oracle test)
     "link_graph": "tests/test_html_extract.py",
     "pagerank_hosts": "tests/test_html_extract.py",
+    # r5: composed rank x quality domain score (both factors' operators
+    # individually pinned; composition value-checked by the oracle test)
+    "domain_reputation": "tests/test_html_extract.py",
 }
 
 
