@@ -1799,6 +1799,80 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL web-curation pipeline, raw crawl page -> training-shard
+    assignment, as ONE composed job (the RefinedWeb/FineWeb recipe over
+    the round-5 operator family): each doc is wrapped in its synthetic
+    Common-Crawl page (deterministic encoding damage injected per
+    doc_id residue BEFORE wrapping), run through the tag-structural
+    HTML->text extractor, then the encoding-artifact gate, the
+    quality-score gate, exact dedup (min doc_id per content hash), the
+    per-domain quota, and md5-derived shard assignment.
+
+    The DuckDB twin never parses HTML: it derives every stage from
+    `text` directly, so the compare passes ONLY if extraction returned
+    every byte unchanged through the whole composition — the north
+    rule's byte-identity invariant stated over the entire pipeline, not
+    just the extraction stage (reference discipline: validation must
+    never alter the bytes it reports on; the reference validates
+    documents it is handed, validators.lisp keyword dispatch — this is
+    the upstream that hands them over).
+
+    Scale shape: wrap/extract/gates are one codegen projection; the
+    dedup window shuffles only (doc_id, lang, domain, hash, n_chars) —
+    page bodies are projected away before the first exchange; the
+    domain quota rides WindowGroupLimit (k rows per key of task heap);
+    shard assignment is a pure projection. One wide scan, two narrow
+    shuffles, at 10^12 rows."""
+    from json_schema_spark.operators.html_extract import (
+        extract_text, wrap_page,
+    )
+    from json_schema_spark.operators.sampling import per_domain_cap
+    from json_schema_spark.operators.textstats import (
+        encoding_artifact_counts, quality_score,
+    )
+
+    i = F.col("doc_id")
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    # deterministic damage BEFORE wrapping: the gate must reject these
+    # docs from the extracted text, proving damage survives extraction
+    # byte-for-byte too (same digraph family as q_encoding_artifacts)
+    raw = F.concat(
+        F.col("text"),
+        F.when(i % 13 == 0,
+               F.lit(" caf\u00c3\u00a9")).otherwise(F.lit("")),
+        F.when(i % 17 == 0, F.lit(" \ufffd")).otherwise(F.lit("")),
+    )
+    key = F.md5(F.concat(F.lit("k:"), i.cast("string")))
+    domain = F.concat(F.lit("src"), F.pmod(i, F.lit(11)).cast("string"),
+                      F.lit(".com"))
+    pages = d.select(i, "lang", domain.alias("domain"),
+                     wrap_page(raw, key, domain).alias("page"))
+    t = extract_text(F.col("page"))
+    enc = encoding_artifact_counts(t)
+    # gates fuse into the extraction projection; page bodies end here
+    narrow = (
+        pages.where(enc["is_clean"] & (quality_score(t) >= 0.5))
+        .select("doc_id", "lang", "domain", F.md5(t).alias("h"),
+                F.char_length(t).alias("n_chars_kept"))
+    )
+    w = Window.partitionBy("h")
+    surv = (
+        narrow.withColumn("__keep", F.min("doc_id").over(w))
+        .where(i == F.col("__keep")).drop("__keep", "h")
+    )
+    capped = per_domain_cap(
+        surv, "domain", k=200,
+        order_by=[F.desc("n_chars_kept"), F.asc("doc_id")])
+    shard = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("shard:"), i.cast("string"))), 1, 15),
+            16, 10).cast("long"),
+        F.lit(8))
+    return capped.select("doc_id", "lang", "domain", "rank_in_domain",
+                         shard.alias("shard"), "n_chars_kept")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -1963,6 +2037,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank,
         # r5: composed rank x quality domain-selection score
         "domain_reputation": q_domain_reputation,
+        # r5 flagship closer: the FULL curation pipeline (wrap ->
+        # extract -> encoding gate -> quality gate -> exact dedup ->
+        # domain quota -> shard assign) as one composed, fully-oracled
+        # job — the oracle runs on `text` directly, so the compare
+        # proves extraction byte-identity through every stage
+        "pipeline_web_curation": q_pipeline_web_curation,
     }
 
 
@@ -2119,6 +2199,79 @@ def _encoding_artifacts_sql() -> str:
         SELECT doc_id, n_mojibake, n_replacement, n_control,
                (n_mojibake + n_replacement + n_control) = 0 AS is_clean
         FROM counted
+    """
+
+
+# quality_score(t) as a DuckDB expression over the CTE column `t` —
+# the same formula the pipeline_clean oracle runs over `text`
+# (textstats.quality_score: length saturation + alpha ratio + low
+# punctuation + lexical diversity, rounded to 6).
+_QUALITY_T_SQL = """round(
+                  0.3 * least(length(t) / 500.0, 1.0)
+                + 0.3 * (CASE WHEN length(t) > 0 THEN
+                    length(regexp_replace(t, '[^\\p{L}]', '', 'g'))
+                      / length(t) ELSE 0 END)
+                + 0.2 * (1.0 - least(
+                    (CASE WHEN length(t) > 0 THEN
+                      length(regexp_replace(t, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                        / length(t) ELSE 0 END) * 4, 1.0))
+                + 0.2 * (CASE WHEN trim(t) <> ''
+                         AND len(string_split_regex(trim(t), '[\\s\\x0b]+')) > 0
+                    THEN len(list_distinct(string_split_regex(trim(t), '[\\s\\x0b]+')))
+                      / len(string_split_regex(trim(t), '[\\s\\x0b]+'))
+                    ELSE 0 END), 6)"""
+
+
+def _pipeline_web_curation_sql() -> str:
+    """pipeline_web_curation oracle: the full curation recipe derived
+    from `text` DIRECTLY — no HTML ever built or parsed on this side.
+    Because the Spark query routes the same text through wrap_page ->
+    extract_text first, every downstream value (artifact counts,
+    quality score, content hash, char count, domain rank) matches ONLY
+    if extraction is byte-identical — the north-rule invariant checked
+    through the entire composition. Gate regexes are generated from
+    the SAME constants the Spark side compiles (textstats.MOJIBAKE_RX /
+    CONTROL_RX); damage injection re-derived via chr() codepoints."""
+    from json_schema_spark.operators.textstats import (CONTROL_RX,
+                                                       MOJIBAKE_RX)
+
+    assert "'" not in MOJIBAKE_RX and "'" not in CONTROL_RX, \
+        "regex constants must stay SQL-literal-safe (no single quotes)"
+    moji = "' caf' || chr(195) || chr(169)"   # " cafÃ©"
+    repl = "' ' || chr(65533)"                # " �"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 'src' || CAST(doc_id % 11 AS VARCHAR) || '.com' AS domain,
+                 text
+                 || CASE WHEN doc_id % 13 = 0 THEN {moji} ELSE '' END
+                 || CASE WHEN doc_id % 17 = 0 THEN {repl} ELSE '' END AS t
+          FROM documents WHERE text IS NOT NULL),
+        clean AS (
+          SELECT doc_id, lang, domain, t FROM base
+          WHERE len(regexp_extract_all(t, '{MOJIBAKE_RX}')) = 0
+            AND len(regexp_extract_all(t, chr(65533)::VARCHAR)) = 0
+            AND len(regexp_extract_all(t, '{CONTROL_RX}')) = 0),
+        good AS (
+          SELECT doc_id, lang, domain, t FROM clean
+          WHERE {_QUALITY_T_SQL} >= 0.5),
+        surv AS (
+          SELECT doc_id, lang, domain, n_chars_kept FROM (
+            SELECT doc_id, lang, domain, length(t) AS n_chars_kept,
+                   min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id
+            FROM good)
+          WHERE doc_id = keep_id),
+        capped AS (
+          SELECT doc_id, lang, domain, n_chars_kept,
+                 row_number() OVER (PARTITION BY domain
+                                    ORDER BY n_chars_kept DESC, doc_id)
+                   AS rank_in_domain
+          FROM surv)
+        SELECT doc_id, lang, domain, rank_in_domain,
+               ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 8 AS shard,
+               n_chars_kept
+        FROM capped WHERE rank_in_domain <= 200
     """
 
 
@@ -3616,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_reputation": _domain_reputation_sql(damping=0.85, iters=10),
         "url_domain_filter": _url_domain_filter_sql(),
         "encoding_artifacts": _encoding_artifacts_sql(),
+        "pipeline_web_curation": _pipeline_web_curation_sql(),
         "contamination_check": """
             WITH toks AS (
               SELECT doc_id, source,

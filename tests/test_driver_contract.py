@@ -128,6 +128,12 @@ PAST_WINDOW_ORACLED = {
     # r5: composed rank x quality domain score (both factors' operators
     # individually pinned; composition value-checked by the oracle test)
     "domain_reputation": "tests/test_html_extract.py",
+    # r5 flagship closer: full curation pipeline (wrap -> extract ->
+    # gates -> dedup -> quota -> shard); the oracle derives every
+    # stage from `text` directly, so the comparison also proves
+    # extraction byte-identity through the whole composition (stage
+    # fixtures in tests/test_pipeline_ops.py + the oracle test below)
+    "pipeline_web_curation": "tests/test_pipeline_ops.py",
 }
 
 

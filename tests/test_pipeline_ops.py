@@ -500,3 +500,63 @@ def test_encoding_artifact_counts(spark):
     assert out[3]["n_replacement"] == 3 and out[3]["n_mojibake"] == 0
     assert out[4]["n_control"] == 3 and out[4]["is_clean"] is False
     assert out[5]["n_mojibake"] is None  # null text propagates, not 0
+
+
+def test_pipeline_web_curation_stage_semantics(spark, tmp_path):
+    """Hand-built fixture driving every stage of the composed curation
+    pipeline (q_pipeline_web_curation): encoding-damaged docs (13/17
+    residues) rejected, low-quality rejected, exact dup collapsed to
+    min doc_id, the per-domain quota binding at k=200, and the shard
+    assignment md5-reproducible in plain Python."""
+    import hashlib
+    import itertools
+    import string
+
+    import __spark_entry__ as em
+
+    words = ["".join(p) for p in
+             itertools.product(string.ascii_lowercase, repeat=3)]
+
+    def good_text(seed: int, n: int = 120) -> str:
+        start = seed % 10_000
+        return " ".join(words[start:start + n])
+
+    rows = []
+    # quota domain: 250 docs all in src0.com (doc_id % 11 == 0); the
+    # 13/17 residues among them are damaged and must fall out first
+    for j in range(2, 252):
+        i = 11 * j
+        rows.append((i, "en", good_text(i, n=120 + j % 40)))
+    # exact duplicate pair (both pass gates; 100 % 11 == 210 % 11 == 1)
+    rows.append((100, "en", good_text(4242)))
+    rows.append((210, "en", good_text(4242)))
+    # low-quality doc (punctuation soup, quality << 0.5)
+    rows.append((1, "en", "... !!! ??? ..." * 30))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = em.queries()["pipeline_web_curation"](spark, str(tmp_path))
+    res = {r["doc_id"]: r for r in out.collect()}
+
+    # encoding gate: every 13- or 17-residue doc was damaged pre-wrap
+    # and must be rejected from the EXTRACTED text
+    assert all(i % 13 != 0 and i % 17 != 0 for i in res)
+    # quality gate
+    assert 1 not in res
+    # exact dedup keeps the min doc_id of the identical pair
+    assert 100 in res and 210 not in res
+    # quota: enough src0.com survivors to bind the k=200 cap
+    dom0 = [r for r in res.values() if r["domain"] == "src0.com"]
+    assert len(dom0) == 200
+    assert max(r["rank_in_domain"] for r in dom0) == 200
+    # survivors of the quota are the LONGEST 200 (desc n_chars order)
+    survivors_chars = sorted((r["n_chars_kept"] for r in dom0))
+    all_clean = [len(t) for (i, _, t) in rows
+                 if i % 11 == 0 and i % 13 != 0 and i % 17 != 0]
+    assert survivors_chars == sorted(all_clean, reverse=True)[:200][::-1]
+    # byte identity: kept char count equals the ORIGINAL text length
+    assert res[100]["n_chars_kept"] == len(good_text(4242))
+    # shard assignment reproducible outside Spark
+    for i, r in list(res.items())[:25]:
+        h = hashlib.md5(f"shard:{i}".encode()).hexdigest()[:15]
+        assert r["shard"] == int(h, 16) % 8
