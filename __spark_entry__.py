@@ -1818,12 +1818,20 @@ def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents it is handed, validators.lisp keyword dispatch — this is
     the upstream that hands them over).
 
-    Scale shape: wrap/extract/gates are one codegen projection; the
-    dedup window shuffles only (doc_id, lang, domain, hash, n_chars) —
-    page bodies are projected away before the first exchange; the
-    domain quota rides WindowGroupLimit (k rows per key of task heap);
-    shard assignment is a pure projection. One wide scan, two narrow
-    shuffles, at 10^12 rows."""
+    Scale shape: extraction is one codegen projection, then a LAZY
+    localCheckpoint materializes (doc_id, lang, domain, text) — the
+    WET-file stage boundary every real crawl pipeline has anyway, and
+    here also a required optimizer barrier: without it Catalyst's
+    predicate pushdown inlines the whole wrap+extract expression tree
+    into the gate Filter SIX times (measured: extraction ran ~7x per
+    row and the fused stage blew janino's 64 KB method limit into
+    interpreted fallback; the barrier is a 3x wall win at sf0.1,
+    2.1 s -> 0.7 s). Gates+hash then run over the checkpointed rows;
+    the dedup window shuffles only (doc_id, lang, domain, hash,
+    n_chars) — page bodies never reach an exchange; the domain quota
+    rides WindowGroupLimit (k rows per key of task heap); shard
+    assignment is a pure projection. One wide scan, one bounded
+    materialization, two narrow shuffles, at 10^12 rows."""
     from json_schema_spark.operators.html_extract import (
         extract_text, wrap_page,
     )
@@ -1848,13 +1856,18 @@ def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit(".com"))
     pages = d.select(i, "lang", domain.alias("domain"),
                      wrap_page(raw, key, domain).alias("page"))
-    t = extract_text(F.col("page"))
-    enc = encoding_artifact_counts(t)
-    # gates fuse into the extraction projection; page bodies end here
+    # WET stage: extracted text materialized ONCE (lazy checkpoint =
+    # optimizer barrier; see docstring — without it the gate Filter
+    # pushes below this projection and re-runs extraction per gate)
+    ext = pages.select(
+        "doc_id", "lang", "domain",
+        extract_text(F.col("page")).alias("t"),
+    ).localCheckpoint(eager=False)
+    enc = encoding_artifact_counts(F.col("t"))
     narrow = (
-        pages.where(enc["is_clean"] & (quality_score(t) >= 0.5))
-        .select("doc_id", "lang", "domain", F.md5(t).alias("h"),
-                F.char_length(t).alias("n_chars_kept"))
+        ext.where(enc["is_clean"] & (quality_score(F.col("t")) >= 0.5))
+        .select("doc_id", "lang", "domain", F.md5("t").alias("h"),
+                F.char_length("t").alias("n_chars_kept"))
     )
     w = Window.partitionBy("h")
     surv = (
