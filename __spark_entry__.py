@@ -1886,6 +1886,42 @@ def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          shard.alias("shard"), "n_chars_kept")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC segment ingestion (sources/warc.py) — the raw Common Crawl
+    stage upstream of html_extract's WET stage: each doc's synthetic
+    page becomes a WARC/1.0 response record (Content-Length in BYTES),
+    records are assembled into multi-record segment strings (fixture
+    direction), and the Arrow-batched Content-Length-arithmetic parser
+    recovers every record. Output is one row per recovered record with
+    md5/char-count of the payload; the oracle rebuilds the SAME page
+    from `text` in SQL and predicts every field, so a single flipped
+    payload byte — or a parser fooled by payloads containing fake WARC
+    headers — diverges. Scale shape: parse is one mapInPandas over
+    segment rows, zero shuffle, no regex over payload bytes; the one
+    groupBy here belongs to the synthesis fixture, not the read path."""
+    from json_schema_spark.operators.html_extract import wrap_page
+    from json_schema_spark.sources.warc import (
+        assemble_segments, parse_warc_records, warc_record,
+    )
+
+    i = F.col("doc_id")
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    key = F.md5(F.concat(F.lit("k:"), i.cast("string")))
+    domain = F.concat(F.lit("src"), F.pmod(i, F.lit(11)).cast("string"),
+                      F.lit(".com"))
+    uri = F.concat(F.lit("https://"), domain, F.lit("/d/"),
+                   i.cast("string"))
+    rec_id = F.concat(F.lit("<urn:md5:"), key, F.lit(">"))
+    payload = wrap_page(F.col("text"), key, domain)
+    recs = d.select(i, warc_record(payload, uri, rec_id).alias("rec"))
+    segs = assemble_segments(recs, F.floor(i / 8).cast("long"), i)
+    parsed = parse_warc_records(segs)
+    return parsed.select(
+        "chunk_id", "rec_seq", "warc_type", "uri", "rec_id",
+        "content_length", F.md5("payload").alias("payload_md5"),
+        F.char_length("payload").alias("payload_chars"))
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2056,6 +2092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # job — the oracle runs on `text` directly, so the compare
         # proves extraction byte-identity through every stage
         "pipeline_web_curation": q_pipeline_web_curation,
+        # r5: WARC segment ingestion — Content-Length-arithmetic
+        # parser (Arrow mapInPandas), every recovered record's payload
+        # md5-predicted by the oracle from `text`
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -2288,6 +2328,39 @@ def _pipeline_web_curation_sql() -> str:
     """
 
 
+def _warc_ingest_sql() -> str:
+    """warc_ingest oracle: predicts every parsed-record field from
+    `documents.text` directly — the page is rebuilt via the shared
+    _page_sql template, Content-Length via strlen (BYTES, matching the
+    spec and Spark's octet_length), payload identity via md5.  The
+    oracle never builds or parses a WARC byte stream, so agreement
+    means the parser recovered every record byte-exactly."""
+    page = _page_sql()
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 md5('k:' || CAST(doc_id AS VARCHAR)) AS key,
+                 'src' || CAST(doc_id % 11 AS VARCHAR) || '.com' AS domain,
+                 text,
+                 CAST(floor(doc_id / 8) AS BIGINT) AS chunk_id
+          FROM documents WHERE text IS NOT NULL),
+        built AS (
+          SELECT doc_id, chunk_id, domain, key, {page} AS page FROM src)
+        SELECT chunk_id,
+               CAST(row_number() OVER (PARTITION BY chunk_id
+                                       ORDER BY doc_id) - 1 AS INT)
+                 AS rec_seq,
+               'response' AS warc_type,
+               'https://' || domain || '/d/' || CAST(doc_id AS VARCHAR)
+                 AS uri,
+               '<urn:md5:' || key || '>' AS rec_id,
+               CAST(strlen(page) AS BIGINT) AS content_length,
+               md5(page) AS payload_md5,
+               length(page) AS payload_chars
+        FROM built
+    """
+
+
 def _url_domain_filter_sql() -> str:
     """url_domain_filter oracle generated from the SAME suffix table
     the Spark operator compiles (textstats.MULTI_LABEL_SUFFIXES) and
@@ -2355,6 +2428,38 @@ def _pii_scan_sql() -> str:
     )
 
 
+def _sq(s: str) -> str:  # SQL single-quoted literal
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _page_sql(text_expr: str = "text", key_expr: str = "key",
+              domain_expr: str = "domain") -> str:
+    """wrap_page (html_extract.py) as a DuckDB expression string over
+    CTE columns — generated from the SAME template/entity constants the
+    Spark operator compiles; shared by the html_extract and warc_ingest
+    oracles so there is one source of truth for the synthetic page."""
+    from json_schema_spark.operators.html_extract import _ENCODE
+
+    enc = text_expr
+    for raw, ent in _ENCODE:
+        enc = f"replace({enc}, {_sq(raw)}, {_sq(ent)})"
+    t = f"md5('title:' || {key_expr})"
+    return " || ".join([
+        _sq('<!DOCTYPE html><html lang="en"><head><title>'), t,
+        _sq('</title><meta charset="utf-8"/>'
+            '<script type="text/javascript">var k="'), key_expr,
+        _sq('";if(k<"0"){k="x"}</script>'
+            "<style>.m{color:#fff;margin:0}</style></head>"
+            "<body><header><h1>"), t,
+        _sq('</h1></header><nav><a href="/">Home</a>'
+            '<a href="/about">About</a></nav><!-- warc:'), key_expr,
+        _sq(" --><main><p>"), enc,
+        _sq("</p></main><aside>Related: "), t,
+        _sq("</aside><footer>&copy; 2024 "), domain_expr,
+        _sq("</footer></body></html>"),
+    ])
+
+
 def _html_extract_sql() -> str:
     """html_extract oracle generated from the SAME constants the Spark
     operator uses (html_extract.BOILERPLATE_BLOCKS/_ENCODE/_DECODE/
@@ -2362,30 +2467,11 @@ def _html_extract_sql() -> str:
     tables; parity tested is Java regex vs RE2 on the shared subset
     (inline (?s), lazy quantifiers, no backreferences)."""
     from json_schema_spark.operators.html_extract import (
-        _DECODE, _ENCODE, BOILERPLATE_BLOCKS, block_pattern,
+        _DECODE, BOILERPLATE_BLOCKS, block_pattern,
     )
 
-    def sq(s: str) -> str:  # SQL single-quoted literal
-        return "'" + s.replace("'", "''") + "'"
-
-    enc = "text"
-    for raw, ent in _ENCODE:
-        enc = f"replace({enc}, {sq(raw)}, {sq(ent)})"
-    t = "md5('title:' || key)"
-    page = " || ".join([
-        sq('<!DOCTYPE html><html lang="en"><head><title>'), t,
-        sq('</title><meta charset="utf-8"/>'
-           '<script type="text/javascript">var k="'), "key",
-        sq('";if(k<"0"){k="x"}</script>'
-           "<style>.m{color:#fff;margin:0}</style></head>"
-           "<body><header><h1>"), t,
-        sq('</h1></header><nav><a href="/">Home</a>'
-           '<a href="/about">About</a></nav><!-- warc:'), "key",
-        sq(" --><main><p>"), enc,
-        sq("</p></main><aside>Related: "), t,
-        sq("</aside><footer>&copy; 2024 "), "domain",
-        sq("</footer></body></html>"),
-    ])
+    sq = _sq
+    page = _page_sql()
     ext = "page"
     for pat in [r"(?s)<!--.*?-->"] + [block_pattern(b) for b in BOILERPLATE_BLOCKS] \
             + [r"<[^>]+>"]:
@@ -3783,6 +3869,7 @@ def oracle_sql() -> dict[str, str]:
         "url_domain_filter": _url_domain_filter_sql(),
         "encoding_artifacts": _encoding_artifacts_sql(),
         "pipeline_web_curation": _pipeline_web_curation_sql(),
+        "warc_ingest": _warc_ingest_sql(),
         "contamination_check": """
             WITH toks AS (
               SELECT doc_id, source,

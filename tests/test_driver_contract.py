@@ -134,6 +134,11 @@ PAST_WINDOW_ORACLED = {
     # extraction byte-identity through the whole composition (stage
     # fixtures in tests/test_pipeline_ops.py + the oracle test below)
     "pipeline_web_curation": "tests/test_pipeline_ops.py",
+    # r5: WARC segment ingestion — Content-Length-arithmetic parser;
+    # hostile payloads (fake embedded headers, multibyte byte-vs-char
+    # lengths, truncation) pinned in tests/test_warc.py + the oracle
+    # test below
+    "warc_ingest": "tests/test_warc.py",
 }
 
 
