@@ -1922,6 +1922,22 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.char_length("payload").alias("payload_chars"))
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=64, overlap=16) — the
+    RAG/long-context complement to sequence_packing: every chunk
+    boundary and every chunk's content md5 value-checked against a
+    DuckDB re-derivation. Pure codegen projection (tokens materialized
+    once, one sequence + posexplode), ZERO shuffle
+    (operators/packing.chunk_tokens)."""
+    from json_schema_spark.operators.packing import chunk_tokens
+
+    return (
+        chunk_tokens(_docs(spark, sf_dir), "doc_id", "text",
+                     window=64, overlap=16)
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2096,6 +2112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parser (Arrow mapInPandas), every recovered record's payload
         # md5-predicted by the oracle from `text`
         "warc_ingest": q_warc_ingest,
+        # r5: RAG-style overlapping token-window chunking (zero
+        # shuffle; every boundary + chunk md5 oracled)
+        "doc_chunking": q_doc_chunking,
     }
 
 
@@ -3870,6 +3889,30 @@ def oracle_sql() -> dict[str, str]:
         "encoding_artifacts": _encoding_artifacts_sql(),
         "pipeline_web_curation": _pipeline_web_curation_sql(),
         "warc_ingest": _warc_ingest_sql(),
+        "doc_chunking": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents),
+            starts AS (
+              SELECT doc_id, t, u.s AS start_tok
+              FROM toks,
+                   UNNEST(generate_series(
+                     1, greatest(len(t) - 16, 1), 48)) AS u(s)
+              WHERE len(t) > 0)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY start_tok) - 1
+                        AS INT) AS chunk_seq,
+                   start_tok,
+                   len(t[start_tok:start_tok + 63]) AS n_tokens,
+                   md5(array_to_string(t[start_tok:start_tok + 63], ' '))
+                     AS chunk_md5
+            FROM starts
+        """,
         "contamination_check": """
             WITH toks AS (
               SELECT doc_id, source,

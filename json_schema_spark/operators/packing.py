@@ -25,9 +25,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import _bucket
-from .textstats import token_count
+from .textstats import token_count, ws_tokens
 
-__all__ = ["pack_assignments", "pack_summary"]
+__all__ = ["pack_assignments", "pack_summary", "chunk_tokens"]
 
 
 def pack_assignments(
@@ -88,4 +88,47 @@ def pack_summary(
             F.sum("packed_tokens").alias("pack_tokens"),
             F.round(F.sum("packed_tokens") / budget, 9).alias("fill_ratio"),
         )
+    )
+
+
+def chunk_tokens(
+    df: DataFrame, id_col: str, text_col: str,
+    window: int = 64, overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/long-context
+    complement to packing: split each document's token stream into
+    windows of ``window`` tokens advancing by ``window - overlap``
+    (every chunk after the first re-reads ``overlap`` tokens of
+    context; the final chunk may be shorter but always holds more than
+    ``overlap`` tokens, so no chunk is pure repetition).
+
+    Emits (id, chunk_seq, start_tok, n_tokens, chunk_md5) — the md5 is
+    over the space-joined window, so an oracle re-deriving chunks from
+    the same text value-checks every boundary byte-exactly.
+
+    Spark shape (100 TB posture): tokens materialize ONCE per row
+    (the O(tokens^2) higher-order-function trap measured in
+    operators/quality.py), chunk starts are one ``sequence`` + one
+    ``posexplode`` — a pure codegen projection, ZERO shuffle; output
+    is linear in token count times (1 + overlap/(window-overlap)).
+    """
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
+    step = window - overlap
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(F.col("__t"))
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                        F.lit(step))
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+        .where(F.size(F.col("__t")) > 0)
+        .select("id", "__t",
+                F.posexplode(starts).alias("chunk_seq", "start_tok"))
+    )
+    sl = F.slice(F.col("__t"), F.col("start_tok"), window)
+    return base.select(
+        "id", F.col("chunk_seq").cast("int").alias("chunk_seq"),
+        "start_tok",
+        F.size(sl).alias("n_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
     )

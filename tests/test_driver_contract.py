@@ -139,6 +139,9 @@ PAST_WINDOW_ORACLED = {
     # lengths, truncation) pinned in tests/test_warc.py + the oracle
     # test below
     "warc_ingest": "tests/test_warc.py",
+    # r5: overlapping token-window chunking (boundary semantics pinned
+    # in tests/test_pipeline_ops.py + the oracle test below)
+    "doc_chunking": "tests/test_pipeline_ops.py",
 }
 
 

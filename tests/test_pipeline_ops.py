@@ -560,3 +560,38 @@ def test_pipeline_web_curation_stage_semantics(spark, tmp_path):
     for i, r in list(res.items())[:25]:
         h = hashlib.md5(f"shard:{i}".encode()).hexdigest()[:15]
         assert r["shard"] == int(h, 16) % 8
+
+
+def test_chunk_tokens_boundary_semantics(spark):
+    """Hand-computed chunk boundaries: window/overlap arithmetic, the
+    short-doc single chunk, the >overlap final-chunk rule, and md5
+    content identity."""
+    import hashlib
+
+    from json_schema_spark.operators.packing import chunk_tokens
+
+    toks = [f"t{k}" for k in range(10)]
+    rows = [
+        (1, " ".join(toks)),      # 10 tokens, window 4 overlap 1
+        (2, "one two"),           # shorter than window -> one chunk
+        (3, "   "),               # blank -> no rows
+        (4, None),                # null -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_tokens(df, "doc_id", "text", window=4, overlap=1)
+    got = sorted(
+        ((r["id"], r["chunk_seq"], r["start_tok"], r["n_tokens"],
+          r["chunk_md5"]) for r in out.collect()))
+    # doc 1: starts 1,4,7 (step 3, last start <= 10-1=9); chunks of 4,
+    # 4, 4 tokens; every consecutive pair shares exactly 1 token
+    exp1 = []
+    for seq, s in enumerate([1, 4, 7]):
+        window = toks[s - 1:s + 3]
+        exp1.append((1, seq, s, len(window),
+                     hashlib.md5(" ".join(window).encode()).hexdigest()))
+    exp2 = [(2, 0, 1, 2, hashlib.md5(b"one two").hexdigest())]
+    assert got == sorted(exp1 + exp2)
+    # bad params refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(df, "doc_id", "text", window=4, overlap=4)
