@@ -1938,6 +1938,57 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-politeness verdicts (operators/robots.py):
+    per-host robots text is PARSED by the engine (posexplode lines +
+    running last-User-agent window — sequential state as a window, no
+    UDF) and applied longest-match (Allow beats Disallow on ties,
+    agent scoping honored: the other-bot Disallow-/ group must NOT
+    leak into the '*' rules). The oracle never parses robots — it
+    derives every verdict from the residue lattice arithmetic, so a
+    break anywhere in parse/scope/match/tie-break diverges. Scale
+    shape: rules aggregate to a broadcast-sized per-host array table;
+    the corpus side is ONE broadcast hash join + a higher-order
+    filter/array_max — zero shuffles of the 10^12-row side."""
+    from json_schema_spark.operators.robots import (
+        parse_robots, robots_verdict,
+    )
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    h = F.pmod(i, F.lit(11))
+    host = F.concat(F.lit("src"), h.cast("string"), F.lit(".com"))
+    r = F.pmod(i, F.lit(5))
+    path = (
+        F.when(r == 0, F.concat(F.lit("/private"), h.cast("string"),
+                                F.lit("/x/"), i.cast("string")))
+        .when(r == 1, F.concat(F.lit("/private"), h.cast("string"),
+                               F.lit("/public/"), i.cast("string")))
+        .when(r == 2, F.concat(F.lit("/tmp/keep/"), i.cast("string")))
+        .when(r == 3, F.concat(F.lit("/tmp"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/ok/"), i.cast("string")))
+    )
+    urls = d.select(i, host.alias("host"), path.alias("path"))
+    hh = F.col("id")
+    robots = spark.range(0, 11).select(
+        F.concat(F.lit("src"), hh.cast("string"), F.lit(".com"))
+        .alias("host"),
+        F.concat(
+            F.lit("# synthetic robots\n"
+                  "User-agent: other-bot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /private"),
+            hh.cast("string"),
+            F.lit("/\nAllow: /private"), hh.cast("string"),
+            F.lit("/public/\nDisallow: /tmp\n"),
+            F.when(hh % 2 == 0,
+                   F.lit("Allow: /tmp/keep\n")).otherwise(F.lit("")),
+        ).alias("robots"),
+    )
+    rules = parse_robots(robots)
+    return robots_verdict(urls, rules).select(
+        "doc_id", "host", "path", "matched_len", "allowed")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2115,6 +2166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: RAG-style overlapping token-window chunking (zero
         # shuffle; every boundary + chunk md5 oracled)
         "doc_chunking": q_doc_chunking,
+        # r5: robots.txt parse + longest-match REP verdicts (oracle is
+        # an independent lattice derivation — never parses robots)
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -3912,6 +3966,36 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(t[start_tok:start_tok + 63], ' '))
                      AS chunk_md5
             FROM starts
+        """,
+        "robots_filter": """
+            -- independent verdict derivation from the residue lattice:
+            -- the oracle never parses robots.txt (q_robots_filter does)
+            WITH base AS (
+              SELECT doc_id, doc_id % 11 AS h, doc_id % 5 AS r
+              FROM documents)
+            SELECT doc_id,
+                   'src' || CAST(h AS VARCHAR) || '.com' AS host,
+                   CASE r
+                     WHEN 0 THEN '/private' || CAST(h AS VARCHAR)
+                                 || '/x/' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN '/private' || CAST(h AS VARCHAR)
+                                 || '/public/' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN '/tmp/keep/' || CAST(doc_id AS VARCHAR)
+                     WHEN 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+                     ELSE '/ok/' || CAST(doc_id AS VARCHAR) END AS path,
+                   CAST(CASE r
+                     WHEN 0 THEN 9 + length(CAST(h AS VARCHAR))
+                     WHEN 1 THEN 16 + length(CAST(h AS VARCHAR))
+                     WHEN 2 THEN CASE WHEN h % 2 = 0 THEN 9 ELSE 4 END
+                     WHEN 3 THEN 4
+                     ELSE 0 END AS BIGINT) AS matched_len,
+                   CASE r
+                     WHEN 0 THEN false
+                     WHEN 1 THEN true
+                     WHEN 2 THEN h % 2 = 0
+                     WHEN 3 THEN false
+                     ELSE true END AS allowed
+            FROM base
         """,
         "contamination_check": """
             WITH toks AS (

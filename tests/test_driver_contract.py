@@ -142,6 +142,10 @@ PAST_WINDOW_ORACLED = {
     # r5: overlapping token-window chunking (boundary semantics pinned
     # in tests/test_pipeline_ops.py + the oracle test below)
     "doc_chunking": "tests/test_pipeline_ops.py",
+    # r5: robots.txt parse + REP longest-match verdicts (scoping and
+    # tie-break fixtures in tests/test_weburl.py + the oracle test
+    # below, whose oracle is an independent lattice derivation)
+    "robots_filter": "tests/test_weburl.py",
 }
 
 

@@ -114,3 +114,52 @@ def test_blocklist_join_is_broadcast(spark):
         df, "url", blocked)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- robots.txt parse + REP longest-match verdicts --------------------
+
+def test_parse_robots_scoping_and_hygiene(spark):
+    """Agent scoping (other-bot rules excluded), comment/unknown lines
+    ignored, empty Disallow dropped, directive names case-insensitive."""
+    from json_schema_spark.operators.robots import parse_robots
+
+    txt = (
+        "# comment\n"
+        "User-agent: other-bot\n"
+        "Disallow: /\n"
+        "\n"
+        "user-AGENT: *\n"
+        "DISALLOW: /a/\n"
+        "allow: /a/b/\n"
+        "Disallow:\n"            # empty = nothing disallowed -> dropped
+        "Crawl-delay: 10\n"      # unknown directive -> ignored
+    )
+    df = spark.createDataFrame([("h1.com", txt)], "host string, robots string")
+    rules = {(r["rule_type"], r["prefix"], r["allow"])
+             for r in parse_robots(df).collect()}
+    assert rules == {("disallow", "/a/", 0), ("allow", "/a/b/", 1)}
+
+
+def test_robots_verdict_longest_match_and_ties(spark):
+    """Longest rule wins; Allow beats Disallow on a length tie; no
+    matching rule and no-rules hosts are allowed."""
+    from json_schema_spark.operators.robots import robots_verdict
+
+    rules = spark.createDataFrame(
+        [("h.com", "disallow", "/a/", 3, 0),
+         ("h.com", "allow", "/a/b/", 5, 1),
+         ("h.com", "disallow", "/tie", 4, 0),
+         ("h.com", "allow", "/tie", 4, 1)],
+        "host string, rule_type string, prefix string, "
+        "rule_len int, allow int")
+    urls = spark.createDataFrame(
+        [(1, "h.com", "/a/x"),        # only /a/ matches -> blocked
+         (2, "h.com", "/a/b/x"),      # longer allow wins
+         (3, "h.com", "/tie-break"),  # equal lengths -> allow wins
+         (4, "h.com", "/elsewhere"),  # no match -> allowed, len 0
+         (5, "other.com", "/a/x")],   # host without rules -> allowed
+        "doc_id long, host string, path string")
+    got = {r["doc_id"]: (r["allowed"], r["matched_len"])
+           for r in robots_verdict(urls, rules).collect()}
+    assert got == {1: (False, 3), 2: (True, 5), 3: (True, 4),
+                   4: (True, 0), 5: (True, 0)}
