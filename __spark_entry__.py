@@ -1989,6 +1989,37 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host", "path", "matched_len", "allowed")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl content diff (incremental_dedup.snapshot_diff):
+    two snapshots derived deterministically from documents — OLD drops
+    the 10-residue docs, NEW drops the 9-residue docs and mutates the
+    7-residue texts — so every status (added/removed/changed/unchanged)
+    and the null-content edge (NULL text present in both = unchanged,
+    via eqNullSafe + explicit presence markers) is exercised. Output
+    is the per-(lang is not carried — key-level) status rollup:
+    status, n, total char delta. Scale shape: both sides project to
+    (key, md5, chars) BEFORE the one full-outer join — content never
+    shuffles; the rollup is partial-aggregable."""
+    from json_schema_spark.operators.incremental_dedup import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    old = d.where(i % 10 != 0).select("doc_id", "text")
+    new = d.where(i % 9 != 0).select(
+        "doc_id",
+        F.when((i % 7 == 0) & F.col("text").isNotNull(),
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"))
+    diff = snapshot_diff(old, new, "doc_id", "text")
+    return (
+        diff.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.coalesce(F.col("new_chars"), F.lit(0))
+                   - F.coalesce(F.col("old_chars"), F.lit(0)))
+             .alias("chars_delta"))
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2169,6 +2200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: robots.txt parse + longest-match REP verdicts (oracle is
         # an independent lattice derivation — never parses robots)
         "robots_filter": q_robots_filter,
+        # r5: crawl-over-crawl content diff rollup (added/removed/
+        # changed/unchanged; null-content edge via eqNullSafe)
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -3996,6 +4030,34 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN false
                      ELSE true END AS allowed
             FROM base
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
+                          THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 9 <> 0),
+            j AS (
+              SELECT coalesce(old.doc_id, new.doc_id) AS key,
+                     old.doc_id IS NOT NULL AS old_present,
+                     new.doc_id IS NOT NULL AS new_present,
+                     md5(old.text) AS old_h, md5(new.text) AS new_h,
+                     CASE WHEN old.doc_id IS NOT NULL
+                          THEN coalesce(length(old.text), 0) END AS oc,
+                     CASE WHEN new.doc_id IS NOT NULL
+                          THEN coalesce(length(new.text), 0) END AS nc,
+                     old.text IS NULL AS o_null, new.text IS NULL AS n_null
+              FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+            SELECT CASE WHEN NOT old_present THEN 'added'
+                        WHEN NOT new_present THEN 'removed'
+                        WHEN (o_null AND n_null)
+                             OR old_h = new_h THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   count(*) AS n,
+                   sum(coalesce(nc, 0) - coalesce(oc, 0)) AS chars_delta
+            FROM j GROUP BY 1
         """,
         "contamination_check": """
             WITH toks AS (

@@ -60,6 +60,7 @@ __all__ = [
     "incremental_dedup_snapshot",
     "incremental_minhash_snapshot",
     "snapshot_survivors",
+    "snapshot_diff",
 ]
 
 
@@ -259,3 +260,48 @@ def incremental_minhash_snapshot(
             (F.col("n_hist_bands") >= min_bands).alias("is_hist_near_dup"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str, content_col: str,
+) -> DataFrame:
+    """Crawl-over-crawl CONTENT diff — the dump-to-dump change report
+    (added / removed / changed / unchanged by key and content hash)
+    that decides how much of a new snapshot actually needs
+    reprocessing.  Complements the dedup ledger above: the ledger
+    answers "seen anywhere before?", this answers "what happened to
+    each URL between two specific snapshots?".
+
+    Returns one row per key in either snapshot:
+    (key, status, old_chars, new_chars) with status in
+    {'added','removed','changed','unchanged'}.
+
+    Scale shape: both sides project to (key, md5(content), chars)
+    BEFORE the join — content never shuffles, only hash-width rows —
+    then ONE full outer sort-merge join on key.  At 10^12 rows both
+    sides bucket/cluster by key in storage (IceTable
+    compact(cluster_by=key)) and the join co-locates; the output is
+    usually consumed as the partial-aggregable per-status rollup."""
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        c = F.col(content_col)
+        # explicit presence marker: md5(NULL content) is NULL, so the
+        # hash alone cannot distinguish "key absent" from "key present
+        # with null content"
+        return df.select(
+            F.col(key_col).alias("key"),
+            F.lit(True).alias(f"{tag}_present"),
+            F.md5(c).alias(f"{tag}_h"),
+            F.char_length(c).alias(f"{tag}_chars"),
+        )
+
+    o, n = prep(old, "old"), prep(new, "new")
+    j = o.join(n, "key", "full_outer")
+    status = (
+        F.when(F.col("old_present").isNull(), F.lit("added"))
+        .when(F.col("new_present").isNull(), F.lit("removed"))
+        .when(F.col("old_h").eqNullSafe(F.col("new_h")),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("key", status.alias("status"), "old_chars",
+                    "new_chars")

@@ -146,6 +146,9 @@ PAST_WINDOW_ORACLED = {
     # tie-break fixtures in tests/test_weburl.py + the oracle test
     # below, whose oracle is an independent lattice derivation)
     "robots_filter": "tests/test_weburl.py",
+    # r5: crawl-over-crawl content diff (status + null-content edges
+    # pinned in tests/test_incremental_dedup.py + the oracle test)
+    "snapshot_diff": "tests/test_incremental_dedup.py",
 }
 
 

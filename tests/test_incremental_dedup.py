@@ -259,3 +259,28 @@ def test_minhash_ledger_min_bands_threshold(spark, tmp_path):
         df1, ledger, "doc_id", "text", 1, min_bands=5, update_ledger=False,
         **MH).collect()[0]
     assert strict.n_hist_bands == 4 and not strict.is_hist_near_dup
+
+
+def test_snapshot_diff_statuses_and_null_content(spark):
+    """Every status on a hand fixture, including the null-content
+    edges: NULL text present on both sides is unchanged (eqNullSafe),
+    NULL -> value is changed, and presence is judged by the KEY, never
+    by the content hash."""
+    from json_schema_spark.operators.incremental_dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None), (6, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None), (6, "now")],
+        "doc_id long, text string")
+    got = {r["key"]: (r["status"], r["old_chars"], r["new_chars"])
+           for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {
+        1: ("unchanged", 4, 4),
+        2: ("changed", 6, 5),
+        3: ("removed", 4, None),
+        4: ("added", None, 5),
+        5: ("unchanged", None, None),   # null content, present both
+        6: ("changed", None, 3),        # null -> value
+    }
