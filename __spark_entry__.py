@@ -2020,6 +2020,38 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multi-script fixture snippets, shared verbatim by q_script_mix and
+# its oracle builder (_script_mix_sql re-derives them via chr())
+_CYR_SNIPPET = " тест данных"
+_ARAB_SNIPPET = " اختبار"
+_CJK_SNIPPET = "中文测试数据" * 3
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix profile (textstats.script_profile): per-doc
+    counts for seven script ranges plus the dominant script, over a
+    deterministic multi-script fixture (5-residue docs replaced by a
+    pure-CJK snippet so dominance actually flips; 3/7 residues append
+    Cyrillic/Arabic runs). Ranges are explicit codepoint classes —
+    never \\p{IsLatin}/\\p{Latin}, whose NAMES differ between Java and
+    RE2 — so both engines count byte-identically. One codegen
+    projection, zero shuffle."""
+    from json_schema_spark.operators.textstats import script_profile
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    t = (
+        F.when(i % 5 == 0, F.lit(_CJK_SNIPPET))
+        .otherwise(F.concat(
+            F.col("text"),
+            F.when(i % 3 == 0, F.lit(_CYR_SNIPPET)).otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.lit(_ARAB_SNIPPET)).otherwise(F.lit("")),
+        ))
+    )
+    prof = script_profile(t)
+    return d.select("doc_id", *[c.alias(n) for n, c in prof.items()])
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2203,6 +2235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: crawl-over-crawl content diff rollup (added/removed/
         # changed/unchanged; null-content edge via eqNullSafe)
         "snapshot_diff": q_snapshot_diff,
+        # r5: Unicode script-mix profile (explicit codepoint classes,
+        # Java-and-RE2 byte-identical; dominance tie-break oracled)
+        "script_mix": q_script_mix,
     }
 
 
@@ -2465,6 +2500,50 @@ def _warc_ingest_sql() -> str:
                md5(page) AS payload_md5,
                length(page) AS payload_chars
         FROM built
+    """
+
+
+def _script_mix_sql() -> str:
+    """script_mix oracle generated from the SAME range constants the
+    Spark operator compiles (textstats.SCRIPT_RANGES — explicit
+    codepoint classes, the Java-and-RE2 byte-identical subset) and the
+    same snippet constants (re-derived via chr() so the SQL text stays
+    ASCII-safe); dominance via list_max over (count, name) structs —
+    the same lexicographic tie-break Spark's array_max applies."""
+    from json_schema_spark.operators.textstats import SCRIPT_RANGES
+
+    def chrs(s: str) -> str:
+        return " || ".join(f"chr({ord(c)})" for c in s)
+
+    for rx in SCRIPT_RANGES.values():
+        assert "'" not in rx, "ranges must stay SQL-literal-safe"
+    counts = ",\n                 ".join(
+        f"CAST(len(regexp_extract_all(t, '{rx}')) AS BIGINT) AS n_{n}"
+        for n, rx in SCRIPT_RANGES.items())
+    structs = ", ".join(
+        f"struct_pack(c := n_{n}, s := '{n}')" for n in SCRIPT_RANGES)
+    total = " + ".join(f"n_{n}" for n in SCRIPT_RANGES)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN {chrs(_CJK_SNIPPET)}
+                      ELSE text
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN {chrs(_CYR_SNIPPET)} ELSE '' END
+                        || CASE WHEN doc_id % 7 = 0
+                                THEN {chrs(_ARAB_SNIPPET)} ELSE '' END
+                 END AS t
+          FROM documents),
+        counted AS (
+          SELECT doc_id, t,
+                 {counts}
+          FROM base)
+        SELECT doc_id,
+               {", ".join(f"n_{n}" for n in SCRIPT_RANGES)},
+               CASE WHEN t IS NULL THEN NULL
+                    WHEN {total} = 0 THEN 'none'
+                    ELSE (list_max([{structs}])).s END AS dominant
+        FROM counted
     """
 
 
@@ -3977,6 +4056,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_artifacts": _encoding_artifacts_sql(),
         "pipeline_web_curation": _pipeline_web_curation_sql(),
         "warc_ingest": _warc_ingest_sql(),
+        "script_mix": _script_mix_sql(),
         "doc_chunking": """
             WITH toks AS (
               SELECT doc_id,

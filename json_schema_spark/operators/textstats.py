@@ -360,3 +360,42 @@ def encoding_artifact_counts(col: Column) -> dict[str, Column]:
         "n_control": n_ctrl.cast("long"),
         "is_clean": (n_moji + n_repl + n_ctrl) == F.lit(0),
     }
+
+
+# Unicode script ranges as EXPLICIT codepoint classes — never \p{IsLatin}
+# (Java) or \p{Latin} (RE2), whose names differ between engines; literal
+# ranges count byte-identically in both. Coverage is the basic
+# multilingual blocks a web-corpus language mix report needs; extend by
+# adding rows, the plan shape is per-range regexp_count columns.
+SCRIPT_RANGES = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "cjk": "[一-鿿]",
+    "hangul": "[가-힯]",
+}
+
+
+def script_profile(col: Column) -> dict[str, Column]:
+    """Per-document Unicode script mix: one ``n_<script>`` count per
+    SCRIPT_RANGES row plus ``dominant`` (script with the max count;
+    lexicographically larger name wins exact ties — deterministic and
+    oracle-reproducible; 'none' when no script chars at all; NULL text
+    propagates NULL). One codegen projection, zero shuffle — at 100 TB
+    this rides the same single text pass as the quality battery."""
+    counts = {name: F.regexp_count(col, F.lit(rx)).cast("long")
+              for name, rx in SCRIPT_RANGES.items()}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    dominant = F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(total == 0, F.lit("none")).otherwise(
+            F.array_max(F.array(*[
+                F.struct(c.alias("c"), F.lit(n).alias("s"))
+                for n, c in counts.items()
+            ]))["s"]))
+    out: dict[str, Column] = {f"n_{n}": c for n, c in counts.items()}
+    out["dominant"] = dominant
+    return out

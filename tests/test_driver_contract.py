@@ -149,6 +149,9 @@ PAST_WINDOW_ORACLED = {
     # r5: crawl-over-crawl content diff (status + null-content edges
     # pinned in tests/test_incremental_dedup.py + the oracle test)
     "snapshot_diff": "tests/test_incremental_dedup.py",
+    # r5: Unicode script-mix profile (counts/tie-break/none/null pinned
+    # in tests/test_pipeline_ops.py + the oracle test below)
+    "script_mix": "tests/test_pipeline_ops.py",
 }
 
 

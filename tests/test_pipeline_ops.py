@@ -595,3 +595,30 @@ def test_chunk_tokens_boundary_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_tokens(df, "doc_id", "text", window=4, overlap=4)
+
+
+def test_script_profile_counts_and_dominance(spark):
+    """Hand-built multi-script fixtures: exact per-range counts, the
+    lexicographic tie-break, 'none' for script-free text, NULL
+    propagation."""
+    from json_schema_spark.operators.textstats import script_profile
+
+    rows = [
+        (1, "hello мир"),          # 5 latin, 3 cyrillic -> latin
+        (2, "中文 hi"),            # 2 cjk, 2 latin -> tie -> latin (lex)
+        (3, "中文中文 ok"),        # 4 cjk, 2 latin -> cjk
+        (4, "123 !!!"),            # no script chars -> none
+        (5, None),                 # null propagates
+        (6, "اختبار"),             # arabic only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    prof = script_profile(F.col("t"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in prof.items()]).collect()}
+    assert (out[1]["n_latin"], out[1]["n_cyrillic"],
+            out[1]["dominant"]) == (5, 3, "latin")
+    assert out[2]["dominant"] == "latin"   # tie: 'latin' > 'cjk' lex
+    assert out[3]["dominant"] == "cjk"
+    assert out[4]["dominant"] == "none"
+    assert out[5]["dominant"] is None and out[5]["n_latin"] is None
+    assert out[6]["n_arabic"] == 6 and out[6]["dominant"] == "arabic"
