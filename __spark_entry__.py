@@ -2020,6 +2020,34 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing EXECUTED (sampling.execute_mix): the tau=0.7
+    rate table (q_temperature_mix) broadcasts back onto the corpus as
+    an integerized md5-bucket filter, and the per-source report
+    compares achieved char share against the recipe's target share —
+    the full data-recipe loop (weights -> deterministic sample ->
+    audit) as one job. Scale shape: rate table aggregate-sized +
+    broadcast, corpus never shuffles; the report is one combinable
+    groupBy + aggregate-sized windows."""
+    from json_schema_spark.operators.sampling import (
+        execute_mix, temperature_mix_rates,
+    )
+
+    d = _docs(spark, sf_dir)
+    rates = temperature_mix_rates(d, "source", tau=0.7,
+                                  weight=F.col("n_chars"))
+    kept = execute_mix(d, rates, "source", key_col="doc_id", seed=13)
+    rep = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"))
+    achieved = (F.col("chars_kept")
+                / F.sum("chars_kept").over(Window.partitionBy()))
+    rep = rep.select("source", "n_kept", "chars_kept",
+                     F.round(achieved, 6).alias("achieved_share"))
+    tgt = rates.select("source", "target_share")
+    return rep.join(F.broadcast(tgt), "source")
+
+
 # multi-script fixture snippets, shared verbatim by q_script_mix and
 # its oracle builder (_script_mix_sql re-derives them via chr())
 _CYR_SNIPPET = " тест данных"
@@ -2238,6 +2266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: Unicode script-mix profile (explicit codepoint classes,
         # Java-and-RE2 byte-identical; dominance tie-break oracled)
         "script_mix": q_script_mix,
+        # r5: temperature mixing EXECUTED — rates to deterministic
+        # sample to achieved-vs-target audit, one job
+        "mixture_execute": q_mixture_execute,
     }
 
 
@@ -3935,6 +3966,42 @@ def oracle_sql() -> dict[str, str]:
                    round((tshare / nshare)
                          / max(tshare / nshare) OVER (), 6) AS keep_rate
             FROM u
+        """,
+        "mixture_execute": """
+            WITH mass AS (
+              SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+              FROM documents GROUP BY source),
+            t AS (
+              SELECT source, mass,
+                     mass / sum(mass) OVER () AS nshare,
+                     pow(mass / sum(mass) OVER (), 0.7) AS tpow
+              FROM mass),
+            u AS (
+              SELECT source, mass, nshare,
+                     tpow / sum(tpow) OVER () AS tshare
+              FROM t),
+            rates AS (
+              SELECT source,
+                     round(tshare, 6) AS target_share,
+                     CAST(round(round((tshare / nshare)
+                           / max(tshare / nshare) OVER (), 6) * 1000000)
+                          AS BIGINT) AS thresh
+              FROM u),
+            kept AS (
+              SELECT d.source, d.n_chars
+              FROM documents d JOIN rates r ON d.source = r.source
+              WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                        || '#13'), 1, 15))::BIGINT
+                    % 1000000 < r.thresh),
+            rep AS (
+              SELECT source, count(*) AS n_kept,
+                     sum(n_chars) AS chars_kept
+              FROM kept GROUP BY source)
+            SELECT rep.source, n_kept, chars_kept,
+                   round(chars_kept
+                         / sum(chars_kept) OVER (), 6) AS achieved_share,
+                   r.target_share
+            FROM rep JOIN rates r ON rep.source = r.source
         """,
         # C4: identical line derivation (5-word sentences + seeded
         # markers) then the same rounded rule battery

@@ -280,3 +280,30 @@ def shard_plan(
                                                k.cast("string"))
     return out.withColumn(
         "pos", F.row_number().over(w).cast("long")).drop("_okey")
+
+
+def execute_mix(
+    df: DataFrame, rates: DataFrame, source_col: str = "source",
+    key_col: str = "id", seed: int = 13,
+) -> DataFrame:
+    """EXECUTE a source-mixing recipe: apply
+    :func:`temperature_mix_rates`' per-source keep_rate as the
+    deterministic md5-bucket filter — the step that turns the rate
+    table into an actual training mix.  Thresholds are integerized
+    (round(rate * 1e6)) so the comparison is exact integer arithmetic,
+    bucket-for-bucket reproducible by any engine.
+
+    Scale shape: the rate table is aggregate-sized (one row per
+    source) and BROADCASTS; the corpus takes one hash join + a codegen
+    filter — it never shuffles.  Sources missing from the rate table
+    keep everything (threshold defaults to the full bucket range)."""
+    r = rates.select(
+        F.col(source_col).alias("__mix_source"),
+        F.round(F.col("keep_rate") * 1_000_000).cast("long")
+        .alias("__thresh"))
+    j = df.join(F.broadcast(r),
+                df[source_col] == F.col("__mix_source"), "left") \
+          .drop("__mix_source")
+    keep = _bucket(F.col(key_col), seed) < \
+        F.coalesce(F.col("__thresh"), F.lit(1_000_000))
+    return j.where(keep).drop("__thresh")

@@ -152,6 +152,9 @@ PAST_WINDOW_ORACLED = {
     # r5: Unicode script-mix profile (counts/tie-break/none/null pinned
     # in tests/test_pipeline_ops.py + the oracle test below)
     "script_mix": "tests/test_pipeline_ops.py",
+    # r5: temperature mixing executed (thresholds recomputed in plain
+    # Python in tests/test_retrieval_sampling.py + the oracle test)
+    "mixture_execute": "tests/test_retrieval_sampling.py",
 }
 
 

@@ -230,3 +230,34 @@ def test_shard_plan_no_global_sort(spark):
         "doc_id", "shard_id", "pos")._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     assert "hashpartitioning(shard_id" in plan
+
+
+def test_execute_mix_thresholds_and_defaults(spark):
+    """execute_mix applies the integerized md5 thresholds exactly
+    (recomputable in plain Python), keeps everything for sources
+    missing from the rate table, and is deterministic."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.operators.sampling import execute_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+        + [(1000 + i, "orphan") for i in range(5)],
+        "doc_id long, source string")
+    rates = spark.createDataFrame(
+        [("a", 0.25), ("b", 1.0)], "source string, keep_rate double")
+    kept = execute_mix(docs, rates, "source", key_col="doc_id", seed=13)
+    got = {r["doc_id"] for r in kept.collect()}
+
+    def bucket(k: int) -> int:
+        return int(hashlib.md5(f"{k}#13".encode()).hexdigest()[:15],
+                   16) % 1_000_000
+
+    exp = {i for i in range(400)
+           if bucket(i) < (250_000 if i % 2 == 0 else 1_000_000)}
+    exp |= {1000 + i for i in range(5)}        # missing source -> keep
+    assert got == exp
+    assert {r["doc_id"] for r in execute_mix(
+        docs, rates, "source", key_col="doc_id", seed=13).collect()} == got
