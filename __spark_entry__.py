@@ -2048,6 +2048,34 @@ def q_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.join(F.broadcast(tgt), "source")
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus datacard — the dataset-datasheet rollup a
+    release ships with: doc counts, null-text count, char mass, exact
+    median/p90 char lengths (Spark `percentile`, interpolated, =
+    DuckDB quantile_cont), mean quality score, and the exact-dup count
+    (docs minus distinct content hashes). ONE combinable groupBy over
+    a single scan — at 100 TB this is the same one-pass rollup shape
+    as stats_rollup, just pointed at release reporting."""
+    d = _docs(spark, sf_dir)
+    q = F.col("text")
+    from json_schema_spark.operators.textstats import quality_score
+
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(q.isNull().cast("long")).alias("n_null_text"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 6)
+            .alias("median_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 6)
+            .alias("p90_chars"),
+            F.round(F.avg(quality_score(q)), 6).alias("mean_quality"),
+            (F.count(q) - F.countDistinct(F.md5(q))).alias("n_exact_dups"),
+        )
+    )
+
+
 # multi-script fixture snippets, shared verbatim by q_script_mix and
 # its oracle builder (_script_mix_sql re-derives them via chr())
 _CYR_SNIPPET = " тест данных"
@@ -2269,6 +2297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: temperature mixing EXECUTED — rates to deterministic
         # sample to achieved-vs-target audit, one job
         "mixture_execute": q_mixture_execute,
+        # r5: per-language dataset-datasheet rollup (exact quantiles,
+        # quality means, exact-dup counts in ONE groupBy)
+        "corpus_datacard": q_corpus_datacard,
     }
 
 
@@ -2531,6 +2562,27 @@ def _warc_ingest_sql() -> str:
                md5(page) AS payload_md5,
                length(page) AS payload_chars
         FROM built
+    """
+
+
+def _corpus_datacard_sql() -> str:
+    """corpus_datacard oracle: Spark's exact interpolated `percentile`
+    is DuckDB's quantile_cont; quality reuses the shared per-row
+    formula (_QUALITY_T_SQL, rounded to 6 per row on both sides before
+    averaging so summation order cannot flip the rounded mean)."""
+    return f"""
+        WITH q AS (
+          SELECT lang, n_chars, text, text AS t FROM documents)
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                 AS n_null_text,
+               sum(n_chars) AS total_chars,
+               round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+               round(avg({_QUALITY_T_SQL}), 6) AS mean_quality,
+               count(text) - count(DISTINCT md5(text)) AS n_exact_dups
+        FROM q GROUP BY lang
     """
 
 
@@ -3967,6 +4019,7 @@ def oracle_sql() -> dict[str, str]:
                          / max(tshare / nshare) OVER (), 6) AS keep_rate
             FROM u
         """,
+        "corpus_datacard": _corpus_datacard_sql(),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

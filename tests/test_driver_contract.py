@@ -155,6 +155,10 @@ PAST_WINDOW_ORACLED = {
     # r5: temperature mixing executed (thresholds recomputed in plain
     # Python in tests/test_retrieval_sampling.py + the oracle test)
     "mixture_execute": "tests/test_retrieval_sampling.py",
+    # r5: per-language dataset-datasheet rollup (the oracle test below
+    # value-checks quantiles/quality/dup counts; components of the
+    # rollup are individually pinned across the stats/quality suites)
+    "corpus_datacard": "tests/test_driver_contract.py",
 }
 
 
