@@ -1970,7 +1970,10 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     urls = d.select(i, host.alias("host"), path.alias("path"))
     hh = F.col("id")
-    robots = spark.range(0, 11).select(
+    # numPartitions=1: an 11-row fixture fanned over default
+    # parallelism makes a 32-task stage of empties (and a 13x phantom
+    # "straggler" in stage metrics); the rule side is tiny by design
+    robots = spark.range(0, 11, 1, 1).select(
         F.concat(F.lit("src"), hh.cast("string"), F.lit(".com"))
         .alias("host"),
         F.concat(
