@@ -2111,6 +2111,129 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[c.alias(n) for n, c in prof.items()])
 
 
+# Frozen BPE tokenizer artifact for the APPLY-side query: the first 8
+# merges learned by bpe_train at sf0.01 (operators/bpe.py) — frozen as
+# literals because a deployed tokenizer is trained once and applied
+# everywhere, and because the apply query must be deterministic across
+# scale factors for the oracle compare.
+BPE_FROZEN_MERGES = [
+    "e r", "e </w>", "n </w>", "er </w>",
+    "o w", "ow </w>", "o r", "s t",
+]
+BPE_N_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (Sennrich et al. 2016) — learn the first 8
+    merge rules from corpus word frequencies (operators/bpe.py). The
+    ONLY corpus-scale pass is the initial word-frequency groupBy;
+    every merge round then runs on the vocabulary-bounded frequency
+    table with a 1-row argmax collect (the merge table IS the output
+    and is inherently sequential). Oracle: the identical greedy
+    left-to-right fold, unrolled as 8 rounds of DuckDB list_reduce
+    CTEs."""
+    from json_schema_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), "text", n_merges=BPE_N_MERGES)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the frozen BPE merge table: per-document subword token
+    counts. The merge chain rewrites only the DISTINCT-word vocabulary
+    (bounded); the word -> subtoken-count map re-enters as a BROADCAST
+    join against the exploded corpus, so the corpus itself is never
+    rewritten (operators/bpe.py:bpe_token_counts)."""
+    from json_schema_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(
+        _docs(spark, sf_dir), "doc_id", "text", BPE_FROZEN_MERGES
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _bpe_fold_sql(s_expr: str, a: str, b: str, m: str) -> str:
+    """One greedy merge round as a DuckDB list_reduce fold over the
+    space-joined symbol string `s_expr`; a/b/m are SQL EXPRESSIONS
+    (column refs or literals) for the pair halves and merged token."""
+    return f"""trim(list_reduce(
+        list_prepend('', string_split({s_expr}, ' ')),
+        (acc, x) -> CASE
+            WHEN x = {b} AND ends_with(acc, ' ' || {a})
+            THEN left(acc, length(acc) - length({a}) - 1) || ' ' || {m}
+            ELSE acc || ' ' || x END))"""
+
+
+_BPE_WORDFREQ_CTE = """
+            toks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)),
+                                               '[\\s\\x0b]+')) AS w
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            wf AS (
+              SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+                       || ' </w>' AS s,
+                     count(*)::BIGINT AS freq
+              FROM toks WHERE w <> '' GROUP BY 1)"""
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Unrolled BPE training chain: n rounds of (pair counts -> argmax
+    -> fold rewrite). Early pair exhaustion empties the CROSS JOIN and
+    every later round, matching the Spark loop's break."""
+    parts = ["WITH " + _BPE_WORDFREQ_CTE + ",",
+             "            w0 AS (SELECT s, freq FROM wf)"]
+    for r in range(n_merges):
+        fold = _bpe_fold_sql("w.s", "m.a", "m.b", "m.m")
+        parts.append(f""",
+            p{r} AS (
+              SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+                SELECT unnest(list_transform(
+                         generate_series(1, len(string_split(s, ' ')) - 1),
+                         i -> string_split(s, ' ')[i] || ' '
+                              || string_split(s, ' ')[i+1])) AS pr,
+                       freq
+                FROM w{r}) GROUP BY pr),
+            m{r} AS (
+              SELECT pr, split_part(pr, ' ', 1) AS a,
+                     split_part(pr, ' ', 2) AS b,
+                     replace(pr, ' ', '') AS m, cnt
+              FROM p{r} ORDER BY cnt DESC, pr ASC LIMIT 1),
+            w{r + 1} AS (
+              SELECT {fold} AS s, w.freq
+              FROM w{r} w CROSS JOIN m{r} m)""")
+    rounds = "\n              UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pr AS pair, m AS merged, "
+        f"cnt AS pair_count FROM m{r}" for r in range(n_merges)
+    )
+    parts.append(f"\n            {rounds}")
+    return "".join(parts)
+
+
+def _bpe_token_counts_sql(merges: list[str]) -> str:
+    """Frozen-merge apply: fold chain over the distinct-word
+    vocabulary, joined back to the exploded corpus."""
+    s = "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>'"
+    for pr in merges:
+        a, b = pr.split(" ", 1)
+        esc = lambda t: "'" + t.replace("'", "''") + "'"
+        s = _bpe_fold_sql(s, esc(a), esc(b), esc(a + b))
+    return f"""
+            WITH dw AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                                                       '[\\s\\x0b]+')) AS w
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            docw AS (SELECT doc_id, w FROM dw WHERE w <> ''),
+            vocab AS (
+              SELECT w, len(string_split({s}, ' ')) AS n_sub
+              FROM (SELECT DISTINCT w FROM docw))
+            SELECT d.doc_id,
+                   count(*)::BIGINT AS n_words,
+                   sum(v.n_sub)::BIGINT AS n_subtokens
+            FROM docw d JOIN vocab v USING (w)
+            GROUP BY d.doc_id
+        """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2303,6 +2426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: per-language dataset-datasheet rollup (exact quantiles,
         # quality means, exact-dup counts in ONE groupBy)
         "corpus_datacard": q_corpus_datacard,
+        # r5: BPE tokenizer training (Sennrich merges; oracle unrolls
+        # the greedy fold as 8 list_reduce rounds) + frozen-merge
+        # apply (broadcast vocab map, corpus never rewritten)
+        "bpe_train": q_bpe_train,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -4023,6 +4151,8 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "corpus_datacard": _corpus_datacard_sql(),
+        "bpe_train": _bpe_train_sql(BPE_N_MERGES),
+        "bpe_token_counts": _bpe_token_counts_sql(BPE_FROZEN_MERGES),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

@@ -102,6 +102,12 @@ PAST_WINDOW_ORACLED = {
     # r5: fastText-style hashed-ngram quality classifier (hand-computed
     # fixture in tests/test_classifier.py + the oracle test below)
     "quality_classifier": "tests/test_classifier.py",
+    # r5 late: BPE tokenizer training + frozen-merge apply (pinned to
+    # a literal Python port of the Sennrich reference loop in
+    # tests/test_bpe.py; oracled here via the unrolled list_reduce
+    # fold chain)
+    "bpe_train": "tests/test_bpe.py",
+    "bpe_token_counts": "tests/test_bpe.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
