@@ -2234,6 +2234,51 @@ def _bpe_token_counts_sql(merges: list[str]) -> str:
         """
 
 
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) train/eval decontamination
+    (quality.py:fuzzy_contamination): eval = every 41st document with
+    a deliberate 'x ' prefix mutation (so matches are fuzzy, never
+    exact-string — and each eval row's unperturbed source sits in
+    train at distance <= 4 by construction: 2 edits to delete 'x ',
+    <= 2 to restore the truncated prefix tail), train = the FULL
+    corpus; pairs whose normalized ASCII 64-char prefixes are within
+    4 edits. Broadcast length-banded equi-join + thresholded
+    levenshtein — never a NestedLoop over the corpus."""
+    from json_schema_spark.operators.quality import fuzzy_contamination
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 41 == 0).select(
+        "doc_id", F.concat(F.lit("x "), F.col("text")).alias("text"))
+    return fuzzy_contamination(d, ev, "doc_id", "text",
+                               max_dist=4, prefix_len=64)
+
+
+_FUZZY_KEY_SQL = """substr(trim(regexp_replace(regexp_replace(
+    lower({src}), '[^\\x00-\\x7F]', '', 'g'),
+    '[\\s\\x0b]+', ' ', 'g')), 1, 64)"""
+
+
+def _fuzzy_contamination_sql() -> str:
+    ek = _FUZZY_KEY_SQL.format(src="'x ' || text")
+    tk = _FUZZY_KEY_SQL.format(src="text")
+    return f"""
+            WITH ev AS (
+              SELECT doc_id AS eval_id, {ek} AS ep
+              FROM documents
+              WHERE doc_id % 41 = 0 AND text IS NOT NULL),
+            tr AS (
+              SELECT doc_id AS train_id, {tk} AS tp
+              FROM documents
+              WHERE text IS NOT NULL)
+            SELECT eval_id, train_id,
+                   levenshtein(tp, ep)::INT AS edit_dist
+            FROM tr, ev
+            WHERE ep <> '' AND tp <> ''
+              AND abs(length(tp) - length(ep)) <= 4
+              AND levenshtein(tp, ep) <= 4
+        """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2431,6 +2476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apply (broadcast vocab map, corpus never rewritten)
         "bpe_train": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
+        # r5: fuzzy (edit-distance) decontamination — broadcast
+        # length-banded equi-join + thresholded levenshtein
+        "fuzzy_contamination": q_fuzzy_contamination,
     }
 
 
@@ -4153,6 +4201,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": _corpus_datacard_sql(),
         "bpe_train": _bpe_train_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_FROZEN_MERGES),
+        "fuzzy_contamination": _fuzzy_contamination_sql(),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

@@ -484,6 +484,74 @@ def cross_contamination(
     )
 
 
+def fuzzy_contamination(
+    train: DataFrame, eval_df: DataFrame,
+    id_col: str, text_col: str,
+    max_dist: int = 4, prefix_len: int = 64,
+) -> DataFrame:
+    """FUZZY train/eval decontamination: surface (eval, train) pairs
+    whose normalized document prefixes are within ``max_dist``
+    single-character edits — the edit-distance complement of
+    ``cross_contamination``'s exact n-gram overlap (catches light
+    paraphrase/whitespace/punctuation mutations that break every
+    n-gram but leave the text essentially identical; cf. the fuzzy
+    dedup step in GPT-3 appendix A / Lee et al. 2022 §5).
+
+    Comparison key: lowercase, whitespace collapsed to single spaces,
+    NON-ASCII CHARACTERS STRIPPED, first ``prefix_len`` chars.  The
+    ASCII projection is a deliberate parity decision: Spark's
+    levenshtein counts CHARS while DuckDB's counts BYTES, so the
+    oracle-checked key must make them coincide; a unicode-faithful
+    variant is Spark-side only (drop the strip).
+
+    Returns (eval_id, train_id, edit_dist), one row per matching pair.
+
+    Scale shape: the eval/benchmark side is SMALL by nature, so it
+    BROADCASTS — exploded to the (2*max_dist + 1) candidate prefix
+    lengths so the join is a BroadcastHashJoin on exact length (a
+    necessary condition: |len(a)-len(b)| <= dist), never a
+    NestedLoop over the corpus.  The levenshtein filter uses Spark's
+    THRESHOLD form (early-exit DP, O(max_dist * prefix_len) per
+    candidate instead of O(prefix_len^2)).  Cost is linear in train
+    rows x eval docs sharing a prefix length; with long documents
+    most prefixes saturate at ``prefix_len`` so the bound is
+    effectively |train| x |eval| levenshtein calls on
+    ``prefix_len``-char keys — the honest brute-force baseline (the
+    ann_bruteforce precedent), bounded by the benchmark being small.
+    """
+    def _key(c: Column) -> Column:
+        ascii_only = F.regexp_replace(F.lower(c), r"[^\x00-\x7F]", "")
+        collapsed = F.trim(F.regexp_replace(ascii_only, r"\s+", " "))
+        return F.substring(collapsed, 1, prefix_len)
+
+    ev = (
+        eval_df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("eval_id"),
+                _key(F.col(text_col)).alias("ep"))
+        .where(F.col("ep") != "")
+    )
+    ev = ev.select(
+        "eval_id", "ep",
+        F.explode(
+            F.sequence(F.length("ep") - max_dist, F.length("ep") + max_dist)
+        ).alias("__len"),
+    ).where(F.col("__len") > 0)
+
+    tr = (
+        train.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("train_id"),
+                _key(F.col(text_col)).alias("tp"))
+        .where(F.col("tp") != "")
+        .withColumn("__len", F.length("tp"))
+    )
+    dist = F.levenshtein(F.col("tp"), F.col("ep"), max_dist)
+    return (
+        tr.join(F.broadcast(ev), "__len")
+        .select("eval_id", "train_id", dist.alias("edit_dist"))
+        .where(F.col("edit_dist") >= 0)  # threshold form returns -1 past it
+    )
+
+
 def compression_ratio(
     df: DataFrame, id_col: str, text_col: str, level: int = 6,
 ) -> DataFrame:

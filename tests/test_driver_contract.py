@@ -108,6 +108,10 @@ PAST_WINDOW_ORACLED = {
     # fold chain)
     "bpe_train": "tests/test_bpe.py",
     "bpe_token_counts": "tests/test_bpe.py",
+    # r5 late: fuzzy edit-distance decontamination (hand-computed
+    # distances + ASCII-projection parity rule + plan guard in
+    # tests/test_fuzzy_contamination.py)
+    "fuzzy_contamination": "tests/test_fuzzy_contamination.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
