@@ -2279,6 +2279,98 @@ def _fuzzy_contamination_sql() -> str:
         """
 
 
+def _frontier_link_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-lattice fixture variant for the crawl frontier: page i's
+    j-th outbound anchor targets the CANONICAL URL of doc i + j*37
+    ('k:'-namespace md5, domain (i+j*37)%7) — so targets whose doc
+    exists in the fetched ledger anti-join away, while the ~111
+    doc-slots past the corpus edge (plus null-text docs) form a
+    frontier big enough to actually exercise the per-host politeness
+    cap."""
+    from json_schema_spark.operators.html_extract import wrap_page_links
+
+    i = F.col("doc_id")
+    key = F.md5(F.concat(F.lit("k:"), i.cast("string")))
+    domain = F.concat(F.lit("example"),
+                      F.pmod(i, F.lit(7)).cast("string"), F.lit(".com"))
+    links = F.transform(
+        F.sequence(F.lit(1), F.pmod(i, F.lit(3)) + 1),
+        lambda j: F.concat(
+            F.lit("https://example"),
+            F.pmod(i + j * 37, F.lit(7)).cast("string"), F.lit(".com/d/"),
+            F.md5(F.concat(F.lit("k:"), (i + j * 37).cast("string")))),
+    )
+    return (_docs(spark, sf_dir).where(F.col("text").isNotNull())
+            .select(i, domain.alias("src_domain"),
+                    wrap_page_links(F.col("text"), key, domain, links)
+                    .alias("page")))
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier generation (html_extract.py:crawl_frontier):
+    outbound anchors -> canonical candidate URLs -> fetched-ledger
+    anti-join -> broadcast host-quality scores -> salted per-host
+    politeness cap (k=10). Closes the crawl loop over the link-graph
+    family; oracle derives the expected link set from the lattice
+    ARITHMETIC (never parses HTML), same discipline as the robots
+    oracle."""
+    from json_schema_spark.operators.html_extract import crawl_frontier
+    from json_schema_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    i = F.col("doc_id")
+    fetched = docs.select(
+        F.concat(F.lit("https://example"),
+                 F.pmod(i, F.lit(7)).cast("string"), F.lit(".com/d/"),
+                 F.md5(F.concat(F.lit("k:"), i.cast("string"))))
+        .alias("url"))
+    host_scores = docs.groupBy(
+        F.concat(F.lit("example"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".com")).alias("host")
+    ).agg(F.round(F.avg(quality_score(F.col("text"))), 4)
+          .alias("host_score"))
+    pages = _frontier_link_docs(spark, sf_dir)
+    return crawl_frontier(pages, F.col("page"), fetched, host_scores,
+                          k_per_host=10)
+
+
+def _crawl_frontier_sql() -> str:
+    return f"""
+            WITH docs0 AS (
+              SELECT doc_id AS i FROM documents WHERE text IS NOT NULL),
+            links AS (
+              SELECT 'example' || ((d.i + g.j * 37) % 7) || '.com' AS host,
+                     'https://example' || ((d.i + g.j * 37) % 7) || '.com/d/'
+                       || md5('k:' || (d.i + g.j * 37)) AS url
+              FROM docs0 d,
+                   unnest(generate_series(1, d.i % 3 + 1)) AS g(j)),
+            disc AS (
+              SELECT host, url, count(*)::BIGINT AS n_refs
+              FROM links GROUP BY host, url),
+            fetched AS (
+              SELECT 'https://example' || (i % 7) || '.com/d/'
+                       || md5('k:' || i) AS url
+              FROM docs0),
+            hostq AS (
+              SELECT 'example' || (doc_id % 7) || '.com' AS host,
+                     round(avg({_QUALITY_SQL}), 4) AS host_score
+              FROM documents WHERE text IS NOT NULL GROUP BY 1),
+            cand AS (
+              SELECT d.url, d.host, d.n_refs,
+                     coalesce(h.host_score, 0.0) AS host_score
+              FROM disc d LEFT JOIN hostq h USING (host)
+              WHERE NOT EXISTS (SELECT 1 FROM fetched f
+                                WHERE f.url = d.url)),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY n_refs DESC, url) AS rank_in_domain
+              FROM cand)
+            SELECT url, host, n_refs, host_score, rank_in_domain
+            FROM ranked WHERE rank_in_domain <= 10
+        """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2479,6 +2571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: fuzzy (edit-distance) decontamination — broadcast
         # length-banded equi-join + thresholded levenshtein
         "fuzzy_contamination": q_fuzzy_contamination,
+        # r5: crawl-frontier generation (anchors -> anti-join fetched
+        # ledger -> broadcast host scores -> salted politeness cap)
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -4202,6 +4297,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_FROZEN_MERGES),
         "fuzzy_contamination": _fuzzy_contamination_sql(),
+        "crawl_frontier": _crawl_frontier_sql(),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

@@ -395,3 +395,62 @@ def html_extract_report(df: DataFrame, id_col: str, text_col: str,
         )
         .orderBy("lang")
     )
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    html: Column,
+    fetched_urls: DataFrame,
+    host_scores: DataFrame,
+    k_per_host: int = 10,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Crawl-frontier generation — the step that closes the crawl
+    loop over the link-graph family: outbound anchors from fetched
+    pages become the candidate URL set, fetched URLs are removed, and
+    the remainder is prioritized per host under a politeness cap
+    (at most ``k_per_host`` URLs per host per crawl round, ranked by
+    in-reference count — the OPIC-style "most-cited first" frontier;
+    cf. the Common Crawl / Heritrix frontier recipe).
+
+    ``fetched_urls``: one canonical ``url`` column (the crawl ledger).
+    ``host_scores``: (host, host_score) — host-cardinality (bounded),
+    re-enters as a BROADCAST; unknown hosts keep score 0.0 so newly
+    discovered hosts remain crawlable.
+
+    Returns (url, host, n_refs, host_score, rank_in_domain).
+
+    Scale shape: the href explode collapses immediately through a
+    partial-aggregable groupBy(url) — raw anchors never shuffle; the
+    fetched-ledger removal is one LEFT ANTI join on the canonical
+    url (salted-aggregation-friendly: both sides hash-partition on
+    url); the politeness cap reuses ``per_domain_cap``'s SALTED
+    two-stage top-k, so a hot host (every crawl has one) is bounded
+    to k*n_salts rows before the real per-host window.  At 100 TB
+    the frontier table is the small output of the big anti-join —
+    exactly the shape a crawl scheduler wants to checkpoint."""
+    from .sampling import per_domain_cap
+    from .textstats import canonical_url
+
+    discovered = (
+        pages.select(F.explode(extract_hrefs(html)).alias("href"))
+        .where(F.col("href").rlike(r"^https?://"))
+        .select(canonical_url(F.col("href")).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    cand = discovered.join(
+        fetched_urls.select("url").distinct(), "url", "left_anti"
+    ).withColumn(
+        "host", F.regexp_extract("url", r"^https?://([^/?#]*)", 1)
+    ).join(
+        F.broadcast(host_scores), "host", "left"
+    ).select(
+        "url", "host", "n_refs",
+        F.coalesce("host_score", F.lit(0.0)).alias("host_score"),
+    )
+    return per_domain_cap(
+        cand, "host", k_per_host,
+        order_by=[F.desc("n_refs"), F.asc("url")],
+        salt_key="url", n_salts=n_salts,
+    ).select("url", "host", "n_refs", "host_score", "rank_in_domain")

@@ -112,6 +112,10 @@ PAST_WINDOW_ORACLED = {
     # distances + ASCII-projection parity rule + plan guard in
     # tests/test_fuzzy_contamination.py)
     "fuzzy_contamination": "tests/test_fuzzy_contamination.py",
+    # r5 late: crawl-frontier generation (hand anchors, cap,
+    # tie-break, broadcast plan guard in tests/test_frontier.py;
+    # oracle derives links from the lattice arithmetic)
+    "crawl_frontier": "tests/test_frontier.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
