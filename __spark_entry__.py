@@ -2371,6 +2371,74 @@ def _crawl_frontier_sql() -> str:
         """
 
 
+# 21 thresholds, hundredth steps across the placeholder classifier's
+# observed score mass at sf0.01 (min -0.19 / median 0.025 / max 0.25)
+CALIBRATION_GRID = [round(-0.10 + 0.01 * k, 2) for k in range(21)]
+
+
+def q_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier threshold-calibration sweep
+    (classifier.py:calibration_sweep): confusion counts + precision/
+    recall/F1 for the fastText-style quality scorer against the
+    lang='en' weak label, at 21 thresholds in ONE pass — the corpus
+    collapses to <= 2*(n+1) (grid_index, label) rows in the first
+    partial-aggregable groupBy; everything after runs on that bounded
+    table crossed with the bounded grid."""
+    from json_schema_spark.operators.classifier import (
+        calibration_sweep,
+        hashed_linear_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = hashed_linear_score(docs, "doc_id", "text", n_buckets=4096)
+    labeled = scored.join(
+        docs.select(F.col("doc_id").alias("id"),
+                    (F.col("lang") == "en").alias("is_en")), "id")
+    return calibration_sweep(labeled, "score", "is_en", CALIBRATION_GRID)
+
+
+def _calibration_sweep_sql(grid: list[float]) -> str:
+    garr = ", ".join(repr(t) for t in sorted(grid))
+    return f"""
+            WITH {_CLASSIFIER_SCORE_CTES},
+            scored AS (
+              SELECT t.doc_id, round(p.raw, 6) AS score
+              FROM (SELECT doc_id FROM documents
+                    WHERE text IS NOT NULL) t
+              LEFT JOIN per p USING (doc_id)),
+            lab AS (
+              SELECT s.score, coalesce(d.lang = 'en', false) AS is_en
+              FROM scored s JOIN documents d USING (doc_id)
+              WHERE s.score IS NOT NULL),
+            grid AS (SELECT unnest([{garr}]) AS threshold),
+            cc AS (
+              SELECT g.threshold,
+                     sum(CASE WHEN l.score >= g.threshold AND l.is_en
+                         THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN l.score >= g.threshold AND NOT l.is_en
+                         THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN l.score < g.threshold AND l.is_en
+                         THEN 1 ELSE 0 END)::BIGINT AS fn,
+                     sum(CASE WHEN l.score < g.threshold AND NOT l.is_en
+                         THEN 1 ELSE 0 END)::BIGINT AS tn
+              FROM grid g CROSS JOIN lab l GROUP BY g.threshold),
+            m AS (
+              SELECT *,
+                     CASE WHEN tp + fp = 0 THEN NULL
+                          ELSE tp::DOUBLE / (tp + fp) END AS prec,
+                     CASE WHEN tp + fn = 0 THEN NULL
+                          ELSE tp::DOUBLE / (tp + fn) END AS rec
+              FROM cc)
+            SELECT threshold, tp, fp, fn, tn,
+                   round(prec, 6) AS precision,
+                   round(rec, 6) AS recall,
+                   round(CASE WHEN prec IS NULL OR rec IS NULL
+                              OR prec + rec = 0 THEN NULL
+                         ELSE 2 * prec * rec / (prec + rec) END, 6) AS f1
+            FROM m
+        """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2574,6 +2642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: crawl-frontier generation (anchors -> anti-join fetched
         # ledger -> broadcast host scores -> salted politeness cap)
         "crawl_frontier": q_crawl_frontier,
+        # r5: classifier threshold-calibration sweep (corpus collapses
+        # to a bounded (grid_index, label) table in one groupBy)
+        "calibration_sweep": q_calibration_sweep,
     }
 
 
@@ -3250,6 +3321,34 @@ def _semdedup_sql() -> str:
                (d.vec_id IS NOT NULL) AS is_dup
         FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
     """
+
+
+# fastText-classifier score CTE chain (toks -> grams -> hashed
+# placeholder weights -> per-doc mean) — shared by the
+# quality_classifier oracle and the calibration_sweep oracle (one
+# source of truth for tokenization, bucketing, and pooling).
+_CLASSIFIER_SCORE_CTES = """toks AS (
+              SELECT doc_id, CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id, u.g AS g FROM toks, UNNEST(t) AS u(g)
+              UNION ALL
+              SELECT doc_id, t[i.g] || chr(31) || t[i.g+1] AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(g)
+              WHERE len(t) >= 2),
+            wts AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('w#' || CAST(
+                        ('0x' || substr(md5(g || '#7'), 1, 15))::BIGINT
+                          % 4096 AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 * 2 - 1 AS w
+              FROM grams),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams, avg(w) AS raw
+              FROM wts GROUP BY doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4154,29 +4253,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket
             FROM ppl p JOIN cuts c USING (lang)
         """,
-        "quality_classifier": """
-            WITH toks AS (
-              SELECT doc_id, CASE WHEN trim(lower(text)) = ''
-                          THEN CAST([] AS VARCHAR[])
-                          ELSE string_split_regex(trim(lower(text)),
-                                                  '[\\s\\x0b]+') END AS t
-              FROM documents WHERE text IS NOT NULL),
-            grams AS (
-              SELECT doc_id, u.g AS g FROM toks, UNNEST(t) AS u(g)
-              UNION ALL
-              SELECT doc_id, t[i.g] || chr(31) || t[i.g+1] AS g
-              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(g)
-              WHERE len(t) >= 2),
-            wts AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5('w#' || CAST(
-                        ('0x' || substr(md5(g || '#7'), 1, 15))::BIGINT
-                          % 4096 AS VARCHAR)), 1, 15))::BIGINT
-                       / 1152921504606846976.0 * 2 - 1 AS w
-              FROM grams),
-            per AS (
-              SELECT doc_id, count(*) AS n_grams, avg(w) AS raw
-              FROM wts GROUP BY doc_id)
+        "quality_classifier": f"""
+            WITH {_CLASSIFIER_SCORE_CTES}
             SELECT t.doc_id,
                    coalesce(p.n_grams, 0) AS n_grams,
                    round(p.raw, 6) AS score,
@@ -4298,6 +4376,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_counts_sql(BPE_FROZEN_MERGES),
         "fuzzy_contamination": _fuzzy_contamination_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
+        "calibration_sweep": _calibration_sweep_sql(CALIBRATION_GRID),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

@@ -167,3 +167,70 @@ def hashed_linear_score(
                 round_to).alias("quality_prob"),
         (score > 0).alias("keep"),
     )
+
+
+def calibration_sweep(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Classifier threshold-calibration sweep: confusion counts and
+    precision/recall/F1 at every threshold in one pass — the report
+    that turns a quality-classifier score column into an operating
+    point (keep-rate vs purity) before gating a corpus with it.
+
+    Predicted positive at threshold t means ``score >= t``.  Emits
+    (threshold, tp, fp, fn, tn, precision, recall, f1); precision is
+    NULL when nothing is predicted positive, recall NULL when there
+    are no positives, F1 NULL when either is (CASE-mirrored in the
+    DuckDB oracle — never a divide-by-zero).
+
+    Scale shape: the corpus-scale work is ONE partial-aggregable
+    groupBy on (grid_index, label), where grid_index = |{t in grid:
+    t <= score}| is a pure array expression — the corpus collapses to
+    at most 2*(n_thresholds+1) rows before anything else happens.
+    The per-threshold suffix sums then run on that bounded table
+    crossed with the bounded threshold grid (the drift.py
+    broadcast-grid precedent); nothing downstream of the first
+    groupBy scales with data."""
+    spark = scored.sparkSession
+    grid = sorted(float(t) for t in thresholds)
+    garr = F.lit(grid)
+    score = F.col(score_col)
+    idx = F.size(F.filter(garr, lambda g: g <= score))
+    lab = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
+
+    counts = (
+        scored.where(score.isNotNull())
+        .groupBy(idx.alias("__idx"), lab.alias("__lab"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    griddf = spark.createDataFrame(
+        [(m + 1, t) for m, t in enumerate(grid)], "m INT, threshold DOUBLE"
+    )
+    pred_pos = F.col("__idx") >= F.col("m")
+
+    def _n(cond: Column) -> Column:
+        return F.sum(F.when(cond, F.col("__n")).otherwise(F.lit(0)))
+
+    per = (
+        griddf.crossJoin(counts)
+        .groupBy("threshold")
+        .agg(
+            _n(pred_pos & F.col("__lab")).alias("tp"),
+            _n(pred_pos & ~F.col("__lab")).alias("fp"),
+            _n(~pred_pos & F.col("__lab")).alias("fn"),
+            _n(~pred_pos & ~F.col("__lab")).alias("tn"),
+        )
+    )
+    prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    f1 = F.try_divide(2 * prec * rec, prec + rec)
+    return per.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+    )

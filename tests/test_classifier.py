@@ -123,3 +123,60 @@ def test_large_bucket_space_fallback_path(spark):
     toks = ["alpha", "beta", "alpha\x1fbeta"]
     exp = sum(py_weight(py_bucket(g, buckets=n)) for g in toks) / 3
     assert out["score"] == pytest.approx(round(exp, 6), abs=1e-6)
+
+
+# ---------------------------------------------------------------- calibration
+def _sweep(spark, rows, grid, **kw):
+    from json_schema_spark.operators.classifier import calibration_sweep
+
+    df = spark.createDataFrame(rows, "id INT, score DOUBLE, lab BOOLEAN")
+    out = calibration_sweep(df, "score", "lab", grid, **kw)
+    return {r["threshold"]: r.asDict() for r in out.collect()}
+
+
+def test_calibration_hand_confusion_counts(spark):
+    # scores/labels chosen so every cell is exercised at t=0.5:
+    # preds: 0.9+,0.6+ | 0.4-,0.1- ; labels: T,F | T,F
+    rows = [(1, 0.9, True), (2, 0.6, False), (3, 0.4, True),
+            (4, 0.1, False)]
+    got = _sweep(spark, rows, [0.0, 0.5, 1.0])
+    assert (got[0.5]["tp"], got[0.5]["fp"], got[0.5]["fn"],
+            got[0.5]["tn"]) == (1, 1, 1, 1)
+    assert got[0.5]["precision"] == 0.5
+    assert got[0.5]["recall"] == 0.5
+    assert got[0.5]["f1"] == 0.5
+    # t=0.0: everything predicted positive
+    assert (got[0.0]["tp"], got[0.0]["fp"], got[0.0]["fn"],
+            got[0.0]["tn"]) == (2, 2, 0, 0)
+    assert got[0.0]["recall"] == 1.0
+
+
+def test_calibration_null_edges(spark):
+    rows = [(1, 0.3, True), (2, 0.2, False)]
+    got = _sweep(spark, rows, [0.9])
+    # nothing predicted positive -> precision NULL, f1 NULL
+    r = got[0.9]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 1, 1)
+    assert r["precision"] is None and r["f1"] is None
+    assert r["recall"] == 0.0
+    # no positive labels anywhere -> recall NULL
+    got2 = _sweep(spark, [(1, 0.3, False)], [0.0])
+    assert got2[0.0]["recall"] is None and got2[0.0]["f1"] is None
+
+
+def test_calibration_threshold_is_geq_and_rows_conserve(spark):
+    rows = [(i, i / 10.0, i % 2 == 0) for i in range(11)]
+    got = _sweep(spark, rows, [0.5, 0.50001])
+    # score == threshold counts as predicted positive
+    assert got[0.5]["tp"] + got[0.5]["fp"] == 6     # 0.5..1.0
+    assert got[0.50001]["tp"] + got[0.50001]["fp"] == 5
+    for r in got.values():
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == 11
+
+
+def test_calibration_null_scores_and_labels(spark):
+    rows = [(1, None, True), (2, 0.8, None), (3, 0.8, True)]
+    got = _sweep(spark, rows, [0.5])
+    r = got[0.5]
+    # null score dropped; null label coalesces to False
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 0, 0)

@@ -116,6 +116,9 @@ PAST_WINDOW_ORACLED = {
     # tie-break, broadcast plan guard in tests/test_frontier.py;
     # oracle derives links from the lattice arithmetic)
     "crawl_frontier": "tests/test_frontier.py",
+    # r5 late: classifier threshold-calibration sweep (hand confusion
+    # counts + NULL edges in tests/test_classifier.py)
+    "calibration_sweep": "tests/test_classifier.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
