@@ -2439,6 +2439,98 @@ def _calibration_sweep_sql(grid: list[float]) -> str:
         """
 
 
+def q_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-configuration audit (dedup.py:minhash_fidelity): estimated
+    vs exact Jaccard on every band-bucket candidate pair, over a
+    deterministic audit sample (doc_id%3==0) plus perturbed twins
+    (every 9th sampled doc re-appears with a 3-token tail and id
+    +10M) so the candidate set is non-trivial at any sf. k=8 bands=4
+    md5 signatures — every component DuckDB-reproducible; the oracle
+    joins bands on the signature slice string."""
+    from json_schema_spark.operators.dedup import minhash_fidelity
+
+    base = (_docs(spark, sf_dir)
+            .where(F.col("text").isNotNull() & (F.col("doc_id") % 3 == 0))
+            .select("doc_id", "text"))
+    twins = (base.where(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" fidelity audit tail"))
+                     .alias("text")))
+    return minhash_fidelity(base.unionByName(twins), "doc_id", "text",
+                            n=3, k=8, bands=4, hash_fn="md5")
+
+
+def _minhash_fidelity_sql(k: int = 8, bands: int = 4) -> str:
+    rows = k // bands
+    sig_mins = ",\n                   ".join(
+        f"min(('0x' || substr(md5(gram || ':{i}'), 1, 15))::BIGINT) AS s{i}"
+        for i in range(k))
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ',' || ".join(
+                f"s{b * rows + r}::VARCHAR" for r in range(rows)))
+        for b in range(bands))
+    agree = " + ".join(f"(sa.s{i} = sb.s{i})::INT" for i in range(k))
+    return f"""
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 10000000, text || ' fidelity audit tail'
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 3 = 0
+                AND doc_id % 9 = 0),
+            toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '[\\s\\x0b]+') AS t
+              FROM src),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT doc_id, array_to_string(t, ' ') AS gram
+              FROM toks WHERE len(t) < 3),
+            sig AS (
+              SELECT doc_id AS doc,
+                   {sig_mins}
+              FROM grams GROUP BY doc_id),
+            bb AS (
+              {band_selects}),
+            cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bb a JOIN bb b
+                ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+            sizes AS (
+              SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+                     count(*) AS ni
+              FROM grams ga JOIN grams gb
+                ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+              GROUP BY 1, 2),
+            est AS (
+              SELECT c.doc_a, c.doc_b,
+                     round(({agree}) / {k}.0, 6) AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.doc = c.doc_a
+              JOIN sig sb ON sb.doc = c.doc_b)
+            SELECT e.doc_a, e.doc_b, e.est_jaccard,
+                   coalesce(round(i.ni::DOUBLE
+                            / (za.ng + zb.ng - i.ni), 6), 0.0)
+                     AS exact_jaccard,
+                   round(abs(e.est_jaccard - coalesce(round(i.ni::DOUBLE
+                            / (za.ng + zb.ng - i.ni), 6), 0.0)), 6)
+                     AS abs_err
+            FROM est e
+            LEFT JOIN inter i
+              ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+            JOIN sizes za ON za.doc_id = e.doc_a
+            JOIN sizes zb ON zb.doc_id = e.doc_b
+        """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2645,6 +2737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: classifier threshold-calibration sweep (corpus collapses
         # to a bounded (grid_index, label) table in one groupBy)
         "calibration_sweep": q_calibration_sweep,
+        # r5: LSH-configuration audit — estimated vs exact Jaccard on
+        # band-bucket candidate pairs (md5 signatures, slice-string
+        # band oracle)
+        "minhash_fidelity": q_minhash_fidelity,
     }
 
 
@@ -4377,6 +4473,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_contamination": _fuzzy_contamination_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "calibration_sweep": _calibration_sweep_sql(CALIBRATION_GRID),
+        "minhash_fidelity": _minhash_fidelity_sql(8, 4),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

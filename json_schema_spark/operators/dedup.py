@@ -527,3 +527,63 @@ def connected_components(
             "budget and the current labels are NOT canonical")
 
     return labels.select(F.col("node"), F.col("label").alias("grp"))
+
+
+def minhash_fidelity(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, k: int = 8, bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """LSH-configuration audit: for every candidate pair the band
+    bucketing surfaces, compare the SIGNATURE-estimated Jaccard (the
+    fraction of agreeing minhash components — the unbiased estimator
+    banding's s-curve is built on) against the EXACT shingle Jaccard.
+    Emits (doc_a, doc_b, est_jaccard, exact_jaccard, abs_err) — the
+    evidence for choosing (k, bands) before trusting them at scale.
+
+    Audit contract at 100 TB: run on a deterministic SAMPLE
+    (operators/sampling.py) sized to the exact-pair budget — the exact
+    side is the same stop-gram-pruned self-join as
+    ``ngram_jaccard_pairs`` and exists precisely because LSH replaces
+    it; the audit's job is to justify that replacement on a slice,
+    not to run exact Jaccard on the corpus.  Candidate pairs that
+    share a bucket without sharing any shingle (possible only via
+    bucket-hash collision) surface with exact_jaccard 0.0 — the audit
+    must SEE false candidates, not drop them.
+
+    hash_fn='md5' keeps every signature component
+    DuckDB-reproducible; the oracle joins bands on the signature
+    SLICE STRING (bucket equality modulo xxhash64 collisions — the
+    incremental-minhash oracle precedent)."""
+    sigs = minhash_signatures(df, id_col, text_col, n=n, k=k,
+                              hash_fn=hash_fn)
+    bb = band_buckets(sigs, k, bands)
+    a, b = bb.alias("a"), bb.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc") < F.col("b.doc")])
+        .select(F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.col("a.sig").alias("__sa"),
+                F.col("b.sig").alias("__sb"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(
+        F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+        lambda v: v))
+    est = F.round(agree / F.lit(float(k)), 6)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n,
+                                threshold=0.0, max_df=None) \
+        .select("doc_a", "doc_b", "jaccard")
+    out = (
+        cand.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            est.alias("est_jaccard"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("exact_jaccard"),
+        )
+    )
+    return out.withColumn(
+        "abs_err",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6))

@@ -119,6 +119,9 @@ PAST_WINDOW_ORACLED = {
     # r5 late: classifier threshold-calibration sweep (hand confusion
     # counts + NULL edges in tests/test_classifier.py)
     "calibration_sweep": "tests/test_classifier.py",
+    # r5 late: LSH-configuration audit (estimator identities on hand
+    # corpora in tests/test_minhash_fidelity.py)
+    "minhash_fidelity": "tests/test_minhash_fidelity.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
