@@ -187,25 +187,44 @@ def calibration_sweep(
     are no positives, F1 NULL when either is (CASE-mirrored in the
     DuckDB oracle — never a divide-by-zero).
 
-    Scale shape: the corpus-scale work is ONE partial-aggregable
-    groupBy on (grid_index, label), where grid_index = |{t in grid:
-    t <= score}| is a pure array expression — the corpus collapses to
-    at most 2*(n_thresholds+1) rows before anything else happens.
-    The per-threshold suffix sums then run on that bounded table
-    crossed with the bounded threshold grid (the drift.py
-    broadcast-grid precedent); nothing downstream of the first
-    groupBy scales with data."""
+    Scale shape: the corpus-scale work is ONE narrow (score, label)
+    projection followed by a partial-aggregable groupBy; the
+    grid_index lambda (idx = |{t in grid: t <= score}|) runs on the
+    bounded distinct-score histogram, never the corpus, and the
+    per-threshold suffix sums run on the even smaller (grid_index,
+    label) rollup crossed with the bounded grid (the drift.py
+    broadcast-grid precedent).
+
+    The projection gets a LAZY localCheckpoint barrier before the
+    groupBy (the pipeline_web_curation precedent).  Measured at sf0.1
+    over the fastText scorer: evaluating that scorer's fold
+    expression AS AN AGGREGATE GROUPING KEY runs ~5x slower than the
+    identical expression in a plain projection (16.3 s vs 3.0 s
+    end-to-end) — higher-order folds are interpreted-fallback
+    expressions, and the aggregate's grouping-key path makes the
+    fallback dramatically worse.  A repartition between projection
+    and groupBy does NOT fix it (14.6 s: Catalyst collapses the
+    projection through the exchange); only the checkpoint barrier
+    pins the evaluation into the projection stage.  Cost of the
+    barrier: materializing ~9 bytes/row — linear, narrow, and the
+    price of the 5x."""
     spark = scored.sparkSession
     grid = sorted(float(t) for t in thresholds)
     garr = F.lit(grid)
-    score = F.col(score_col)
-    idx = F.size(F.filter(garr, lambda g: g <= score))
     lab = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
 
+    slim = scored.select(
+        F.col(score_col).alias("__s"), lab.alias("__lab")
+    ).localCheckpoint(eager=False)
+    hist = (
+        slim.groupBy("__s", "__lab")
+        .agg(F.count(F.lit(1)).alias("__h"))
+        .where(F.col("__s").isNotNull())
+    )
+    idx = F.size(F.filter(garr, lambda g: g <= F.col("__s")))
     counts = (
-        scored.where(score.isNotNull())
-        .groupBy(idx.alias("__idx"), lab.alias("__lab"))
-        .agg(F.count(F.lit(1)).alias("__n"))
+        hist.groupBy(idx.alias("__idx"), F.col("__lab"))
+        .agg(F.sum("__h").alias("__n"))
     )
     griddf = spark.createDataFrame(
         [(m + 1, t) for m, t in enumerate(grid)], "m INT, threshold DOUBLE"
