@@ -1,0 +1,108 @@
+"""Hostile-scale soak for the session's closer operators:
+bpe_train, bpe_token_counts, fuzzy_contamination, crawl_frontier,
+calibration_sweep, minhash_fidelity — each driver query run verbatim
+over a 1M-doc documents table (the BENCH/late_ops_scale.py recipe:
+symlinked-sf cache, large outputs collapsed through an aggregate, and
+per-stage task balance from Spark's own UI metrics against the
+max/median <= 4x bar).
+
+Usage: python BENCH/new_ops_scale.py [n_docs]
+Writes BENCH/new_ops_scale.json and prints the result JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from skew import StageWatch, timed  # noqa: E402
+
+from json_schema_spark.session import get_spark  # noqa: E402
+from json_schema_spark.sources.tables import synth_webpages  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark(app_name="jss-newops-soak",
+                      extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cache = os.path.join(HERE, ".cache", f"lateops_docs_{n_docs}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        (synth_webpages(spark, n_docs)
+         .select(
+             F.xxhash64("url").alias("doc_id"), "text", "lang",
+             F.concat(F.lit("src"),
+                      F.pmod(F.xxhash64("url"), F.lit(20)).cast("string"))
+             .alias("source"),
+             F.char_length("text").alias("n_chars"))
+         .write.mode("overwrite").parquet(cache))
+    sf_dir = os.path.join(HERE, ".cache", f"lateops_sf_{n_docs}")
+    os.makedirs(sf_dir, exist_ok=True)
+    link = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(cache, link)
+
+    import __spark_entry__ as em
+    qs = em.queries()
+
+    spark.read.parquet(cache).agg(F.count(F.lit(1))).collect()
+
+    jobs = [
+        # merge table is 8 rows — already driver-sized
+        ("bpe_train", None),
+        ("bpe_token_counts", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_subtokens").alias("subtokens"))),
+        ("fuzzy_contamination", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("edit_dist").alias("min_dist"))),
+        ("crawl_frontier", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("n_refs").alias("refs"))),
+        # 21 threshold rows — driver-sized
+        ("calibration_sweep", None),
+        ("minhash_fidelity", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("abs_err"), 6).alias("mean_abs_err"),
+            F.round(F.max("abs_err"), 6).alias("max_abs_err"))),
+    ]
+    watch = StageWatch()
+    results: dict = {"n_docs": n_docs}
+    for name, collapse in jobs:
+        def run(name=name, collapse=collapse):
+            df = qs[name](spark, sf_dir)
+            if collapse is not None:
+                df = collapse(df)
+            return df.collect()
+
+        rows, stats = timed(watch, run)
+        results[name] = {
+            "out_rows": len(rows),
+            "docs_per_sec": int(n_docs / stats["wall_s"]),
+            **stats,
+        }
+
+    worst = max(
+        (s.get("worst_ratio", 0.0), name)
+        for name, s in results.items() if isinstance(s, dict)
+    )
+    results["worst_ratio"] = worst[0]
+    results["worst_job"] = worst[1]
+    results["pass_4x"] = worst[0] <= 4.0
+
+    with open(os.path.join(HERE, "new_ops_scale.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

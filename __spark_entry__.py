@@ -2247,7 +2247,11 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.operators.quality import fuzzy_contamination
 
     d = _docs(spark, sf_dir)
-    ev = d.where(F.col("doc_id") % 41 == 0).select(
+    # benchmark slices are FIXED-size artifacts: cap at 500 eval docs
+    # (doc_id < 41*500) so the eval side stays benchmark-sized at any
+    # sf — identical output at sf0.01/sf0.1, bounded at the 1M soak
+    ev = d.where((F.col("doc_id") % 41 == 0)
+                 & (F.col("doc_id") < 41 * 500)).select(
         "doc_id", F.concat(F.lit("x "), F.col("text")).alias("text"))
     return fuzzy_contamination(d, ev, "doc_id", "text",
                                max_dist=4, prefix_len=64)
@@ -2265,7 +2269,8 @@ def _fuzzy_contamination_sql() -> str:
             WITH ev AS (
               SELECT doc_id AS eval_id, {ek} AS ep
               FROM documents
-              WHERE doc_id % 41 = 0 AND text IS NOT NULL),
+              WHERE doc_id % 41 = 0 AND doc_id < 20500
+                AND text IS NOT NULL),
             tr AS (
               SELECT doc_id AS train_id, {tk} AS tp
               FROM documents
@@ -2442,7 +2447,9 @@ def _calibration_sweep_sql(grid: list[float]) -> str:
 def q_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-configuration audit (dedup.py:minhash_fidelity): estimated
     vs exact Jaccard on every band-bucket candidate pair, over a
-    deterministic audit sample (doc_id%3==0) plus perturbed twins
+    deterministic FIXED-SIZE audit sample (doc_id%3==0, capped at
+    500 docs — the sample must be sized to the exact-pair budget, not
+    scale with the corpus) plus perturbed twins
     (every 9th sampled doc re-appears with a 3-token tail and id
     +10M) so the candidate set is non-trivial at any sf. k=8 bands=4
     md5 signatures — every component DuckDB-reproducible; the oracle
@@ -2450,7 +2457,8 @@ def q_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.operators.dedup import minhash_fidelity
 
     base = (_docs(spark, sf_dir)
-            .where(F.col("text").isNotNull() & (F.col("doc_id") % 3 == 0))
+            .where(F.col("text").isNotNull() & (F.col("doc_id") % 3 == 0)
+                   & (F.col("doc_id") < 3 * 500))
             .select("doc_id", "text"))
     twins = (base.where(F.col("doc_id") % 9 == 0)
              .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
@@ -2475,11 +2483,12 @@ def _minhash_fidelity_sql(k: int = 8, bands: int = 4) -> str:
             WITH src AS (
               SELECT doc_id, text FROM documents
               WHERE text IS NOT NULL AND doc_id % 3 = 0
+                AND doc_id < 1500
               UNION ALL
               SELECT doc_id + 10000000, text || ' fidelity audit tail'
               FROM documents
               WHERE text IS NOT NULL AND doc_id % 3 = 0
-                AND doc_id % 9 = 0),
+                AND doc_id % 9 = 0 AND doc_id < 1500),
             toks AS (
               SELECT doc_id,
                      string_split_regex(trim(text), '[\\s\\x0b]+') AS t

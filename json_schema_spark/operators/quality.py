@@ -506,23 +506,43 @@ def fuzzy_contamination(
 
     Returns (eval_id, train_id, edit_dist), one row per matching pair.
 
-    Scale shape: the eval/benchmark side is SMALL by nature, so it
-    BROADCASTS — exploded to the (2*max_dist + 1) candidate prefix
-    lengths so the join is a BroadcastHashJoin on exact length (a
-    necessary condition: |len(a)-len(b)| <= dist), never a
-    NestedLoop over the corpus.  The levenshtein filter uses Spark's
-    THRESHOLD form (early-exit DP, O(max_dist * prefix_len) per
-    candidate instead of O(prefix_len^2)).  Cost is linear in train
-    rows x eval docs sharing a prefix length; with long documents
-    most prefixes saturate at ``prefix_len`` so the bound is
-    effectively |train| x |eval| levenshtein calls on
-    ``prefix_len``-char keys — the honest brute-force baseline (the
-    ann_bruteforce precedent), bounded by the benchmark being small.
+    Scale shape — PassJoin segment pigeonhole (Li, Deng & Feng 2011;
+    the published algorithm for distributed edit-distance joins).  A
+    length band alone degenerates on web text (most normalized
+    prefixes saturate at ``prefix_len``, putting the whole corpus in
+    one bucket = brute force; measured: the 1M x 24k soak would have
+    run ~24B levenshtein calls).  Instead each TRAIN key is split
+    into d+1 contiguous segments: with at most d edits, at least one
+    segment is untouched and appears VERBATIM in the eval key at a
+    start position shifted by at most d — so the recall-complete
+    equi-join key is (train_len, segment_index, segment_text), with
+    the small eval side exploding to every (candidate train length,
+    segment slot, allowed shift) substring (<= (2d+1)^2 * (d+1) keys
+    per eval doc, deduped, then BROADCAST).  The train side explodes
+    to d+1 narrow rows per doc; only segment-matching candidates ever
+    reach the final thresholded-levenshtein confirm (early-exit DP).
+    Keys shorter than d+1 chars cannot yield d+1 non-empty segments
+    and take the length-band path instead (their band buckets are
+    tiny by construction).  The blocking is recall-complete, so the
+    output is value-identical to brute force — which is exactly what
+    the DuckDB oracle computes.  Known caveat on natural text: common
+    document openers share segments and inflate the candidate set;
+    the mitigations are a longer ``prefix_len`` or larger d+1 (more,
+    shorter segments are MORE selective here, not less).
     """
+    d = max_dist
+
     def _key(c: Column) -> Column:
         ascii_only = F.regexp_replace(F.lower(c), r"[^\x00-\x7F]", "")
         collapsed = F.trim(F.regexp_replace(ascii_only, r"\s+", " "))
         return F.substring(collapsed, 1, prefix_len)
+
+    def _seg_bounds(i: Column, length: Column):
+        """Even split of a length-`length` key into d+1 segments:
+        0-based start and length of segment i."""
+        start = F.floor((i * length) / F.lit(d + 1)).cast("int")
+        end = F.floor(((i + 1) * length) / F.lit(d + 1)).cast("int")
+        return start, (end - start)
 
     ev = (
         eval_df.where(F.col(text_col).isNotNull())
@@ -530,23 +550,79 @@ def fuzzy_contamination(
                 _key(F.col(text_col)).alias("ep"))
         .where(F.col("ep") != "")
     )
-    ev = ev.select(
-        "eval_id", "ep",
-        F.explode(
-            F.sequence(F.length("ep") - max_dist, F.length("ep") + max_dist)
-        ).alias("__len"),
-    ).where(F.col("__len") > 0)
-
     tr = (
         train.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("train_id"),
                 _key(F.col(text_col)).alias("tp"))
         .where(F.col("tp") != "")
-        .withColumn("__len", F.length("tp"))
     )
-    dist = F.levenshtein(F.col("tp"), F.col("ep"), max_dist)
+
+    # --- segment path: train keys long enough for d+1 non-empty segs
+    tl = F.length("tp")
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(d)),
+        lambda i: F.struct(
+            tl.cast("int").alias("L"),
+            i.cast("int").alias("i"),
+            F.substr(F.col("tp"), _seg_bounds(i, tl)[0] + 1,
+                     _seg_bounds(i, tl)[1]).alias("seg"),
+        ),
+    )
+    tr_segs = (
+        tr.where(tl > d)
+        .select("train_id", "tp", F.explode(seg_structs).alias("s"))
+        .select("train_id", "tp", "s.L", "s.i", "s.seg")
+    )
+
+    M = F.length("ep")
+
+    def _per_len(L: Column) -> Column:
+        def _per_seg(i: Column) -> Column:
+            start, slen = _seg_bounds(i, L)
+            lo = F.greatest(F.lit(0), start - d)
+            hi = F.least(M - slen, start + d)
+            ps = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<int>"))
+            return F.transform(
+                ps,
+                lambda p: F.struct(
+                    L.cast("int").alias("L"), i.cast("int").alias("i"),
+                    F.substr(F.col("ep"), p + 1, slen).alias("seg")),
+            )
+        return F.flatten(F.transform(F.sequence(F.lit(0), F.lit(d)),
+                                     _per_seg))
+
+    lenlo = F.greatest(F.lit(d + 1), M - d)
+    lenhi = M + d
+    cand_arr = F.array_distinct(F.flatten(
+        F.when(lenlo <= lenhi, F.transform(F.sequence(lenlo, lenhi),
+                                           _per_len))
+        .otherwise(F.array().cast(
+            "array<array<struct<L:int,i:int,seg:string>>>"))))
+    ev_cands = (
+        ev.select("eval_id", "ep", F.explode(cand_arr).alias("c"))
+        .select("eval_id", "ep", "c.L", "c.i", "c.seg")
+    )
+    seg_pairs = tr_segs.join(F.broadcast(ev_cands), ["L", "i", "seg"]) \
+        .select("eval_id", "train_id", "tp", "ep")
+
+    # --- short path: train keys of length <= d (too short to segment;
+    # their length-band buckets are tiny by construction)
+    ev_short = ev.select(
+        "eval_id", "ep",
+        F.explode(F.sequence(F.greatest(F.lit(1), M - d), M + d))
+        .alias("__len"),
+    ).where(F.col("__len") <= d)
+    short_pairs = (
+        tr.where(tl <= d).withColumn("__len", tl)
+        .join(F.broadcast(ev_short), "__len")
+        .select("eval_id", "train_id", "tp", "ep")
+    )
+
+    dist = F.levenshtein(F.col("tp"), F.col("ep"), d)
     return (
-        tr.join(F.broadcast(ev), "__len")
+        seg_pairs.unionByName(short_pairs)
+        .dropDuplicates(["eval_id", "train_id"])
         .select("eval_id", "train_id", dist.alias("edit_dist"))
         .where(F.col("edit_dist") >= 0)  # threshold form returns -1 past it
     )

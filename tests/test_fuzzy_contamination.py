@@ -92,3 +92,70 @@ def test_plan_is_broadcast_hash_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_passjoin_blocking_is_recall_complete(spark):
+    """Seeded mutation corpus vs a brute-force Python sweep: the
+    segment-pigeonhole blocking must find EVERY pair within d,
+    including indels that shift segment boundaries, mutations inside
+    every segment slot, and short keys on the band path."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = "abcdefgh "
+    train = []
+    for t in range(40):
+        n = rng.choice([2, 3, 5, 9, 17, 40, 64, 80])
+        train.append((t, "".join(rng.choice(alpha) for _ in range(n))))
+    evals = []
+    eid = 1000
+    for t, s in train[::3]:
+        m = list(s)
+        for _ in range(rng.randint(1, 5)):   # sometimes past d=3
+            op = rng.choice("ids")
+            pos = rng.randrange(max(1, len(m)))
+            if op == "i":
+                m.insert(pos, rng.choice(alpha))
+            elif op == "d" and m:
+                del m[pos]
+            else:
+                m[pos] = rng.choice(alpha)
+        evals.append((eid, "".join(m)))
+        eid += 1
+
+    d, plen = 3, 64
+    got = _pairs(spark, train, evals, max_dist=d, prefix_len=plen)
+
+    def key(s):
+        import re
+        s = re.sub(r"[^\x00-\x7F]", "", s.lower())
+        s = re.sub(r"\s+", " ", s).strip()
+        return s[:plen]
+
+    want = {}
+    for eid_, et in evals:
+        ek = key(et)
+        if not ek:
+            continue
+        for tid, tt in train:
+            tk = key(tt)
+            if not tk:
+                continue
+            dist = _lev(ek, tk)
+            if dist <= d:
+                want[(eid_, tid)] = dist
+    assert got == want
+    assert len(want) > 5  # fixture actually exercises matches
