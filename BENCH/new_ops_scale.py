@@ -31,21 +31,39 @@ from json_schema_spark.sources.tables import synth_webpages  # noqa: E402
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # heap scales with cores unless the caller overrides (run_pass.py
+    # precedent — a 32-thread soak OOMs at the 8g session default)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM",
+                          f"{2 * (os.cpu_count() or 8)}g")
     spark = get_spark(app_name="jss-newops-soak",
                       extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    cache = os.path.join(HERE, ".cache", f"lateops_docs_{n_docs}")
+    # doc_id must be dense AND unique — the driver fixtures cap their
+    # audit samples with doc_id range predicates sized for the
+    # testdata's dense ids (raw xxhash64 ids put half the corpus under
+    # any literal bound: the minhash_fidelity exact-Jaccard audit
+    # ballooned to 166k docs), and COLLIDING ids (a pmod fold) merge
+    # two texts into one "document", which breaks pair-Jaccard
+    # arithmetic (n_inter can exceed per-doc gram counts -> 0/0).
+    # One global row_number is a one-time cache-build cost, not a
+    # measured shape.
+    from pyspark.sql import Window
+
+    cache = os.path.join(HERE, ".cache", f"newops_docs_{n_docs}")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         (synth_webpages(spark, n_docs)
          .select(
-             F.xxhash64("url").alias("doc_id"), "text", "lang",
+             (F.row_number().over(Window.orderBy("url", "warc_ts")) - 1)
+             .alias("doc_id"),
+             "text", "lang",
              F.concat(F.lit("src"),
                       F.pmod(F.xxhash64("url"), F.lit(20)).cast("string"))
              .alias("source"),
              F.char_length("text").alias("n_chars"))
+         .repartition(64)
          .write.mode("overwrite").parquet(cache))
-    sf_dir = os.path.join(HERE, ".cache", f"lateops_sf_{n_docs}")
+    sf_dir = os.path.join(HERE, ".cache", f"newops_sf_{n_docs}")
     os.makedirs(sf_dir, exist_ok=True)
     link = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(link):
@@ -74,6 +92,19 @@ def main() -> None:
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(F.avg("abs_err"), 6).alias("mean_abs_err"),
             F.round(F.max("abs_err"), 6).alias("max_abs_err"))),
+        # vocab/fingerprint family (corpus-scale explodes + groupBys;
+        # winnow/postings run their fixed-size driver samples)
+        ("heaps_profile", None),           # 16 rows
+        ("zipf_profile", None),            # top-100 rows
+        ("winnow_fingerprint", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.countDistinct("doc_id").alias("n_docs"))),
+        ("postings_index", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum("n_occ").alias("n_occurrences"))),
+        ("nfc_audit", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_docs_audited"),
+            F.sum(F.col("changed").cast("int")).alias("n_changed"))),
     ]
     watch = StageWatch()
     results: dict = {"n_docs": n_docs}

@@ -2540,6 +2540,230 @@ def _minhash_fidelity_sql(k: int = 8, bands: int = 4) -> str:
         """
 
 
+def q_heaps_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (vocab.py:heaps_profile):
+    16 cumulative id-hash corpus chunks; one explode collapses through
+    a partial-aggregable groupBy(token) to first-seen buckets, the
+    cumulative window runs over 16 rows. The corpus-sizing evidence a
+    tokenizer/vocabulary decision needs before training."""
+    from json_schema_spark.operators.vocab import heaps_profile
+
+    return heaps_profile(_docs(spark, sf_dir), "doc_id", "text",
+                         n_buckets=16)
+
+
+def _heaps_profile_sql(b: int = 16) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT ((doc_id % {b}) + {b}) % {b} AS bucket,
+                 CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)),
+                                              '[\\s\\x0b]+') END AS t
+          FROM documents WHERE text IS NOT NULL),
+        pb AS (
+          SELECT bucket, count(*) AS n_docs,
+                 CAST(sum(len(t)) AS BIGINT) AS n_tokens
+          FROM toks GROUP BY bucket),
+        fs AS (
+          SELECT tok, min(bucket) AS first_b
+          FROM (SELECT bucket, unnest(t) AS tok FROM toks)
+          GROUP BY tok),
+        nt AS (
+          SELECT first_b AS bucket, count(*) AS new_types
+          FROM fs GROUP BY 1)
+        SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+               CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket)
+                    AS BIGINT) AS tokens_cum,
+               coalesce(nt.new_types, 0) AS new_types,
+               CAST(sum(coalesce(nt.new_types, 0))
+                    OVER (ORDER BY pb.bucket) AS BIGINT) AS vocab_cum
+        FROM pb LEFT JOIN nt ON nt.bucket = pb.bucket
+    """
+
+
+def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile (vocab.py:zipf_profile): top-100
+    tokens via TakeOrderedAndProject (no global sort), deterministic
+    token-ascending tie-break, log-log regr_slope over the bounded
+    top-k — the power-law fit that sanity-checks a corpus before
+    vocabulary decisions trust its term statistics."""
+    from json_schema_spark.operators.vocab import zipf_profile
+
+    return zipf_profile(_docs(spark, sf_dir), "text", topk=100)
+
+
+def _zipf_profile_sql(k: int = 100) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT CASE WHEN trim(lower(text)) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)),
+                                              '[\\s\\x0b]+') END AS t
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT tok, count(*) AS freq
+          FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        topk AS (
+          SELECT tok, freq FROM c
+          ORDER BY freq DESC, tok ASC LIMIT {k}),
+        r AS (
+          SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok ASC)
+                      AS INT) AS term_rank,
+                 tok AS token, freq
+          FROM topk),
+        s AS (
+          SELECT round(regr_slope(ln(freq), ln(term_rank)), 6)
+                 AS zipf_slope
+          FROM r)
+        SELECT r.term_rank, r.token, r.freq, s.zipf_slope
+        FROM r CROSS JOIN s
+    """
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (vocab.py:winnow_fingerprints; MOSS,
+    Schleimer et al. 2003): per-document (pos, hash) selections over a
+    fixed-size audit sample (doc_id%7==0, capped at 500 docs) — every
+    selected fingerprint and its position value-checked, k=5 w=4.
+    The local-fingerprinting complement to MinHash/SimHash: shared
+    substrings >= k+w-1 chars are GUARANTEED a fingerprint match."""
+    from json_schema_spark.operators.vocab import winnow_fingerprints
+
+    d = _docs(spark, sf_dir).where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 7 * 500))
+    return winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+
+
+def _winnow_fingerprint_sql(k: int = 5, w: int = 4) -> str:
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ',
+                                     'g')) AS key
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id % 7 = 0
+            AND doc_id < 3500),
+        g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(key) - {k - 1}),
+                   i -> ('0x' || substr(md5(substr(key, i, {k}) || ':w'),
+                                        1, 15))::BIGINT) AS h
+          FROM src WHERE length(key) >= {k}),
+        hw AS (SELECT doc_id, h, len(h) AS nh FROM g),
+        fps AS (
+          SELECT doc_id,
+                 CASE WHEN nh - {w - 1} >= 1 THEN
+                   list_transform(generate_series(1, nh - {w - 1}),
+                     j -> struct_pack(
+                       pos := j - 1 + list_reduce(
+                         generate_series(0, {w - 1}),
+                         (acc, o) -> CASE WHEN h[j + o] =
+                             list_aggregate(h[j:j+{w - 1}], 'min')
+                           THEN o ELSE acc END),
+                       fp := list_aggregate(h[j:j+{w - 1}], 'min')))
+                 ELSE
+                   [struct_pack(
+                     pos := list_reduce(generate_series(0, nh - 1),
+                       (acc, o) -> CASE WHEN h[1 + o] =
+                           list_aggregate(h[1:nh], 'min')
+                         THEN o ELSE acc END),
+                     fp := list_aggregate(h[1:nh], 'min'))]
+                 END AS f
+          FROM hw)
+        SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp
+        FROM fps, UNNEST(f) AS u(s)
+    """
+
+
+def q_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index postings (vocab.py:build_postings)
+    over a fixed-size doc sample (doc_id%13==0, capped at 64 docs —
+    the synthetic corpus has a ~31-type vocabulary, so a term sample
+    would be all-or-nothing; a doc sample keeps per-term df in [1,64]
+    where the band genuinely bites): df band [2, 50] prunes hapaxes
+    AND the stop-term head, sorted 0-based positions comma-joined per
+    (term, doc)."""
+    from json_schema_spark.operators.vocab import build_postings
+
+    d = _docs(spark, sf_dir).where(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 13 * 64))
+    return build_postings(d, "doc_id", "text", min_df=2, max_df=50)
+
+
+def _postings_index_sql() -> str:
+    return """
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)),
+                                              '[\\s\\x0b]+') END AS t
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id % 13 = 0
+            AND doc_id < 832),
+        occ AS (
+          SELECT doc_id, unnest(t) AS term,
+                 generate_subscripts(t, 1) - 1 AS pos
+          FROM toks),
+        p AS (
+          SELECT term, doc_id, count(*) AS n_occ,
+                 string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+                 AS positions
+          FROM occ GROUP BY term, doc_id),
+        d AS (SELECT term, count(*) AS term_df FROM p GROUP BY term)
+        SELECT p.term, d.term_df, p.doc_id, p.n_occ, p.positions
+        FROM p JOIN d USING (term)
+        WHERE d.term_df BETWEEN 2 AND 50
+    """
+
+
+# decomposed-form suffix injected into every 7th doc so NFC actually
+# has work to do on the (otherwise ASCII) synthetic corpus:
+# 'e' + U+0301 combining acute, 'o' + U+0308 combining diaeresis
+NFC_SUFFIX = " cafe\u0301 No\u0308el"
+
+
+def q_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit (normalize.py:nfc_audit): the
+    mapInPandas slow path done right — unicodedata.normalize over a
+    pruned (id, text) projection, all derivable metrics (md5, char and
+    byte lengths, changed flag) JVM-side after the UDF. Every 7th doc
+    gets a decomposed-form suffix so normalization has real work;
+    the md5 of the normalized text is value-checked against DuckDB's
+    independent utf8proc nfc_normalize — two C implementations of the
+    same Unicode algorithm agreeing byte-for-byte."""
+    from json_schema_spark.operators.normalize import nfc_audit
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("text").isNotNull() & (F.col("doc_id") % 7 == 0),
+               F.concat(F.col("text"), F.lit(NFC_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"))
+    return nfc_audit(d, "doc_id", "text", form="NFC")
+
+
+def _nfc_audit_sql() -> str:
+    return """
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NOT NULL AND doc_id % 7 = 0
+                      THEN text || ' cafe' || chr(769) || ' No'
+                           || chr(776) || 'el'
+                      ELSE text END AS text
+          FROM documents),
+        n AS (
+          SELECT doc_id, text, nfc_normalize(text) AS norm FROM src)
+        SELECT doc_id,
+               NOT (text IS NOT DISTINCT FROM norm) AS changed,
+               length(text) AS chars_before,
+               length(norm) AS chars_after,
+               strlen(text) AS bytes_before,
+               strlen(norm) AS bytes_after,
+               md5(norm) AS norm_md5
+        FROM n
+    """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2750,6 +2974,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # band-bucket candidate pairs (md5 signatures, slice-string
         # band oracle)
         "minhash_fidelity": q_minhash_fidelity,
+        # r5: Heaps'-law vocabulary growth over cumulative id-hash
+        # chunks (one explode -> first-seen-bucket groupBy)
+        "heaps_profile": q_heaps_profile,
+        # r5: Zipf rank-frequency top-k + log-log slope
+        "zipf_profile": q_zipf_profile,
+        # r5: winnowing (MOSS) fingerprints — windowed min-hash
+        # selection, rightmost tie-break, pure array exprs
+        "winnow_fingerprint": q_winnow_fingerprint,
+        # r5: positional inverted-index postings, df-banded
+        "postings_index": q_postings_index,
+        # r5: Unicode NFC audit — mapInPandas normalize, DuckDB
+        # utf8proc twin value-checks the normalized md5
+        "nfc_audit": q_nfc_audit,
     }
 
 
@@ -4483,6 +4720,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_sql(),
         "calibration_sweep": _calibration_sweep_sql(CALIBRATION_GRID),
         "minhash_fidelity": _minhash_fidelity_sql(8, 4),
+        "heaps_profile": _heaps_profile_sql(16),
+        "zipf_profile": _zipf_profile_sql(100),
+        "winnow_fingerprint": _winnow_fingerprint_sql(5, 4),
+        "postings_index": _postings_index_sql(),
+        "nfc_audit": _nfc_audit_sql(),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

@@ -1,0 +1,271 @@
+"""Vocabulary-scaling and fingerprint-selection analyses for web-text
+corpora: Heaps'-law vocabulary growth, Zipf rank-frequency profile,
+winnowing fingerprints (Schleimer, Wilkes & Aiken, SIGMOD 2003 — the
+MOSS local fingerprinting scheme), and inverted-index postings.
+
+Reference seam: the reference engine (fisxoj/json-schema,
+src/validators.lisp) validates documents one at a time; these are the
+corpus-level term statistics a validation pipeline needs at 100 TB to
+*choose* its constraints (vocabulary caps, stop-term lists, fingerprint
+schemes) — engine-native additions with no per-row counterpart to port.
+
+Scale shapes, per operator:
+
+* ``heaps_profile`` — ONE explode of the token arrays collapses
+  immediately through a partial-aggregable ``groupBy(token)`` to the
+  token's first-seen bucket; everything after runs on the
+  vocabulary-sized table and the ``n_buckets``-row rollup.  The
+  cumulative window is over ``n_buckets`` rows, never the corpus.
+* ``zipf_profile`` — one partial-aggregable term count, then a
+  ``TakeOrderedAndProject`` top-k (no global sort materializes); the
+  rank window and the regression run on the k-row result.
+* ``winnow_fingerprints`` — pure per-document array expressions
+  (gram-hash array materialized ONCE per doc in its own projection —
+  the quality.py HOF rule — then windows as lambdas over the
+  materialized column): zero shuffle until the caller aggregates.
+* ``build_postings`` — posexplode collapses through two
+  partial-aggregable groupBys ((term, doc) then term); positions are
+  sorted doc-locally.  Document-frequency banding prunes stop terms
+  BEFORE postings ship anywhere (the stop-gram precedent from
+  dedup.py's n-gram join).
+
+Every arithmetic choice here (md5-derived 60-bit hashes, rightmost
+tie-breaks, 0-based positions) is DuckDB-replicable so the driver
+oracles value-check each operator end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import ws_tokens
+
+__all__ = [
+    "heaps_profile",
+    "zipf_profile",
+    "winnow_fingerprints",
+    "build_postings",
+]
+
+
+def heaps_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve over ``n_buckets`` cumulative
+    corpus chunks.
+
+    Chunk assignment is ``pmod(id, n_buckets)`` — a deterministic
+    id-hash split, overflow-free for any 64-bit id (an id*k scaling
+    formula overflows on xxhash64-derived ids).  Random chunk order is
+    the standard way to draw a Heaps curve; "cumulative corpus after
+    b chunks" means the union of buckets 0..b.
+
+    Returns one row per non-empty bucket: (bucket, n_docs, n_tokens,
+    tokens_cum, new_types, vocab_cum) where ``new_types`` counts
+    vocabulary terms whose FIRST bucket (min over occurrences) is this
+    one, so ``vocab_cum`` = |vocab(union of buckets 0..b)| exactly.
+    """
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.pmod(F.col(id_col), F.lit(n_buckets)).alias("bucket"),
+            ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+        )
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).alias("n_tokens"),
+    )
+    first_seen = (
+        toks.select("bucket", F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("first_b"))
+        .groupBy(F.col("first_b").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            "bucket", "n_docs", "n_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "bucket", "n_docs", "n_tokens",
+            F.sum("n_tokens").over(w).alias("tokens_cum"),
+            "new_types",
+            F.sum("new_types").over(w).alias("vocab_cum"),
+        )
+    )
+
+
+def zipf_profile(df: DataFrame, text_col: str, topk: int = 100) -> DataFrame:
+    """Zipf rank-frequency profile: the ``topk`` most frequent tokens
+    with rank and a log-log least-squares slope (regr_slope of ln(freq)
+    on ln(rank) over the top-k), the classic power-law fit.
+
+    Ties break by token ascending so rank assignment is deterministic
+    and engine-independent.  The slope is the same value on every row
+    (rounded to 6 so JVM/DuckDB libm last-bit differences cannot
+    surface); a corpus obeying Zipf shows slope near -1.
+    """
+    counts = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(topk)
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("tok").asc()))
+        .alias("term_rank"),
+        F.col("tok").alias("token"),
+        "freq",
+    )
+    slope = ranked.agg(
+        F.round(
+            F.regr_slope(F.log(F.col("freq")), F.log(F.col("term_rank"))), 6
+        ).alias("zipf_slope")
+    )
+    return ranked.crossJoin(F.broadcast(slope))
+
+
+def _hash60(gram: Column) -> Column:
+    """60-bit gram hash from the md5 hex prefix — the dedup.py 'md5'
+    recipe, computable verbatim in DuckDB:
+    ``('0x' || substr(md5(g || ':w'), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(gram, F.lit(":w"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkes & Aiken 2003):
+    hash every character ``k``-gram of the normalized text, slide a
+    window of ``w`` consecutive gram hashes, and in each window select
+    the minimum hash — RIGHTMOST occurrence on ties, the paper's rule —
+    recording each selected (position, hash) once.  Guarantees every
+    shared substring of length >= k + w - 1 contributes at least one
+    matching fingerprint between two documents, which is what makes the
+    selected ~1/w subset sufficient for local (substring-level)
+    near-dup and plagiarism detection where MinHash (global Jaccard)
+    and SimHash (global cosine) are blind.
+
+    Normalization: lowercase, whitespace runs collapsed to one space,
+    trimmed.  Documents whose normalized text is shorter than ``k``
+    characters yield no fingerprints; documents with fewer than ``w``
+    gram hashes yield the single global minimum (the degenerate
+    one-window case).
+
+    Returns exploded rows (id, pos, fp): ``pos`` is the 0-based gram
+    start offset in the normalized text, ``fp`` the 60-bit md5-derived
+    gram hash (DuckDB-replicable; seeded ':w').
+
+    Plan shape: the gram-hash array is materialized in its OWN
+    projection before any window lambda touches it (quality.py rule —
+    an inlined expression re-evaluates per lambda element, turning
+    O(n·w) into O(n²·w)); window argmins are pure array expressions;
+    zero shuffle, zero Python.
+    """
+    key = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d1 = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), key.alias("__key"))
+        .where(F.char_length("__key") >= k)
+    )
+    d2 = d1.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.char_length("__key") - (k - 1)),
+            lambda i: _hash60(F.substr(F.col("__key"), i, F.lit(k))),
+        ).alias("__h"),
+    )
+    h = F.col("__h")
+
+    def argmin(j: Column, width: Column) -> Column:
+        """Rightmost argmin of h[j .. j+width-1] (1-based j) as a
+        (pos, fp) struct; pos is the 0-based gram index."""
+        mn = F.array_min(F.slice(h, j, width))
+        off = F.aggregate(
+            F.sequence(F.lit(0), width - 1),
+            F.lit(0),
+            lambda acc, o: F.when(F.element_at(h, j + o) == mn, o)
+            .otherwise(acc),
+        )
+        return F.struct(
+            (j - 1 + off).cast("int").alias("pos"), mn.alias("fp")
+        )
+
+    nh = F.size(h)
+    nw = nh - (w - 1)
+    fps = F.when(
+        nw >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), nw), lambda j: argmin(j, F.lit(w)))
+        ),
+    ).otherwise(F.array(argmin(F.lit(1), nh)))
+    return (
+        d2.select(id_col, F.explode(fps).alias("s"))
+        .select(F.col(id_col), F.col("s.pos").alias("pos"),
+                F.col("s.fp").alias("fp"))
+    )
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Positional inverted-index postings: one row per (term, doc)
+    with the term's document frequency, within-doc occurrence count,
+    and the sorted 0-based token positions as a comma-joined string.
+
+    Document-frequency banding ([min_df, max_df]) prunes hapaxes and
+    stop terms BEFORE postings go anywhere — at web scale the df>cap
+    head is exactly the stop-gram set dedup.py prunes from its n-gram
+    join, and an index without the band ships its heaviest, least
+    selective rows for nothing.
+
+    Plan shape: posexplode -> partial-aggregable groupBy(term, doc)
+    (positions collected then sorted doc-locally — collect_list order
+    is undefined across retries, so sort_array pins it) -> term df by
+    a second partial-aggregable groupBy; the df band re-enters as a
+    join on term.  No window over the corpus, no global sort.
+    """
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+        )
+    )
+    occ = toks.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "term")
+    )
+    postings = occ.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.array_join(F.sort_array(F.collect_list("pos")), ",")
+        .alias("positions"),
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_df"))
+    band = dfreq.where(F.col("term_df") >= min_df)
+    if max_df is not None:
+        band = band.where(F.col("term_df") <= max_df)
+    return postings.join(band, "term").select(
+        "term", "term_df", "doc_id", "n_occ", "positions"
+    )

@@ -122,6 +122,14 @@ PAST_WINDOW_ORACLED = {
     # r5 late: LSH-configuration audit (estimator identities on hand
     # corpora in tests/test_minhash_fidelity.py)
     "minhash_fidelity": "tests/test_minhash_fidelity.py",
+    # r5 late: vocabulary-scaling + fingerprint family (hand Heaps
+    # buckets / winnowing guarantees / postings positions / NFC edges
+    # in tests/test_vocab.py)
+    "heaps_profile": "tests/test_vocab.py",
+    "zipf_profile": "tests/test_vocab.py",
+    "winnow_fingerprint": "tests/test_vocab.py",
+    "postings_index": "tests/test_vocab.py",
+    "nfc_audit": "tests/test_vocab.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
