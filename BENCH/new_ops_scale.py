@@ -105,6 +105,12 @@ def main() -> None:
         ("nfc_audit", lambda d: d.agg(
             F.count(F.lit(1)).alias("n_docs_audited"),
             F.sum(F.col("changed").cast("int")).alias("n_changed"))),
+        ("winnow_near_dup", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("n_shared").alias("max_shared"))),
+        ("readability", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("fre"), 4).alias("mean_fre"))),
     ]
     watch = StageWatch()
     results: dict = {"n_docs": n_docs}

@@ -2764,6 +2764,123 @@ def _nfc_audit_sql() -> str:
     """
 
 
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs over winnowing fingerprints
+    (vocab.py:winnow_near_dup): the same fixed-size 500-doc audit
+    sample as winnow_fingerprint plus perturbed twins (every 3rd
+    sampled doc re-appears with a short tail and id +10M — the
+    minhash_fidelity fixture rule) so guaranteed-overlap pairs exist
+    at any sf; boilerplate fingerprints (df > 16) pruned BEFORE the
+    self-join."""
+    from json_schema_spark.operators.vocab import winnow_near_dup
+
+    base = _docs(spark, sf_dir).where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 7 * 500)
+        & F.col("text").isNotNull()).select("doc_id", "text")
+    twins = (base.where(F.col("doc_id") % 3 == 0)
+             .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" winnow twin tail"))
+                     .alias("text")))
+    return winnow_near_dup(base.unionByName(twins), "doc_id", "text",
+                           k=5, w=4, min_shared=2, max_fp_df=16)
+
+
+def _winnow_near_dup_sql(k: int = 5, w: int = 4) -> str:
+    return f"""
+        WITH srcdocs AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND doc_id % 7 = 0 AND doc_id < 3500
+          UNION ALL
+          SELECT doc_id + 10000000, text || ' winnow twin tail'
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id % 7 = 0 AND doc_id < 3500
+            AND doc_id % 3 = 0),
+        src AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ',
+                                     'g')) AS key
+          FROM srcdocs),
+        g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(key) - {k - 1}),
+                   i -> ('0x' || substr(md5(substr(key, i, {k}) || ':w'),
+                                        1, 15))::BIGINT) AS h
+          FROM src WHERE length(key) >= {k}),
+        hw AS (SELECT doc_id, h, len(h) AS nh FROM g),
+        allfps AS (
+          SELECT doc_id,
+                 CASE WHEN nh - {w - 1} >= 1 THEN
+                   list_transform(generate_series(1, nh - {w - 1}),
+                     j -> list_aggregate(h[j:j+{w - 1}], 'min'))
+                 ELSE [list_aggregate(h[1:nh], 'min')]
+                 END AS f
+          FROM hw),
+        fps AS (
+          SELECT DISTINCT doc_id AS doc, u.fp AS fp
+          FROM allfps, UNNEST(f) AS u(fp)),
+        fdf AS (
+          SELECT fp, count(*) AS fp_df FROM fps GROUP BY fp),
+        pruned AS (
+          SELECT fps.doc, fps.fp FROM fps JOIN fdf USING (fp)
+          WHERE fdf.fp_df BETWEEN 2 AND 16),
+        pairs AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b,
+                 count(*) AS n_shared
+          FROM pruned a JOIN pruned b
+            ON a.fp = b.fp AND a.doc < b.doc
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        sizes AS (
+          SELECT doc, count(*) AS n FROM fps GROUP BY doc)
+        SELECT p.doc_a, p.doc_b, p.n_shared,
+               round(p.n_shared / (sa.n + sb.n - p.n_shared), 6)
+                 AS overlap
+        FROM pairs p
+        JOIN sizes sa ON sa.doc = p.doc_a
+        JOIN sizes sb ON sb.doc = p.doc_b
+    """
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease battery (textstats.py:readability_profile):
+    vowel-group syllables and sentence runs as Java∩RE2 regexes, token
+    array materialized once (HOF rule), one codegen projection."""
+    from json_schema_spark.operators.textstats import readability_profile
+
+    return readability_profile(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _readability_sql() -> str:
+    return """
+        WITH d AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(lower(text)) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)),
+                                              '[\\s\\x0b]+') END AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id, text, len(t) AS n_words,
+                 greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS n_sent,
+                 CAST(coalesce(list_aggregate(list_transform(t,
+                        w -> greatest(1,
+                               len(regexp_extract_all(w, '[aeiouy]+')))),
+                      'sum'), 0) AS BIGINT) AS n_syll
+          FROM d)
+        SELECT doc_id,
+               CASE WHEN text IS NOT NULL THEN n_words END AS n_words,
+               CASE WHEN text IS NOT NULL THEN n_sent END
+                 AS n_sentences,
+               CASE WHEN text IS NOT NULL THEN n_syll END
+                 AS n_syllables,
+               CASE WHEN text IS NOT NULL AND n_words > 0 THEN
+                 round(206.835 - 1.015 * (n_words / n_sent)
+                       - 84.6 * (n_syll / n_words), 4)
+               END AS fre
+        FROM m
+    """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -2987,6 +3104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: Unicode NFC audit — mapInPandas normalize, DuckDB
         # utf8proc twin value-checks the normalized md5
         "nfc_audit": q_nfc_audit,
+        # r5: MOSS near-dup pairs over winnowing fingerprints
+        # (stop-fp pruned self-join, perturbed-twin fixture)
+        "winnow_near_dup": q_winnow_near_dup,
+        # r5: Flesch reading-ease battery (codegen projection)
+        "readability": q_readability,
     }
 
 
@@ -4725,6 +4847,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": _winnow_fingerprint_sql(5, 4),
         "postings_index": _postings_index_sql(),
         "nfc_audit": _nfc_audit_sql(),
+        "winnow_near_dup": _winnow_near_dup_sql(5, 4),
+        "readability": _readability_sql(),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

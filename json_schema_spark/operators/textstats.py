@@ -399,3 +399,58 @@ def script_profile(col: Column) -> dict[str, Column]:
     out: dict[str, Column] = {f"n_{n}": c for n, c in counts.items()}
     out["dominant"] = dominant
     return out
+
+
+def readability_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease per document: (id, n_words, n_sentences,
+    n_syllables, fre) with
+    ``fre = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``
+    rounded to 4.  The classic prose-vs-boilerplate quality signal the
+    C4/Gopher batteries approximate with punctuation ratios.
+
+    Conventions pinned for oracle parity: sentences = count of
+    ``[.!?]+`` runs, floored at 1 (headline-style text is "one
+    sentence"); syllables = per-word count of ``[aeiouy]+`` vowel
+    groups on the lowercased token, floored at 1 per word (the
+    standard heuristic); blank/empty text yields 0 words and NULL
+    fre; NULL text propagates NULL metrics.  Both regexes live in the
+    Java∩RE2 common subset, so the DuckDB twin runs the identical
+    expressions.
+
+    Scale shape: the token array is materialized ONCE per doc in its
+    own projection before the per-word lambda touches it (quality.py
+    HOF rule); everything is a codegen projection — zero shuffle,
+    zero Python.
+    """
+    d1 = (
+        df.select(F.col(id_col),
+                  F.col(text_col).alias("__text"),
+                  ws_tokens(F.lower(F.col(text_col))).alias("__toks"))
+    )
+    n_words = F.size("__toks")
+    n_sent = F.greatest(
+        F.lit(1), F.regexp_count("__text", F.lit(r"[.!?]+"))).cast("long")
+    n_syll = F.aggregate(
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.greatest(
+                F.lit(1), F.regexp_count(t, F.lit("[aeiouy]+"))),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    fre = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words),
+        4,
+    )
+    return d1.select(
+        F.col(id_col),
+        F.when(F.col("__text").isNotNull(), n_words.cast("long"))
+        .alias("n_words"),
+        F.when(F.col("__text").isNotNull(), n_sent).alias("n_sentences"),
+        F.when(F.col("__text").isNotNull(), n_syll).alias("n_syllables"),
+        F.when(F.col("__text").isNotNull() & (n_words > 0), fre)
+        .alias("fre"),
+    )

@@ -45,6 +45,7 @@ __all__ = [
     "heaps_profile",
     "zipf_profile",
     "winnow_fingerprints",
+    "winnow_near_dup",
     "build_postings",
 ]
 
@@ -220,6 +221,73 @@ def winnow_fingerprints(
         d2.select(id_col, F.explode(fps).alias("s"))
         .select(F.col(id_col), F.col("s.pos").alias("pos"),
                 F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style near-duplicate pairs: documents ranked by SHARED
+    winnowing fingerprints — the local-similarity report layered on
+    :func:`winnow_fingerprints` (every shared substring >= k+w-1 chars
+    contributes a shared fingerprint, so heavy overlap is impossible
+    to miss and the share count approximates covered length / w).
+
+    Returns (doc_a, doc_b, n_shared, overlap): ``overlap`` is the
+    Jaccard of the two fingerprint SETS (n_shared / (|A|+|B|-n_shared),
+    rounded to 6), ``doc_a < doc_b``.
+
+    Scale shape: positions drop first (distinct (doc, fp) — matching
+    cares about which fingerprints, not where); ``max_fp_df`` prunes
+    boilerplate fingerprints appearing in more than that many docs
+    BEFORE the self-join (the dedup.py stop-gram rule: the df head is
+    quadratic in the join and means "boilerplate", not "copied");
+    fp-df 1 rows are dropped always (they cannot pair).  The pair
+    groupBy and both size lookups are partial-aggregable.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col).alias("doc"), "fp")
+        .distinct()
+        # three consumers (fp-df prune, the self-join side, sizes) —
+        # without a barrier each one re-runs the fingerprint explode
+        # over the corpus (measured: three identical scan stages in
+        # the 1M soak); the lazy localCheckpoint is the sanctioned
+        # reuse barrier (dedup.py / pipeline_web_curation precedent)
+        .localCheckpoint(eager=False)
+    )
+    fp_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    keep = fp_df.where(F.col("__df") >= 2)
+    if max_fp_df is not None:
+        keep = keep.where(F.col("__df") <= max_fp_df)
+    pruned = fps.join(keep.select("fp"), "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
+                      F.col("a.doc") < F.col("b.doc")])
+        .groupBy(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pairs.join(sizes.withColumnRenamed("doc", "doc_a")
+                   .withColumnRenamed("__n", "__na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b")
+              .withColumnRenamed("__n", "__nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(F.col("n_shared") /
+                    (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+                    6).alias("overlap"),
+        )
     )
 
 

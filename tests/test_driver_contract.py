@@ -128,8 +128,10 @@ PAST_WINDOW_ORACLED = {
     "heaps_profile": "tests/test_vocab.py",
     "zipf_profile": "tests/test_vocab.py",
     "winnow_fingerprint": "tests/test_vocab.py",
+    "winnow_near_dup": "tests/test_vocab.py",
     "postings_index": "tests/test_vocab.py",
     "nfc_audit": "tests/test_vocab.py",
+    "readability": "tests/test_vocab.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

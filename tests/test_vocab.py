@@ -1,8 +1,9 @@
 """Unit tests for json_schema_spark/operators/vocab.py (Heaps, Zipf,
-winnowing fingerprints, inverted-index postings) and
-operators/normalize.py (NFC audit) on hand-computed fixtures.
+winnowing fingerprints + near-dup pairs, inverted-index postings),
+operators/normalize.py (NFC audit) and textstats.readability_profile
+on hand-computed fixtures.
 
-The driver-grade DuckDB comparison for the five queries runs in
+The driver-grade DuckDB comparison for the seven queries runs in
 tests/test_driver_contract.py::test_rotated_out_queries_match_duckdb_oracle.
 """
 
@@ -204,3 +205,94 @@ def test_nfc_audit_rejects_unknown_form(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         nfc_audit(df, "doc_id", "text", form="NFX")
+
+
+# --------------------------------------------------------- winnow near-dup
+
+def test_winnow_near_dup_pairs_and_overlap(spark):
+    from json_schema_spark.operators.vocab import winnow_near_dup
+
+    shared = "a long unmistakably shared passage of text"
+    rows = [
+        (1, shared + " with one ending"),
+        (2, shared + " and a different close"),
+        (3, "completely unrelated material nothing alike"),
+        (4, shared + " with one ending"),          # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           winnow_near_dup(df, "doc_id", "text", min_shared=2).collect()}
+    assert (1, 2) in out and (1, 4) in out and (2, 4) in out
+    assert not any(3 in p for p in out)
+    # identical docs: identical fingerprint sets -> overlap exactly 1
+    assert out[(1, 4)]["overlap"] == 1.0
+    assert 0.0 < out[(1, 2)]["overlap"] <= 1.0
+    assert out[(1, 2)]["n_shared"] >= 2
+
+
+def test_winnow_near_dup_stop_fp_pruning(spark):
+    from json_schema_spark.operators.vocab import winnow_near_dup
+
+    boiler = "same boilerplate sentence appearing everywhere"
+    rows = [(i, boiler + f" unique tail {i:03d}x") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # without the cap: every pair matches on the boilerplate
+    dense = winnow_near_dup(df, "doc_id", "text", min_shared=2).count()
+    assert dense > 0
+    # cap 5 << 20 docs: boilerplate fps pruned, tails are unique ->
+    # no pair survives
+    pruned = winnow_near_dup(df, "doc_id", "text", min_shared=2,
+                             max_fp_df=5).count()
+    assert pruned == 0
+
+
+# ------------------------------------------------------------ readability
+
+def _py_readability(text):
+    import re
+
+    if text is None:
+        return (None, None, None, None)
+    toks = [t for t in re.split(r"\s+", text.lower().strip()) if t] \
+        if text.strip() else []
+    n_words = len(toks)
+    n_sent = max(1, len(re.findall(r"[.!?]+", text)))
+    n_syll = sum(max(1, len(re.findall(r"[aeiouy]+", t))) for t in toks)
+    fre = None
+    if n_words > 0:
+        fre = round(206.835 - 1.015 * (n_words / n_sent)
+                    - 84.6 * (n_syll / n_words), 4)
+    return (n_words, n_sent, n_syll, fre)
+
+
+@pytest.mark.parametrize("text", [
+    "The cat sat. It ran fast!",
+    "no punctuation here at all",
+    "Dr. Smith went... Did he? Yes!!",
+    "rhythm myth",                    # y-as-vowel + no-vowel floor
+    "",
+    None,
+])
+def test_readability_matches_reference(spark, text):
+    from json_schema_spark.operators.textstats import readability_profile
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = readability_profile(df, "doc_id", "text").collect()[0]
+    want = _py_readability(text)
+    got = (r["n_words"], r["n_sentences"], r["n_syllables"],
+           None if r["fre"] is None else round(r["fre"], 4))
+    if text is None:
+        assert got == (None, None, None, None)
+    elif text == "":
+        assert got == (0, 1, 0, None)
+    else:
+        assert got == want
+
+
+def test_readability_plan_has_no_shuffle(spark):
+    from json_schema_spark.operators.textstats import readability_profile
+
+    df = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
+    plan = readability_profile(df, "doc_id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
