@@ -431,7 +431,12 @@ class ValidationRunner:
                         "drift": [{"column","test","by"}, ...],
                         "dedup": [{"column","id","method","max_dup_frac"}, ...],
                         "blocklist": [{"column","domains"|"table",
-                                       "max_blocked_frac"}, ...]}
+                                       "max_blocked_frac"}, ...],
+                        "quality": [{"column","signal","min_fre"|"max_fre"|
+                                     "ngram"/"max_dup_ngram_frac",
+                                     "max_fail_frac"}, ...],
+                        "normalized": [{"column","form",
+                                        "max_changed_frac"}, ...]}
 
         ``dims`` maps ref-check table names to dimension DataFrames.
         Returns one verdict row per check (check, pass, n_violations,
@@ -610,6 +615,81 @@ class ValidationRunner:
                 f"blocklist({url_col} vs {src})", frac <= cap,
                 int(agg["n_blocked"]), float(frac),
             ))
+
+        for q in block.get("quality", []):
+            # per-row text-quality gate: a signal computed row-wise
+            # (readability FRE band or within-doc duplicate-n-gram
+            # fraction), a threshold, and a tolerated failing
+            # fraction; verdict in ONE fused aggregate — the spec-side
+            # face of the corpus-quality operator family
+            signal = q.get("signal", "readability")
+            col = q.get("column", "text")
+            id_col = q.get("id", "doc_id")
+            cap = float(q.get("max_fail_frac", 0.0))
+            if signal == "readability":
+                from json_schema_spark.operators.textstats import (
+                    readability_profile,
+                )
+
+                lo, hi = q.get("min_fre"), q.get("max_fre")
+                fail = F.lit(False)
+                if lo is not None:
+                    fail = fail | (F.col("fre") < F.lit(float(lo)))
+                if hi is not None:
+                    fail = fail | (F.col("fre") > F.lit(float(hi)))
+                agg = (
+                    readability_profile(df, id_col, col)
+                    .where(F.col("fre").isNotNull())
+                    .agg(F.coalesce(F.sum(fail.cast("long")), F.lit(0))
+                         .alias("n_fail"),
+                         F.count(F.lit(1)).alias("n_rows"))
+                    .collect()[0]
+                )
+            elif signal == "repetition":
+                from json_schema_spark.operators.quality import (
+                    dup_ngram_frac,
+                    tokens_df,
+                )
+
+                n = int(q.get("ngram", 2))
+                thr = float(q.get("max_dup_ngram_frac", 0.5))
+                toks = tokens_df(
+                    df.where(F.col(col).isNotNull()), id_col, col)
+                fail = dup_ngram_frac(F.col("__toks"), n) > thr
+                agg = toks.agg(
+                    F.coalesce(F.sum(fail.cast("long")), F.lit(0))
+                    .alias("n_fail"),
+                    F.count(F.lit(1)).alias("n_rows")).collect()[0]
+            else:
+                raise ValueError(
+                    f"dataset quality signal {signal!r} not supported "
+                    "(readability | repetition)")
+            frac = (agg["n_fail"] / agg["n_rows"]) if agg["n_rows"] else 0.0
+            results.append((f"quality_{signal}({col})", frac <= cap,
+                            int(agg["n_fail"]), float(frac)))
+
+        for nrm in block.get("normalized", []):
+            # Unicode-normalization invariant: text must already be in
+            # the given form (the precondition every hash-keyed
+            # operator in this engine silently assumes; §1.1's
+            # byte-identity contract is only well-defined modulo this)
+            from json_schema_spark.operators.normalize import nfc_audit
+
+            col = nrm.get("column", "text")
+            id_col = nrm.get("id", "doc_id")
+            form = nrm.get("form", "NFC")
+            cap = float(nrm.get("max_changed_frac", 0.0))
+            agg = (
+                nfc_audit(df, id_col, col, form=form)
+                .agg(F.coalesce(F.sum(F.col("changed").cast("long")),
+                                F.lit(0)).alias("n_changed"),
+                     F.count(F.lit(1)).alias("n_rows"))
+                .collect()[0]
+            )
+            frac = (agg["n_changed"] / agg["n_rows"]) if agg["n_rows"] \
+                else 0.0
+            results.append((f"normalized_{form}({col})", frac <= cap,
+                            int(agg["n_changed"]), float(frac)))
 
         return self.spark.createDataFrame(
             results, "check string, pass boolean, n_violations long, metric double",

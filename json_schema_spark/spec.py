@@ -190,7 +190,8 @@ class ConstraintSpec:
          "required": [colname, ...],
          "$defs": {...},
          "dataset": {"unique": [...], "ref": [...], "drift": [...],
-                     "dedup": [...], "blocklist": [...]}}
+                     "dedup": [...], "blocklist": [...],
+                     "quality": [...], "normalized": [...]}}
 
     The column sub-schemas reuse the reference's keyword vocabulary
     (src/validators.lisp:657-808 dispatch tables).

@@ -143,3 +143,82 @@ def test_dataset_block_incremental_dedup(spark, webpages, tmp_path):
     assert led_df.where(F.col("keep_id").isNull()).count() == 0
     # snapshot 0 had no history to collide with
     assert chk0["check"] == "dedup_incremental(text@snap0)"
+
+
+def test_dataset_block_quality_and_normalized_pass(spark, webpages, tmp_path):
+    """r5: per-row quality gates + Unicode-normalization invariant as
+    first-class dataset checks — lenient thresholds on the (ASCII,
+    prose-like) synthetic corpus must pass clean."""
+    spec = {
+        "draft": "draft7",
+        "columns": {},
+        "dataset": {
+            "quality": [
+                {"column": "text", "id": "url", "signal": "readability",
+                 "min_fre": -1e6, "max_fail_frac": 0.0},
+                {"column": "text", "id": "url", "signal": "repetition",
+                 "ngram": 2, "max_dup_ngram_frac": 1.1,
+                 "max_fail_frac": 0.0},
+            ],
+            "normalized": [
+                {"column": "text", "id": "url", "form": "NFC",
+                 "max_changed_frac": 0.0},
+            ],
+        },
+    }
+    runner = ValidationRunner(spark, spec, str(tmp_path / "q1"), run_id="q1")
+    rows = {r["check"]: r for r in runner.run_dataset_checks(webpages).collect()}
+    assert rows["quality_readability(text)"]["pass"] is True
+    assert rows["quality_readability(text)"]["n_violations"] == 0
+    assert rows["quality_repetition(text)"]["pass"] is True
+    nfc = rows["normalized_NFC(text)"]
+    assert nfc["pass"] is True and nfc["n_violations"] == 0
+
+
+def test_dataset_block_quality_and_normalized_fail(spark, tmp_path):
+    """Planted violations: an impossible FRE floor fails every doc, a
+    repeated-bigram doc trips the repetition gate, and decomposed
+    unicode trips the NFC invariant."""
+    rows = [
+        (1, "the cat sat on the mat. it was fine."),
+        (2, "spam spam spam spam spam spam"),       # dup bigrams
+        (3, "cafe\u0301 latte"),               # decomposed
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spec = {
+        "draft": "draft7",
+        "columns": {},
+        "dataset": {
+            "quality": [
+                {"column": "text", "signal": "readability",
+                 "min_fre": 1000.0, "max_fail_frac": 0.0},
+                {"column": "text", "signal": "repetition",
+                 "ngram": 2, "max_dup_ngram_frac": 0.5,
+                 "max_fail_frac": 0.0},
+            ],
+            "normalized": [
+                {"column": "text", "form": "NFC",
+                 "max_changed_frac": 0.0},
+            ],
+        },
+    }
+    runner = ValidationRunner(spark, spec, str(tmp_path / "q2"), run_id="q2")
+    rows_ = {r["check"]: r for r in runner.run_dataset_checks(df).collect()}
+    fre = rows_["quality_readability(text)"]
+    assert fre["pass"] is False and fre["n_violations"] == 3  # null skipped
+    rep = rows_["quality_repetition(text)"]
+    assert rep["pass"] is False and rep["n_violations"] == 1  # doc 2 only
+    nfc = rows_["normalized_NFC(text)"]
+    assert nfc["pass"] is False and nfc["n_violations"] == 1  # doc 3 only
+    assert nfc["metric"] == 0.25  # 1 of 4 rows (null is NFC-identity)
+
+
+def test_dataset_block_unknown_quality_signal_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    spec = {"draft": "draft7", "columns": {},
+            "dataset": {"quality": [{"column": "text",
+                                     "signal": "vibes"}]}}
+    runner = ValidationRunner(spark, spec, str(tmp_path / "q3"), run_id="q3")
+    with pytest.raises(ValueError, match="vibes"):
+        runner.run_dataset_checks(df)
