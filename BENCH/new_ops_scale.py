@@ -111,6 +111,8 @@ def main() -> None:
         ("readability", lambda d: d.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("fre"), 4).alias("mean_fre"))),
+        # full corpus: jaccard pair graph + components + assignment
+        ("leakage_safe_split", None),      # 3 rows
     ]
     watch = StageWatch()
     results: dict = {"n_docs": n_docs}

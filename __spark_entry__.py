@@ -2881,6 +2881,58 @@ def _readability_sql() -> str:
     """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (sampling.py:leakage_safe_split): assignment buckets hash the
+    NEAR-DUP GROUP label (dedup connected components, the
+    dedup_groups graph), so near-duplicates can never straddle
+    splits; the leak_groups audit column asserts the invariant (0)
+    in the output itself."""
+    from json_schema_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from json_schema_spark.operators.sampling import leakage_safe_split
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text",
+                                n=3, threshold=0.4, max_df=5)
+    return leakage_safe_split(d, "doc_id", connected_components(pairs))
+
+
+def _leakage_safe_split_sql() -> str:
+    return _DEDUP_GROUPS_CTE + """,
+            grptab AS (
+              SELECT node, CAST(min(label) AS BIGINT) AS grp
+              FROM cc GROUP BY node),
+            assign AS (
+              SELECT d.doc_id, coalesce(g.grp, d.doc_id) AS grp
+              FROM documents d LEFT JOIN grptab g ON g.node = d.doc_id),
+            bkt AS (
+              SELECT doc_id, grp,
+                     ((('0x' || substr(md5(CAST(grp AS VARCHAR) || '#11'),
+                                       1, 15))::BIGINT % 1000000)
+                      + 1000000) % 1000000 AS bk
+              FROM assign),
+            s AS (
+              SELECT doc_id, grp,
+                     CASE WHEN bk < 900000 THEN 'train'
+                          WHEN bk < 950000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM bkt),
+            leak AS (
+              SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1
+                                        ELSE 0 END), 0) AS BIGINT)
+                     AS leak_groups
+              FROM (SELECT grp, count(DISTINCT split) AS ns
+                    FROM s GROUP BY grp))
+            SELECT s.split, count(*) AS n_docs,
+                   count(DISTINCT s.grp) AS n_groups,
+                   (SELECT leak_groups FROM leak) AS leak_groups
+            FROM s GROUP BY s.split
+        """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -3109,6 +3161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_dup": q_winnow_near_dup,
         # r5: Flesch reading-ease battery (codegen projection)
         "readability": q_readability,
+        # r5: leakage-safe split — assignment hashes the near-dup
+        # GROUP label; leak_groups asserts the invariant in-output
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -4849,6 +4904,7 @@ def oracle_sql() -> dict[str, str]:
         "nfc_audit": _nfc_audit_sql(),
         "winnow_near_dup": _winnow_near_dup_sql(5, 4),
         "readability": _readability_sql(),
+        "leakage_safe_split": _leakage_safe_split_sql(),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

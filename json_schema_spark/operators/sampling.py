@@ -307,3 +307,63 @@ def execute_mix(
     keep = _bucket(F.col(key_col), seed) < \
         F.coalesce(F.col("__thresh"), F.lit(1_000_000))
     return j.where(keep).drop("__thresh")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    groups: DataFrame,
+    splits: tuple = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+    seed: int = 11,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a
+    deterministic md5 bucket of the document's NEAR-DUP GROUP label
+    (``groups`` = (node, grp) from dedup connected components;
+    unpaired docs are their own group), never of the document itself —
+    so two near-duplicate documents can NEVER land in different
+    splits.  Splitting by doc hash leaks eval data into training
+    through every near-dup pair; this is the standard fix (the same
+    reason contamination_check exists), done at assignment time
+    instead of audit time.
+
+    Returns one row per split: (split, n_docs, n_groups, leak_groups)
+    where ``leak_groups`` counts groups spanning >1 split — zero by
+    construction, emitted so the invariant is ASSERTED in the output
+    rather than assumed.
+
+    Scale shape: one left join of the corpus ids against the
+    (small) group table, integerized cumulative bucket thresholds
+    (mixture_execute rule: exact integer compares, no float edges),
+    two partial-aggregable rollups; the leak audit is aggregate-sized
+    and re-enters as a broadcast scalar.
+    """
+    weights = [w for _, w in splits]
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(weights)}")
+    assigned = (
+        df.select(F.col(id_col))
+        .join(groups.withColumnRenamed("node", id_col), id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("grp"), F.col(id_col)).alias("grp"))
+    )
+    bk = _bucket(F.col("grp"), seed)
+    expr = None
+    cum = 0.0
+    for name, wgt in splits[:-1]:
+        cum += wgt
+        bound = int(round(cum * 1_000_000))
+        expr = (F.when if expr is None else expr.when)(
+            bk < bound, F.lit(name))
+    expr = (expr.otherwise(F.lit(splits[-1][0]))
+            if expr is not None else F.lit(splits[-1][0]))
+    s = assigned.select(id_col, "grp", expr.alias("split"))
+    leak = (
+        s.groupBy("grp").agg(F.countDistinct("split").alias("__ns"))
+        .agg(F.coalesce(F.sum((F.col("__ns") > 1).cast("long")),
+                        F.lit(0)).alias("leak_groups"))
+    )
+    roll = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+    )
+    return roll.crossJoin(F.broadcast(leak))

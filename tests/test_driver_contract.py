@@ -132,6 +132,9 @@ PAST_WINDOW_ORACLED = {
     "postings_index": "tests/test_vocab.py",
     "nfc_audit": "tests/test_vocab.py",
     "readability": "tests/test_vocab.py",
+    # r5 late: leakage-safe split (group-hash assignment; invariant +
+    # weight/edge fixtures in tests/test_retrieval_sampling.py)
+    "leakage_safe_split": "tests/test_retrieval_sampling.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -261,3 +261,56 @@ def test_execute_mix_thresholds_and_defaults(spark):
     assert got == exp
     assert {r["doc_id"] for r in execute_mix(
         docs, rates, "source", key_col="doc_id", seed=13).collect()} == got
+
+
+# ------------------------------------------------------- leakage-safe split
+
+def test_leakage_safe_split_invariant_and_rollup(spark):
+    from json_schema_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)],
+                                 "doc_id long")
+    # 50 pair-groups (0,1)(2,3)... + 100 singletons
+    groups = spark.createDataFrame(
+        [(i, i - i % 2) for i in range(100)], "node long, grp long")
+    out = leakage_safe_split(docs, "doc_id", groups).collect()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in out) == 200
+    assert sum(r["n_groups"] for r in out) == 150  # 50 pairs + 100 singles
+    assert all(r["leak_groups"] == 0 for r in out)
+    # dominant split gets the bulk under the 90/5/5 default
+    top = max(out, key=lambda r: r["n_docs"])
+    assert top["split"] == "train" and top["n_docs"] > 120
+
+
+def test_leakage_safe_split_pairs_stay_together(spark):
+    from json_schema_spark.operators.sampling import _bucket, leakage_safe_split
+
+    # reconstruct per-doc assignment through a 1-doc-per-group corpus:
+    # paired docs MUST land where their group label lands
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    groups = spark.createDataFrame(
+        [(i, (i // 4) * 4) for i in range(40)], "node long, grp long")
+    from pyspark.sql import functions as F
+
+    s = (docs.join(groups.withColumnRenamed("node", "doc_id"),
+                   "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce("grp", F.col("doc_id")).alias("grp")))
+    # every group of 4 consecutive ids shares one bucket => one split
+    bks = {r["grp"]: r["bk"] for r in
+           s.select("grp", _bucket(F.col("grp"), 11).alias("bk"))
+           .distinct().collect()}
+    assert len(bks) == 10
+
+
+def test_leakage_safe_split_bad_weights_raise(spark):
+    from json_schema_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    groups = spark.createDataFrame([(1, 1)], "node long, grp long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, "doc_id", groups,
+                           splits=(("train", 0.5), ("test", 0.4)))
