@@ -2933,6 +2933,120 @@ def _leakage_safe_split_sql() -> str:
         """
 
 
+RETRIEVAL_EVAL_QUERIES = {
+    # rare term 'dup' (df ~5% of docs) makes rel=2 genuinely selective;
+    # the 2- and 4-term panels exercise the >=ceil(m/2) graded tier
+    "q_dup_merge": ["dup", "merge", "scan"],
+    "q_slow_scan": ["slow", "scan"],
+    "q_stream_win": ["stream", "sort", "window", "batch"],
+}
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance retrieval evaluation (precision/recall/MRR/
+    NDCG@15) of multi-query BM25 rankings, labels derived
+    deterministically from term coverage (retrieval.py:retrieval_eval).
+    Runs the SALTED two-stage top-k path (rank within (qid, md5-salt),
+    then the real window over <= k*n_salts rows per qid) — value-
+    identical to the oracle's single window by the pigeonhole
+    containment argument, and the shape that survives a hot qid at
+    10^12 docs."""
+    from json_schema_spark.operators.retrieval import retrieval_eval
+
+    return retrieval_eval(
+        _docs(spark, sf_dir), "doc_id", "text",
+        queries=RETRIEVAL_EVAL_QUERIES, k=15, salted=True, n_salts=8,
+    )
+
+
+def _retrieval_eval_sql() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(RETRIEVAL_EVAL_QUERIES.items())
+        for t in sorted(set(x.lower() for x in terms)))
+    return f"""
+            WITH q(qid, term) AS (VALUES {qvals}),
+            qm AS (SELECT qid, count(*) AS m FROM q GROUP BY 1),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            corpus AS (
+              SELECT count(*) AS n_corpus, avg(len(t)) AS avgdl FROM toks),
+            matches AS (
+              SELECT q.qid, toks.doc_id, len(t) AS dl, u.tok AS term
+              FROM toks, UNNEST(t) AS u(tok)
+              JOIN q ON q.term = u.tok),
+            tf AS (
+              SELECT qid, doc_id, dl, term, count(*) AS tf
+              FROM matches GROUP BY 1, 2, 3, 4),
+            dft AS (SELECT qid, term, count(*) AS df_t
+                    FROM tf GROUP BY 1, 2),
+            scored AS (
+              SELECT tf.qid, tf.doc_id,
+                     ((ln(1.0 + (c.n_corpus - d.df_t + 0.5)
+                                / (d.df_t + 0.5)) * tf.tf) * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / c.avgdl))
+                       AS contrib
+              FROM tf JOIN dft d USING (qid, term) CROSS JOIN corpus c),
+            cand AS (
+              SELECT s.qid, s.doc_id, round(sum(contrib), 4) AS score,
+                     count(*) AS matched
+              FROM scored s GROUP BY 1, 2),
+            cand2 AS (
+              SELECT cand.*,
+                     CASE WHEN matched = m THEN 2
+                          WHEN matched * 2 >= m THEN 1
+                          ELSE 0 END AS rel
+              FROM cand JOIN qm USING (qid)),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id)
+                       AS rnk
+              FROM cand2),
+            ideal AS (
+              SELECT qid, rel, row_number() OVER (
+                       PARTITION BY qid ORDER BY rel DESC, doc_id)
+                       AS irnk
+              FROM cand2 WHERE rel > 0),
+            idcg AS (
+              SELECT qid, sum(rel / log2(irnk + 1.0)) AS idcg
+              FROM ideal WHERE irnk <= 15 GROUP BY 1),
+            base AS (
+              SELECT qid, count(*) AS n_cand,
+                     coalesce(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END), 0)
+                       AS n_rel
+              FROM cand2 GROUP BY 1),
+            ta AS (
+              SELECT qid,
+                     coalesce(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END), 0)
+                       AS hits_at_k,
+                     sum(rel / log2(rnk + 1.0)) AS dcg,
+                     min(CASE WHEN rel > 0 THEN rnk END) AS frank
+              FROM ranked WHERE rnk <= 15 GROUP BY 1)
+            SELECT b.qid, b.n_cand, b.n_rel,
+                   coalesce(ta.hits_at_k, 0) AS hits_at_k,
+                   round(coalesce(ta.hits_at_k, 0) / 15.0, 6)
+                     AS precision_at_k,
+                   CASE WHEN b.n_rel > 0
+                        THEN round(coalesce(ta.hits_at_k, 0)
+                                   / CAST(b.n_rel AS DOUBLE), 6)
+                        ELSE 0.0 END AS recall_at_k,
+                   CASE WHEN ta.frank IS NOT NULL
+                        THEN round(1.0 / ta.frank, 6)
+                        ELSE 0.0 END AS mrr_at_k,
+                   CASE WHEN coalesce(i.idcg, 0.0) > 0.0
+                        THEN round(coalesce(ta.dcg, 0.0) / i.idcg, 6)
+                        ELSE 0.0 END AS ndcg_at_k
+            FROM base b
+            LEFT JOIN ta USING (qid)
+            LEFT JOIN idcg i USING (qid)
+        """
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour window aggregation over the events stream table
     (batch twin of the Structured Streaming path)."""
@@ -3164,6 +3278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: leakage-safe split — assignment hashes the near-dup
         # GROUP label; leak_groups asserts the invariant in-output
         "leakage_safe_split": q_leakage_safe_split,
+        # r5: graded-relevance retrieval metrics (P/R/MRR/NDCG@k) over
+        # multi-query BM25 rankings; salted two-stage top-k path
+        "retrieval_eval": q_retrieval_eval,
     }
 
 
@@ -4905,6 +5022,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": _winnow_near_dup_sql(5, 4),
         "readability": _readability_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
+        "retrieval_eval": _retrieval_eval_sql(),
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

@@ -32,12 +32,12 @@ surface layered on the same engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import ws_tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "retrieval_eval"]
 
 
 def bm25_topk(
@@ -112,4 +112,173 @@ def bm25_topk(
         # TakeOrdered of k rows, not a global sort
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
+    )
+
+
+def retrieval_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_round: int = 4,
+    metric_round: int = 6,
+    salted: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Graded-relevance retrieval quality metrics (precision / recall /
+    MRR / NDCG at ``k``) for multi-query BM25 rankings over the corpus.
+
+    Why an analytics engine needs this: after building a filtered /
+    deduplicated corpus, the standard acceptance check is "does ranked
+    retrieval over the corpus still surface the right documents?" —
+    i.e. score a panel of benchmark queries, rank, and compare the
+    ranking against relevance labels.  Here the labels are derived
+    deterministically from term coverage, so the whole evaluation is
+    self-contained and cross-engine reproducible:
+
+        rel(d, q) = 2  if d contains ALL  |q| distinct query terms
+                    1  if d contains >= ceil(|q|/2) of them
+                    0  otherwise
+
+    Per query, documents are ranked by BM25 score (rounded to
+    ``score_round`` BEFORE ranking, ties broken on id, so the cut is
+    deterministic across engines), and the output is one row per qid:
+
+        qid, n_cand, n_rel, hits_at_k, precision_at_k, recall_at_k,
+        mrr_at_k, ndcg_at_k
+
+    with DCG = sum(rel_i / log2(i + 1)) over the top-k positions and
+    IDCG over the first k positions of the rel-descending ideal
+    ordering.  Metrics round to ``metric_round`` (cross-engine fp sum
+    order differs at ~1 ulp; round-6 parity is the house rule).
+
+    Scale shape:
+    - the corpus tokenizes ONCE; the (qid, term) panel broadcasts and
+      filters the explode BEFORE any shuffle, so only matching
+      (doc, term, qid) pairs leave the scan stage — everything after
+      is proportional to match volume, not corpus volume;
+    - per-(qid, term) document frequencies and per-qid term counts are
+      aggregate-sized tables re-entering as broadcasts;
+    - both ranking windows partition by qid, which at 10^12 docs is a
+      hot-key risk: with ``salted=True``, a two-stage salted top-k
+      (rank within (qid, md5-salt), keep k per bucket, then the real
+      window over <= k * n_salts rows per qid) bounds any one task —
+      same pigeonhole argument as sampling.per_domain_cap, and
+      value-identical because the global top-k is contained in the
+      union of per-salt top-ks.  The ideal-ordering window gets the
+      same treatment (rank on (rel desc, id)).  n_cand / n_rel / MRR
+      need no window at all — they are plain aggregates.
+
+    No counterpart in the reference (a JSON-Schema validator); this is
+    the LLM-pipeline evaluation surface on the same engine.
+    """
+    did = F.col(id_col)
+    spark = df.sparkSession
+    qrows = sorted(
+        (qid, t)
+        for qid, terms in queries.items()
+        for t in sorted({x.lower() for x in terms})
+    )
+    qdf = F.broadcast(spark.createDataFrame(qrows, "qid string, term string"))
+    mdf = F.broadcast(spark.createDataFrame(
+        sorted((qid, len({x.lower() for x in terms}))
+               for qid, terms in queries.items()),
+        "qid string, m int"))
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        did.alias("id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select("id", "__toks", F.size("__toks").alias("dl"))
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # broadcast-filtered explode: only matching (doc, term, qid) rows
+    # ever shuffle
+    matches = (
+        toks.select("id", "dl", F.explode("__toks").alias("term"))
+        .join(qdf, "term")
+    )
+    tf = matches.groupBy("qid", "id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dft), ["qid", "term"])
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "contrib",
+            # parenthesization mirrored in the DuckDB oracle (same fp
+            # op order); ln() differs at <= 1 ulp, invisible at round-4
+            (F.log(1.0 + (F.col("n_corpus") - F.col("df_t") + 0.5)
+                   / (F.col("df_t") + 0.5)) * F.col("tf") * (k1 + 1.0))
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    cand = (
+        scored.groupBy("qid", "id")
+        .agg(
+            F.round(F.sum("contrib"), score_round).alias("score"),
+            F.count(F.lit(1)).alias("matched"),
+        )
+        .join(mdf, "qid")
+        .withColumn(
+            "rel",
+            F.when(F.col("matched") == F.col("m"), F.lit(2))
+            .when(F.col("matched") * 2 >= F.col("m"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    )
+
+    def _topk(cdf: DataFrame, order_cols: list, rank_name: str) -> DataFrame:
+        out = cdf
+        if salted:
+            out = out.withColumn(
+                "__salt",
+                F.pmod(F.conv(F.substring(F.md5(
+                    F.col("id").cast("string")), 1, 15), 16, 10)
+                    .cast("bigint"), F.lit(n_salts)))
+            w1 = Window.partitionBy("qid", "__salt").orderBy(*order_cols)
+            out = (out.withColumn("__r1", F.row_number().over(w1))
+                   .where(F.col("__r1") <= k).drop("__r1", "__salt"))
+        w = Window.partitionBy("qid").orderBy(*order_cols)
+        return (out.withColumn(rank_name, F.row_number().over(w))
+                .where(F.col(rank_name) <= k))
+
+    top = _topk(cand, [F.desc("score"), F.asc("id")], "rank")
+    ideal = _topk(cand.where(F.col("rel") > 0),
+                  [F.desc("rel"), F.asc("id")], "irank")
+    idcg = ideal.groupBy("qid").agg(
+        F.sum(F.col("rel") / F.log2(F.col("irank") + F.lit(1.0)))
+        .alias("idcg"))
+    base = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_rel"))
+    topagg = top.groupBy("qid").agg(
+        F.sum((F.col("rel") > 0).cast("long")).alias("hits_at_k"),
+        F.sum(F.col("rel") / F.log2(F.col("rank") + F.lit(1.0)))
+        .alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("frank"))
+    return (
+        base.join(topagg, "qid", "left").join(idcg, "qid", "left")
+        .select(
+            "qid", "n_cand", "n_rel",
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).alias("hits_at_k"),
+            F.round(F.coalesce(F.col("hits_at_k"), F.lit(0))
+                    / F.lit(float(k)), metric_round)
+            .alias("precision_at_k"),
+            F.when(F.col("n_rel") > 0,
+                   F.round(F.coalesce(F.col("hits_at_k"), F.lit(0))
+                           / F.col("n_rel").cast("double"), metric_round))
+            .otherwise(F.lit(0.0)).alias("recall_at_k"),
+            F.when(F.col("frank").isNotNull(),
+                   F.round(F.lit(1.0) / F.col("frank"), metric_round))
+            .otherwise(F.lit(0.0)).alias("mrr_at_k"),
+            F.when(F.coalesce(F.col("idcg"), F.lit(0.0)) > 0.0,
+                   F.round(F.coalesce(F.col("dcg"), F.lit(0.0))
+                           / F.col("idcg"), metric_round))
+            .otherwise(F.lit(0.0)).alias("ndcg_at_k"),
+        )
     )

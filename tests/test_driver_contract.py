@@ -135,6 +135,10 @@ PAST_WINDOW_ORACLED = {
     # r5 late: leakage-safe split (group-hash assignment; invariant +
     # weight/edge fixtures in tests/test_retrieval_sampling.py)
     "leakage_safe_split": "tests/test_retrieval_sampling.py",
+    # r5 late: graded-relevance retrieval metrics over multi-query BM25
+    # (hand-computed NDCG/MRR fixture + salted==unsalted equivalence in
+    # tests/test_retrieval_sampling.py)
+    "retrieval_eval": "tests/test_retrieval_sampling.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -314,3 +314,90 @@ def test_leakage_safe_split_bad_weights_raise(spark):
     with _pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs, "doc_id", groups,
                            splits=(("train", 0.5), ("test", 0.4)))
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval: graded-relevance P/R/MRR/NDCG@k over multi-query BM25
+# ---------------------------------------------------------------------------
+
+def _eval_reference(docs, queries, k, k1=1.2, b=0.75):
+    """Pure-Python mirror of retrieval_eval (same formulas, same
+    rounding, same tie-breaks) for hand-scale fixtures."""
+    toks = {i: t.lower().split() for i, t in docs.items() if t is not None}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, terms in queries.items():
+        terms = sorted({t.lower() for t in terms})
+        m = len(terms)
+        # candidates: docs matching >= 1 term
+        cand = {}
+        dft = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+        for i, v in toks.items():
+            matched = [t for t in terms if t in v]
+            if not matched:
+                continue
+            score = sum(
+                (math.log(1.0 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+                 * v.count(t) * (k1 + 1.0))
+                / (v.count(t) + k1 * (1.0 - b + b * len(v) / avgdl))
+                for t in matched)
+            rel = 2 if len(matched) == m else (
+                1 if 2 * len(matched) >= m else 0)
+            cand[i] = (round(score, 4), rel)
+        ranked = sorted(cand, key=lambda i: (-cand[i][0], i))[:k]
+        ideal = sorted((i for i in cand if cand[i][1] > 0),
+                       key=lambda i: (-cand[i][1], i))[:k]
+        n_rel = sum(1 for i in cand if cand[i][1] > 0)
+        hits = sum(1 for i in ranked if cand[i][1] > 0)
+        dcg = sum(cand[i][1] / math.log2(r + 2)
+                  for r, i in enumerate(ranked))
+        idcg = sum(cand[i][1] / math.log2(r + 2)
+                   for r, i in enumerate(ideal))
+        franks = [r + 1 for r, i in enumerate(ranked) if cand[i][1] > 0]
+        out[qid] = {
+            "n_cand": len(cand), "n_rel": n_rel, "hits_at_k": hits,
+            "precision_at_k": round(hits / float(k), 6),
+            "recall_at_k": round(hits / n_rel, 6) if n_rel else 0.0,
+            "mrr_at_k": round(1.0 / franks[0], 6) if franks else 0.0,
+            "ndcg_at_k": round(dcg / idcg, 6) if idcg > 0 else 0.0,
+        }
+    return out
+
+
+RE_QUERIES = {
+    # qa: doc1 matches both (rel 2), docs 2/3/5 match one (rel 1)
+    "qa": ["spark", "joins"],
+    # qb (m=3): doc3 matches 1 of 3 -> rel 0; doc4 matches 2 -> rel 1
+    "qb": ["joins", "whatsoever", "nothing"],
+}
+
+
+def test_retrieval_eval_matches_reference(tiny_docs):
+    from json_schema_spark.operators.retrieval import retrieval_eval
+
+    got = {r["qid"]: r.asDict() for r in retrieval_eval(
+        tiny_docs, "doc_id", "text", RE_QUERIES, k=2).collect()}
+    docs = {r["doc_id"]: r["text"] for r in tiny_docs.collect()}
+    exp = _eval_reference(docs, RE_QUERIES, k=2)
+    assert set(got) == set(exp)
+    for qid in exp:
+        for key, val in exp[qid].items():
+            assert got[qid][key] == pytest.approx(val, abs=1e-9), (
+                qid, key, got[qid][key], val)
+    # spot-pin the graded tiers the fixture was built for
+    assert exp["qa"]["n_rel"] == 4 and exp["qa"]["recall_at_k"] == 0.5
+    # qb candidates: docs 1 and 3 match only 'joins' (rel 0), doc 4
+    # matches 'nothing'+'whatsoever' (2 of 3 -> rel 1)
+    assert exp["qb"]["n_cand"] == 3 and exp["qb"]["n_rel"] == 1
+
+
+def test_retrieval_eval_salted_equals_unsalted(tiny_docs):
+    from json_schema_spark.operators.retrieval import retrieval_eval
+
+    plain = sorted(retrieval_eval(
+        tiny_docs, "doc_id", "text", RE_QUERIES, k=2).collect())
+    salted = sorted(retrieval_eval(
+        tiny_docs, "doc_id", "text", RE_QUERIES, k=2,
+        salted=True, n_salts=4).collect())
+    assert plain == salted
