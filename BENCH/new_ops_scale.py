@@ -113,9 +113,23 @@ def main() -> None:
             F.round(F.avg("fre"), 4).alias("mean_fre"))),
         # full corpus: jaccard pair graph + components + assignment
         ("leakage_safe_split", None),      # 3 rows
+        # multi-query BM25 + graded metrics (one row per qid)
+        ("retrieval_eval", None),
+        # page build + (href, text) extraction + per-host top-5
+        ("anchor_text", None),             # 7 hosts x 5 rows
     ]
+    only = set(sys.argv[2:])
+    if only:
+        jobs = [(n, c) for n, c in jobs if n in only]
     watch = StageWatch()
+    out_path = os.path.join(HERE, "new_ops_scale.json")
     results: dict = {"n_docs": n_docs}
+    if only and os.path.exists(out_path):
+        # subset run: merge into the existing artifact (same n_docs
+        # only — a different corpus size invalidates the other rows)
+        prev = json.load(open(out_path))
+        if prev.get("n_docs") == n_docs:
+            results = prev
     for name, collapse in jobs:
         def run(name=name, collapse=collapse):
             df = qs[name](spark, sf_dir)
@@ -138,7 +152,7 @@ def main() -> None:
     results["worst_job"] = worst[1]
     results["pass_4x"] = worst[0] <= 4.0
 
-    with open(os.path.join(HERE, "new_ops_scale.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

@@ -985,18 +985,22 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         link_edges(docs, F.col("src_domain"), F.col("page")))
 
 
-def _lattice_link_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lattice_link_docs(spark: SparkSession, sf_dir: str,
+                       anchor_text: bool = False) -> DataFrame:
     """Shared fixture for the link-graph family: synthetic pages whose
     nav carries 1-3 deterministic outbound cross-domain anchors
-    (residue lattice over 7 domains)."""
+    (residue lattice over 7 domains). With ``anchor_text``, link j of
+    doc i carries the two-token visible text 'w{(i+j)%11} v{(i+3j)%5}'
+    — the same residue arithmetic the oracles re-derive."""
     from json_schema_spark.operators.html_extract import wrap_page_links
 
     i = F.col("doc_id")
     key = F.md5(F.concat(F.lit("k:"), i.cast("string")))
     domain = F.concat(F.lit("example"),
                       F.pmod(i, F.lit(7)).cast("string"), F.lit(".com"))
+    seq = F.sequence(F.lit(1), F.pmod(i, F.lit(3)) + 1)
     links = F.transform(
-        F.sequence(F.lit(1), F.pmod(i, F.lit(3)) + 1),
+        seq,
         lambda j: F.concat(
             F.lit("https://example"),
             F.pmod(i + j, F.lit(7)).cast("string"), F.lit(".com/d/"),
@@ -1004,10 +1008,38 @@ def _lattice_link_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.lit(":"), j.cast("string"))),
         ),
     )
+    atexts = None
+    if anchor_text:
+        atexts = F.transform(
+            seq,
+            lambda j: F.concat(
+                F.lit("w"), F.pmod(i + j, F.lit(11)).cast("string"),
+                F.lit(" v"), F.pmod(i + 3 * j, F.lit(5)).cast("string"),
+            ),
+        )
     return (_docs(spark, sf_dir).where(F.col("text").isNotNull())
             .select(i, domain.alias("src_domain"),
-                    wrap_page_links(F.col("text"), key, domain, links)
+                    wrap_page_links(F.col("text"), key, domain, links,
+                                    atexts)
                     .alias("page")))
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text term profile per target host (the
+    WAT-derived anchor-corpus recipe: what OTHER sites call a page).
+    Pages carry lattice-derived two-token anchor texts; hrefs and
+    texts extract as two aligned regexp group captures zipped per
+    match, collapse through one partial-aggregable (dst_d, term)
+    groupBy, and the per-host top-5 runs the SALTED two-stage window
+    (a mega-host bounded to top_m*n_salts rows per task). The oracle
+    re-derives every (dst, term) pair from the residue lattice — an
+    independent derivation, so a break anywhere in page-build/
+    extraction/host-mapping/tokenization/ranking diverges."""
+    from json_schema_spark.operators.html_extract import anchor_text_profile
+
+    docs = _lattice_link_docs(spark, sf_dir, anchor_text=True)
+    return anchor_text_profile(docs, F.col("page"), top_m=5,
+                               salted=True, n_salts=8)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3281,6 +3313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: graded-relevance retrieval metrics (P/R/MRR/NDCG@k) over
         # multi-query BM25 rankings; salted two-stage top-k path
         "retrieval_eval": q_retrieval_eval,
+        # r5: inbound anchor-text term profile per target host
+        # (lattice-derived oracle, salted per-host top-k)
+        "anchor_text": q_anchor_text,
     }
 
 
@@ -5023,6 +5058,32 @@ def oracle_sql() -> dict[str, str]:
         "readability": _readability_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
         "retrieval_eval": _retrieval_eval_sql(),
+        # independent derivation: residue lattice, never the pages
+        "anchor_text": """
+            WITH links AS (
+              SELECT 'example' || CAST((doc_id + j) % 7 AS VARCHAR)
+                       || '.com' AS dst_d,
+                     doc_id, j
+              FROM documents,
+                   unnest(range(1, CAST(doc_id % 3 AS BIGINT) + 2)) AS t(j)
+              WHERE text IS NOT NULL),
+            terms AS (
+              SELECT dst_d,
+                     'w' || CAST((doc_id + j) % 11 AS VARCHAR) AS term
+              FROM links
+              UNION ALL
+              SELECT dst_d,
+                     'v' || CAST((doc_id + 3 * j) % 5 AS VARCHAR) AS term
+              FROM links),
+            agg AS (SELECT dst_d, term, count(*) AS n_refs
+                    FROM terms GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY dst_d
+                      ORDER BY n_refs DESC, term) AS rnk
+                  FROM agg)
+            SELECT dst_d, term, n_refs, rnk AS "rank"
+            FROM r WHERE rnk <= 5
+        """,
         "mixture_execute": """
             WITH mass AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass

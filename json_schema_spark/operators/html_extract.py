@@ -229,14 +229,18 @@ def extract_hrefs(html: Column) -> Column:
 
 
 def wrap_page_links(text: Column, key: Column, domain: Column,
-                    links: Column) -> Column:
+                    links: Column,
+                    anchor_texts: Column | None = None) -> Column:
     """wrap_page variant whose nav carries an arbitrary array of
     absolute outbound links alongside the two relative chrome links —
-    the fixture for link-graph extraction."""
+    the fixture for link-graph extraction. ``anchor_texts`` (aligned
+    with ``links``) sets each anchor's visible text; default 'out'."""
     t = F.md5(F.concat(F.lit("title:"), key))
+    if anchor_texts is None:
+        anchor_texts = F.transform(links, lambda _: F.lit("out"))
     anchors = F.array_join(
-        F.transform(links, lambda u: F.concat(
-            F.lit('<a href="'), u, F.lit('">out</a>'))), "")
+        F.zip_with(links, anchor_texts, lambda u, a: F.concat(
+            F.lit('<a href="'), u, F.lit('">'), a, F.lit("</a>"))), "")
     return F.concat(
         F.lit('<!DOCTYPE html><html lang="en"><head><title>'), t,
         F.lit('</title><meta charset="utf-8"/>'
@@ -454,3 +458,76 @@ def crawl_frontier(
         order_by=[F.desc("n_refs"), F.asc("url")],
         salt_key="url", n_salts=n_salts,
     ).select("url", "host", "n_refs", "host_score", "rank_in_domain")
+
+
+# --- inbound anchor-text aggregation (web-graph target description) -----
+# href AND visible text in one pattern: two capture groups, anchor text
+# restricted to tag-free runs ([^<]*) — the synthetic anchors carry
+# plain words, and nested-markup anchors are out of scope by contract.
+# Java∩RE2 subset (no backreferences, no lookaround).
+HREF_TEXT_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_text_profile(
+    df: DataFrame,
+    html: Column,
+    top_m: int = 3,
+    salted: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per target host, the most frequent inbound anchor-text terms:
+    (dst_d, term, n_refs, rank) with rank <= ``top_m``.
+
+    Why a web corpus pipeline needs this: anchor text is the classic
+    external description of a page (what OTHER sites call it) — used
+    as a retrieval/quality signal and as training text for the target
+    (the WAT-derived anchor corpus recipe). The aggregation is by
+    REGISTRABLE target domain, the same key as the link graph.
+
+    Scale shape: hrefs and their texts extract as two aligned
+    regexp_extract_all arrays over the SAME pattern (group 1 / group
+    2) zipped per match — one codegen projection, page bodies never
+    shuffle; the explode collapses immediately through a partial-
+    aggregable groupBy on (dst_d, term); relative links host to ''
+    and drop BEFORE the shuffle. The per-host top-m window runs the
+    salted two-stage top-k under ``salted=True`` (a mega-host like
+    wikipedia.org receives a large share of all web anchors — the
+    pigeonhole bound caps any one task at top_m * n_salts rows).
+    Determinism: rank orders on (n_refs desc, term asc) — total order,
+    engine-independent.
+    """
+    from pyspark.sql import Window
+
+    from json_schema_spark.operators.textstats import (
+        registrable_domain, url_host, ws_tokens,
+    )
+
+    pairs = df.select(
+        F.explode(F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(HREF_TEXT_RE), 1),
+            F.regexp_extract_all(html, F.lit(HREF_TEXT_RE), 2),
+        )).alias("a"))
+    host = url_host(F.col("a.0"))
+    terms = (
+        pairs.select(registrable_domain(host).alias("dst_d"),
+                     host.alias("h"),
+                     F.explode(ws_tokens(F.lower(F.col("a.1"))))
+                     .alias("term"))
+        .where(F.col("h") != "")
+        .groupBy("dst_d", "term")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    order = [F.desc("n_refs"), F.asc("term")]
+    out = terms
+    if salted:
+        out = out.withColumn(
+            "__salt",
+            F.pmod(F.conv(F.substring(F.md5(F.col("term")), 1, 15),
+                          16, 10).cast("bigint"), F.lit(n_salts)))
+        w1 = Window.partitionBy("dst_d", "__salt").orderBy(*order)
+        out = (out.withColumn("__r1", F.row_number().over(w1))
+               .where(F.col("__r1") <= top_m).drop("__r1", "__salt"))
+    w = Window.partitionBy("dst_d").orderBy(*order)
+    return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_m)
+            .select("dst_d", "term", "n_refs", "rank"))

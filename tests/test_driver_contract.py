@@ -139,6 +139,10 @@ PAST_WINDOW_ORACLED = {
     # (hand-computed NDCG/MRR fixture + salted==unsalted equivalence in
     # tests/test_retrieval_sampling.py)
     "retrieval_eval": "tests/test_retrieval_sampling.py",
+    # r5 late: inbound anchor-text term profile per target host
+    # (hand fixture: chrome/relative drop, subdomain collapse, ties,
+    # salted==unsalted in tests/test_html_extract.py)
+    "anchor_text": "tests/test_html_extract.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -297,3 +297,51 @@ def test_oracle_sql_duckdb_parity_on_hostile(spark, tmp_path):
             s.sum_text_chars) == tuple(d[:5])
     assert s.n_byte_identical == len(HOSTILE)
     assert abs(s.markup_ratio - d[5]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# anchor_text_profile: inbound anchor-text terms per target host
+# ---------------------------------------------------------------------------
+
+ANCHOR_PAGES = [
+    # two absolute anchors to a.com ('big cat', 'big dog'), one with
+    # attributes AFTER the href; chrome/relative anchors must drop
+    (1, '<a href="https://a.com/x">big cat</a>'
+        '<a href="/rel">never counted</a>'
+        '<a href="https://a.com/y" class="z" id="q">big dog</a>'),
+    # subdomain collapses to the registrable domain; empty anchor
+    # text contributes no terms; case folds
+    (2, '<a href="https://news.a.com/z">BIG</a>'
+        '<a href="https://b.org/1"></a>'
+        '<a href="https://b.org/2">tie-a tie-b</a>'),
+]
+
+
+def test_anchor_text_profile_hand_fixture(spark):
+    from json_schema_spark.operators.html_extract import anchor_text_profile
+
+    df = spark.createDataFrame(ANCHOR_PAGES, "id int, page string")
+    got = {(r.dst_d, r.term): (r.n_refs, r.rank)
+           for r in anchor_text_profile(df, F.col("page"), top_m=10).collect()}
+    # a.com: big x3 (incl. subdomain + case fold), cat/dog x1
+    assert got[("a.com", "big")] == (3, 1)
+    assert got[("a.com", "cat")] == (1, 2)   # tie with dog -> term asc
+    assert got[("a.com", "dog")] == (1, 3)
+    # b.org: only the two-token anchor contributes
+    assert got[("b.org", "tie-a")] == (1, 1)
+    assert got[("b.org", "tie-b")] == (1, 2)
+    # relative link text never appears anywhere
+    assert not any(t in ("never", "counted") for _, t in got)
+
+
+def test_anchor_text_profile_topm_and_salted(spark):
+    from json_schema_spark.operators.html_extract import anchor_text_profile
+
+    df = spark.createDataFrame(ANCHOR_PAGES, "id int, page string")
+    plain = sorted(anchor_text_profile(df, F.col("page"), top_m=2).collect())
+    salted = sorted(anchor_text_profile(
+        df, F.col("page"), top_m=2, salted=True, n_salts=4).collect())
+    assert plain == salted
+    assert all(r.rank <= 2 for r in plain)
+    # the rank-3 a.com term is cut
+    assert ("a.com", "dog") not in {(r.dst_d, r.term) for r in plain}
