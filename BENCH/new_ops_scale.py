@@ -117,6 +117,10 @@ def main() -> None:
         ("retrieval_eval", None),
         # page build + (href, text) extraction + per-host top-5
         ("anchor_text", None),             # 7 hosts x 5 rows
+        # full-corpus explode -> (doc, type) counts -> entropy fold
+        ("token_entropy", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("norm_entropy"), 6).alias("mean_norm_h"))),
     ]
     only = set(sys.argv[2:])
     if only:

@@ -1042,6 +1042,18 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                                salted=True, n_salts=8)
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution + type-
+    token ratio (information-theoretic repetitiveness gate; normalized
+    entropy is length-independent). Token-array size rides the explode
+    (the bm25 `dl` trick) so the whole op is two partial-aggregable
+    groupBys with NO doc-level join or window
+    (operators/quality.py:token_entropy)."""
+    from json_schema_spark.operators.quality import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host link graph (power iteration,
     damping 0.85, 10 iterations, uniform dangling redistribution).
@@ -3316,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: inbound anchor-text term profile per target host
         # (lattice-derived oracle, salted per-host top-k)
         "anchor_text": q_anchor_text,
+        # r5: per-doc token-distribution entropy + type-token ratio
+        "token_entropy": q_token_entropy,
     }
 
 
@@ -5083,6 +5097,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM agg)
             SELECT dst_d, term, n_refs, rnk AS "rank"
             FROM r WHERE rnk <= 5
+        """,
+        "token_entropy": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (
+              SELECT doc_id, len(t) AS dl, u.tok AS tok
+              FROM toks, UNNEST(t) AS u(tok)),
+            counts AS (
+              SELECT doc_id, dl, tok, count(*) AS c
+              FROM ex GROUP BY 1, 2, 3),
+            agg AS (
+              SELECT doc_id, dl, count(*) AS n_types,
+                     round(sum((c / dl) * log2(dl / c)), 6) AS entropy
+              FROM counts GROUP BY 1, 2)
+            SELECT doc_id, dl AS n_tokens, n_types,
+                   round(n_types / dl, 6) AS ttr,
+                   entropy,
+                   CASE WHEN dl > 1
+                        THEN round(entropy / log2(dl), 6)
+                        ELSE 0.0 END AS norm_entropy
+            FROM agg
         """,
         "mixture_execute": """
             WITH mass AS (

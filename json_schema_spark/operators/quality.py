@@ -61,6 +61,7 @@ __all__ = [
     "cross_contamination",
     "line_boilerplate_dedup",
     "compression_ratio",
+    "token_entropy",
     "PII_PATTERNS",
     "pii_counts",
     "pii_redact",
@@ -884,3 +885,58 @@ def c4_rules(
         & ~F.col("has_javascript_line")
     )
     return sig.withColumn("passes_c4", F.coalesce(passes, F.lit(False)))
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str,
+                  round_to: int = 6) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, plus
+    type-token ratio: (id, n_tokens, n_types, ttr, entropy,
+    norm_entropy).
+
+    Why: low token entropy is the information-theoretic repetitiveness
+    signal — a doc that is one phrase looped scores near 0 bits while
+    natural prose sits near its length ceiling; normalized entropy
+    (H / log2(n_tokens)) makes the gate length-independent, and TTR is
+    the classic lexical-diversity companion. Both are standard cheap
+    pre-filters before validation/training.
+
+    Scale shape: the token array materializes once and its SIZE rides
+    the explode as ``dl`` (the bm25 trick), so per-token counts and
+    the per-doc fold are TWO partial-aggregable groupBys with NO
+    doc-level join and no window; the per-(doc, token) shuffle is the
+    same volume dup_span_coverage already ships. The O(tokens^2)
+    HOF-per-distinct-token shape (count each type via array scans) is
+    the trap this module documents — not used.
+
+    H = sum over types of (c/n) * log2(n/c)  (the log2(n/c) form makes
+    a single-type doc exactly 0.0, no -0.0 edge); entropy and ttr
+    round to ``round_to`` (cross-engine fp sum-order parity rule).
+    Docs with no tokens (NULL/empty/whitespace text) carry no
+    distribution and are omitted — gate them with c4/gopher rules.
+    """
+    did = F.col(id_col)
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        did.alias("id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select("id", F.size("__toks").alias("dl"),
+             F.explode("__toks").alias("tok"))
+    counts = toks.groupBy("id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    h = F.sum((F.col("c") / F.col("dl"))
+              * F.log2(F.col("dl") / F.col("c")))
+    return (
+        counts.groupBy("id", "dl")
+        .agg(F.count(F.lit(1)).alias("n_types"),
+             F.round(h, round_to).alias("entropy"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dl").alias("n_tokens"),
+            "n_types",
+            F.round(F.col("n_types") / F.col("dl"), round_to).alias("ttr"),
+            "entropy",
+            F.when(F.col("dl") > 1,
+                   F.round(F.col("entropy") / F.log2(F.col("dl")),
+                           round_to))
+            .otherwise(F.lit(0.0)).alias("norm_entropy"),
+        )
+    )

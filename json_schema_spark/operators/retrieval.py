@@ -230,6 +230,14 @@ def retrieval_eval(
             .when(F.col("matched") * 2 >= F.col("m"), F.lit(1))
             .otherwise(F.lit(0)),
         )
+        # three consumers below (ranking window, ideal window, base
+        # aggregates) — without a reuse barrier each re-runs the whole
+        # tokenize+explode+double-groupBy pipeline (ReusedExchange does
+        # NOT fire across separate actionsless branches; measured 3x
+        # ~13 s stages at the 1M-doc soak). cand is the post-aggregation
+        # (qid, matching-doc) table — bounded by query selectivity, the
+        # operator's documented scale contract.
+        .localCheckpoint(eager=False)
     )
 
     def _topk(cdf: DataFrame, order_cols: list, rank_name: str) -> DataFrame:

@@ -143,6 +143,10 @@ PAST_WINDOW_ORACLED = {
     # (hand fixture: chrome/relative drop, subdomain collapse, ties,
     # salted==unsalted in tests/test_html_extract.py)
     "anchor_text": "tests/test_html_extract.py",
+    # r5 late: per-doc token-distribution entropy + TTR (hand-computed
+    # bit values incl. uniform-ceiling/case-fold/single-token edges in
+    # tests/test_quality.py)
+    "token_entropy": "tests/test_quality.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

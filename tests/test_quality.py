@@ -419,3 +419,34 @@ def test_line_boilerplate_dedup_values(spark):
             line_boilerplate_dedup(df, "doc_id", "text",
                                    hash_bits=128).collect()}
     assert wide == got
+
+
+# ---------------------------------------------------------------------------
+# token_entropy: per-doc Shannon entropy + type-token ratio
+# ---------------------------------------------------------------------------
+
+def test_token_entropy_hand_values(spark):
+    import math
+
+    from json_schema_spark.operators.quality import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "loop"), (3, "x y z w"), (4, ""), (5, None),
+         (6, "Case CASE case")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in token_entropy(df, "doc_id", "text").collect()}
+    # doc 1: n=3, types {a:2, b:1} -> H = 2/3*log2(3/2) + 1/3*log2(3)
+    h1 = (2 / 3) * math.log2(3 / 2) + (1 / 3) * math.log2(3)
+    assert got[1].n_tokens == 3 and got[1].n_types == 2
+    assert got[1].entropy == round(h1, 6)
+    assert got[1].norm_entropy == round(round(h1, 6) / math.log2(3), 6)
+    assert got[1].ttr == round(2 / 3, 6)
+    # single-token doc: exactly 0.0 (log2(n/c) form, no -0.0 edge)
+    assert got[2].entropy == 0.0 and got[2].norm_entropy == 0.0
+    assert got[2].ttr == 1.0
+    # uniform distribution hits the length ceiling: norm_entropy == 1
+    assert got[3].entropy == 2.0 and got[3].norm_entropy == 1.0
+    # case folds to ONE type -> zero entropy
+    assert got[6].n_types == 1 and got[6].entropy == 0.0
+    # empty / NULL texts carry no distribution
+    assert 4 not in got and 5 not in got
