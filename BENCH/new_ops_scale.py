@@ -121,6 +121,8 @@ def main() -> None:
         ("token_entropy", lambda d: d.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("norm_entropy"), 6).alias("mean_norm_h"))),
+        # unigram + bigram counts -> vocab joins -> top-50 (50 rows)
+        ("pmi_collocations", None),
     ]
     only = set(sys.argv[2:])
     if only:

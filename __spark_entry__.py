@@ -1054,6 +1054,19 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information (Church
+    & Hanks 1990) — the multi-word-expression signal for tokenizer
+    vocabulary curation and boilerplate phrasing. One tokenize
+    projection, partial-aggregable unigram/bigram counts, vocabulary-
+    sized joins, TakeOrdered top-k on rounded PMI
+    (operators/vocab.py:pmi_collocations)."""
+    from json_schema_spark.operators.vocab import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), "text",
+                            min_count=5, topk=50)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host link graph (power iteration,
     damping 0.85, 10 iterations, uniform dangling redistribution).
@@ -3330,6 +3343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         # r5: per-doc token-distribution entropy + type-token ratio
         "token_entropy": q_token_entropy,
+        # r5: PMI bigram collocations (MWE / vocabulary-curation signal)
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -5123,6 +5138,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(entropy / log2(dl), 6)
                         ELSE 0.0 END AS norm_entropy
             FROM agg
+        """,
+        "pmi_collocations": """
+            WITH toks AS (
+              SELECT CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            scal AS (
+              SELECT sum(len(t)) AS n_corpus,
+                     sum(greatest(len(t) - 1, 0)) AS b_corpus
+              FROM toks),
+            uni AS (
+              SELECT u.tok AS tok, count(*) AS n_tok
+              FROM toks, UNNEST(t) AS u(tok) GROUP BY 1),
+            pairs AS (
+              SELECT t[i.g] AS w1, t[i.g + 1] AS w2
+              FROM toks,
+                   UNNEST(generate_series(1, len(t) - 1)) AS i(g)
+              WHERE len(t) >= 2),
+            big AS (
+              SELECT w1, w2, count(*) AS n_pair
+              FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+            scored AS (
+              SELECT b.w1, b.w2, b.n_pair,
+                     u1.n_tok AS n_w1, u2.n_tok AS n_w2,
+                     round(log2((b.n_pair / s.b_corpus)
+                                / ((u1.n_tok / s.n_corpus)
+                                   * (u2.n_tok / s.n_corpus))), 6) AS pmi
+              FROM big b
+              JOIN uni u1 ON u1.tok = b.w1
+              JOIN uni u2 ON u2.tok = b.w2
+              CROSS JOIN scal s),
+            top AS (
+              SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50)
+            SELECT w1, w2, n_pair, n_w1, n_w2, pmi,
+                   CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2)
+                        AS INT) AS "rank"
+            FROM top
         """,
         "mixture_execute": """
             WITH mass AS (

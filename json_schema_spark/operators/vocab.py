@@ -44,6 +44,7 @@ from .textstats import ws_tokens
 __all__ = [
     "heaps_profile",
     "zipf_profile",
+    "pmi_collocations",
     "winnow_fingerprints",
     "winnow_near_dup",
     "build_postings",
@@ -337,3 +338,77 @@ def build_postings(
     return postings.join(band, "term").select(
         "term", "term_df", "doc_id", "n_occ", "positions"
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    topk: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``topk`` bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): (w1, w2, n_pair, n_w1, n_w2, pmi, rank).
+
+    PMI = log2( (c12/B) / ((c1/N) * (c2/N)) ) with N = corpus token
+    count, B = corpus bigram (adjacency) count; bigrams never cross
+    document boundaries.  High-PMI pairs are multi-word expressions —
+    the standard corpus-linguistics signal for tokenizer vocabulary
+    curation (which word pairs deserve a merged token) and for spotting
+    templated/boilerplate phrasing.  ``min_count`` floors c12 (PMI of
+    hapax pairs is pure noise and maximal — the classic failure mode).
+
+    Scale shape: ONE tokenize projection feeds both explodes; unigram
+    and bigram counts are partial-aggregable groupBys; the unigram
+    table re-joins the (min_count-floored, so already small) bigram
+    table by plain shuffle joins on the token key — vocabulary-sized
+    inputs, NOT corpus-sized, and AQE broadcasts them when small;
+    corpus scalars (N, B) re-enter as one broadcast row.  The final
+    top-k is TakeOrdered on (pmi desc, w1, w2) over rounded PMI —
+    deterministic and engine-independent.
+    """
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(ws_tokens(F.lower(F.col(text_col))).alias("__toks"))
+    )
+    uni = (
+        toks.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    pairs = (
+        toks.where(F.size("__toks") >= 2)
+        .select(F.explode(F.arrays_zip(
+            F.slice(F.col("__toks"), 1, F.size("__toks") - 1).alias("w1"),
+            F.slice(F.col("__toks"), 2, F.size("__toks") - 1).alias("w2"),
+        )).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    scal = toks.agg(
+        F.sum(F.size("__toks")).alias("n_corpus"),
+        F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).alias("b_corpus"),
+    )
+    scored = (
+        big.join(uni.select(F.col("tok").alias("w1"),
+                            F.col("n_tok").alias("n_w1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"),
+                         F.col("n_tok").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            F.round(F.log2(
+                (F.col("n_pair") / F.col("b_corpus"))
+                / ((F.col("n_w1") / F.col("n_corpus"))
+                   * (F.col("n_w2") / F.col("n_corpus")))), round_to)
+            .alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(topk)
+    )
+    return scored.select(
+        "*",
+        F.row_number().over(Window.orderBy(
+            F.desc("pmi"), F.asc("w1"), F.asc("w2"))).alias("rank"))

@@ -147,6 +147,9 @@ PAST_WINDOW_ORACLED = {
     # bit values incl. uniform-ceiling/case-fold/single-token edges in
     # tests/test_quality.py)
     "token_entropy": "tests/test_quality.py",
+    # r5 late: PMI bigram collocations (hand-computed PMI, min_count
+    # floor, no-cross-doc-bigram edge in tests/test_vocab.py)
+    "pmi_collocations": "tests/test_vocab.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -296,3 +296,42 @@ def test_readability_plan_has_no_shuffle(spark):
     plan = readability_profile(df, "doc_id", "text")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations: PMI bigram collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_collocations_hand_values(spark):
+    import math
+
+    from json_schema_spark.operators.vocab import pmi_collocations
+
+    df = spark.createDataFrame(
+        [("hong kong is big and hong kong is old",),
+         ("new york and hong kong",), ("big and old and new",),
+         (None,), ("",)],
+        "text string")
+    got = {(r.w1, r.w2): r for r in pmi_collocations(
+        df, "text", min_count=2, topk=10).collect()}
+    # corpus: N = 9 + 5 + 5 = 19 tokens, B = 8 + 4 + 4 = 16 bigrams
+    n, b = 19, 16
+    # 'hong kong' x3 (never crosses doc bounds), hong x3, kong x3
+    exp = round(math.log2((3 / b) / ((3 / n) * (3 / n))), 6)
+    r = got[("hong", "kong")]
+    assert (r.n_pair, r.n_w1, r.n_w2, r.pmi) == (3, 3, 3, exp)
+    # min_count floors hapax pairs: 'york and' occurs once -> absent
+    assert ("york", "and") not in got
+    # determinism: ranks are 1..len with the (pmi desc, w1, w2) order
+    ranks = sorted(r.rank for r in got.values())
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_pmi_collocations_no_cross_document_bigrams(spark):
+    from json_schema_spark.operators.vocab import pmi_collocations
+
+    # 'b a' would only exist across the document boundary
+    df = spark.createDataFrame([("a b",), ("a b",)], "text string")
+    got = {(r.w1, r.w2) for r in pmi_collocations(
+        df, "text", min_count=1, topk=10).collect()}
+    assert got == {("a", "b")}
