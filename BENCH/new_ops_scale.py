@@ -123,6 +123,10 @@ def main() -> None:
             F.round(F.avg("norm_entropy"), 6).alias("mean_norm_h"))),
         # unigram + bigram counts -> vocab joins -> top-50 (50 rows)
         ("pmi_collocations", None),
+        # key-normalize projection + min-rep agg + reused-exchange join
+        ("bitext_candidates", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("pair_key").alias("n_keys"))),
     ]
     only = set(sys.argv[2:])
     if only:

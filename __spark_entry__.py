@@ -1067,6 +1067,30 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                             min_count=5, topk=50)
 
 
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-parallel bitext candidate mining (ParaCrawl/CCMatrix URL
+    matching): synthesize per-doc URLs whose path carries the doc's
+    language segment over a shared (site, slug) residue lattice, then
+    pair pages identical up to that segment. Segment detection +
+    normalization are one codegen regexp projection; representatives
+    are a partial-aggregable min per (key, lang); the pairing
+    self-join reuses its own aggregate exchange and fans out at most
+    C(|langs|,2) per key — no skew, no salt
+    (operators/textstats.py:bitext_candidates). Oracle derives pairs
+    straight from the residue arithmetic, never parsing URLs."""
+    from json_schema_spark.operators.textstats import bitext_candidates
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://site"), F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit(".com/"), F.col("lang"), F.lit("/art/"),
+        F.pmod(F.col("doc_id"), F.lit(17)).cast("string"))
+    return bitext_candidates(
+        d.select("doc_id", url.alias("url")), "doc_id", "url",
+        langs=["de", "en", "es", "fr", "zh"],
+    ).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host link graph (power iteration,
     damping 0.85, 10 iterations, uniform dangling redistribution).
@@ -3345,6 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         # r5: PMI bigram collocations (MWE / vocabulary-curation signal)
         "pmi_collocations": q_pmi_collocations,
+        # r5: URL-parallel bitext candidate mining (lattice oracle)
+        "bitext_candidates": q_bitext_candidates,
     }
 
 
@@ -5177,6 +5203,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2)
                         AS INT) AS "rank"
             FROM top
+        """,
+        # independent derivation: the (site, slug) residue lattice,
+        # never the synthesized URLs
+        "bitext_candidates": """
+            WITH k AS (
+              SELECT doc_id, lang,
+                     'https://site' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.com/_/art/' || CAST(doc_id % 17 AS VARCHAR)
+                       AS pair_key
+              FROM documents),
+            reps AS (
+              SELECT pair_key, lang, min(doc_id) AS rep_id
+              FROM k GROUP BY 1, 2)
+            SELECT a.pair_key,
+                   a.lang AS lang_a, a.rep_id AS doc_a,
+                   b.lang AS lang_b, b.rep_id AS doc_b
+            FROM reps a JOIN reps b USING (pair_key)
+            WHERE a.lang < b.lang
         """,
         "mixture_execute": """
             WITH mass AS (

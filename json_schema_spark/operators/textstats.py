@@ -454,3 +454,56 @@ def readability_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(F.col("__text").isNotNull() & (n_words > 0), fre)
         .alias("fre"),
     )
+
+
+def bitext_candidates(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    langs: list[str],
+) -> DataFrame:
+    """URL-parallel bitext candidate pairs (the ParaCrawl/CCMatrix
+    URL-matching recipe): two pages whose URLs are identical except
+    for a recognized language path segment are candidate translations.
+
+    Per URL with a ``/<lang>/`` segment (first match; ``langs`` is the
+    recognized set), the key is the URL with that segment replaced by
+    ``/_/``.  Within each (key, lang), the representative is the
+    MINIMUM id (deduplicating same-language revisits before pairing —
+    standard practice).  Output: one row per unordered language pair
+    per key, (pair_key, lang_a, id_a, lang_b, id_b) with
+    lang_a < lang_b.
+
+    Scale shape: segment detection and key normalization are ONE
+    codegen regexp projection (no UDF); representative selection is a
+    partial-aggregable min per (key, lang); the pairing self-join is
+    keyed on the normalized URL — BOTH sides come from the same
+    aggregate, so the exchange is reused, co-partitioned, and per-key
+    fanout is bounded by |langs| (a key yields at most C(|langs|, 2)
+    pairs) — no skew, no salt needed, page bodies never touched.
+    Determinism: regexp_extract takes the FIRST lang segment; min-id
+    representatives and the lang_a < lang_b order make the pair set
+    engine-independent.
+    """
+    alt = "|".join(sorted(langs))
+    pat = f"/({alt})/"
+    url = F.col(url_col)
+    keyed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.regexp_extract(url, pat, 1).alias("seg_lang"),
+            F.regexp_replace(url, pat, "/_/").alias("pair_key"),
+        )
+        .where(F.col("seg_lang") != "")
+    )
+    reps = keyed.groupBy("pair_key", "seg_lang").agg(
+        F.min("id").alias("rep_id"))
+    a = reps.select("pair_key", F.col("seg_lang").alias("lang_a"),
+                    F.col("rep_id").alias("id_a"))
+    b = reps.select("pair_key", F.col("seg_lang").alias("lang_b"),
+                    F.col("rep_id").alias("id_b"))
+    return (
+        a.join(b, "pair_key")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .select("pair_key", "lang_a", "id_a", "lang_b", "id_b")
+    )

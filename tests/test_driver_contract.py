@@ -150,6 +150,10 @@ PAST_WINDOW_ORACLED = {
     # r5 late: PMI bigram collocations (hand-computed PMI, min_count
     # floor, no-cross-doc-bigram edge in tests/test_vocab.py)
     "pmi_collocations": "tests/test_vocab.py",
+    # r5 late: URL-parallel bitext candidate mining (min-id reps,
+    # unrecognized-segment drops, all-combos pairing in
+    # tests/test_weburl.py)
+    "bitext_candidates": "tests/test_weburl.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -163,3 +163,36 @@ def test_robots_verdict_longest_match_and_ties(spark):
            for r in robots_verdict(urls, rules).collect()}
     assert got == {1: (False, 3), 2: (True, 5), 3: (True, 4),
                    4: (True, 0), 5: (True, 0)}
+
+
+# ---------------------------------------------------------------------------
+# bitext_candidates: URL-parallel bitext candidate mining
+# ---------------------------------------------------------------------------
+
+def test_bitext_candidates_hand_fixture(spark):
+    from json_schema_spark.operators.textstats import bitext_candidates
+
+    rows = [
+        (1, "https://a.com/en/art/x"),
+        (2, "https://a.com/de/art/x"),     # partner of 1
+        (3, "https://a.com/en/art/x"),     # same-lang revisit: 1 wins (min id)
+        (4, "https://a.com/fr/art/y"),     # no partner
+        (5, "https://b.org/docs/plain"),   # no recognized segment: dropped
+        (6, "https://a.com/zz/art/x"),     # unrecognized lang code: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = [tuple(r) for r in bitext_candidates(
+        df, "doc_id", "url", langs=["de", "en", "fr"]).collect()]
+    assert got == [("https://a.com/_/art/x", "de", 2, "en", 1)]
+
+
+def test_bitext_candidates_pairs_all_lang_combos(spark):
+    from json_schema_spark.operators.textstats import bitext_candidates
+
+    rows = [(i, f"https://s.com/{lang}/p/1")
+            for i, lang in enumerate(["de", "en", "fr"])]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {(r.lang_a, r.lang_b) for r in bitext_candidates(
+        df, "doc_id", "url", langs=["de", "en", "fr"]).collect()}
+    # one unordered pair per language combination, lang_a < lang_b
+    assert got == {("de", "en"), ("de", "fr"), ("en", "fr")}
