@@ -127,6 +127,11 @@ def main() -> None:
         ("bitext_candidates", lambda d: d.agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("pair_key").alias("n_keys"))),
+        # trigram explode + five broadcast lookups + per-doc fold
+        ("stupid_backoff", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trigrams").alias("n_trigrams"),
+            F.round(F.avg("sb_score"), 4).alias("mean_score"))),
     ]
     only = set(sys.argv[2:])
     if only:

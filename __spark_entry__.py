@@ -1091,6 +1091,21 @@ def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
 
 
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram score under a stupid-backoff LM (Brants et
+    al. 2007 — the web-scale LM: counts + constant backoff, no
+    discounting) trained on the English reference slice, hashed into
+    a 4096-bucket md5 feature space so every count table is bounded
+    and broadcast — the corpus never shuffles on vocabulary
+    (operators/lm.py:stupid_backoff_score)."""
+    from json_schema_spark.operators.lm import stupid_backoff_score
+
+    return stupid_backoff_score(
+        _docs(spark, sf_dir), "doc_id", "text",
+        is_reference=F.col("lang") == "en", n_buckets=4096,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host link graph (power iteration,
     damping 0.85, 10 iterations, uniform dangling redistribution).
@@ -3371,6 +3386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         # r5: URL-parallel bitext candidate mining (lattice oracle)
         "bitext_candidates": q_bitext_candidates,
+        # r5: stupid-backoff trigram LM score (hashed count tables)
+        "stupid_backoff": q_stupid_backoff,
     }
 
 
@@ -5221,6 +5238,77 @@ def oracle_sql() -> dict[str, str]:
                    b.lang AS lang_b, b.rep_id AS doc_b
             FROM reps a JOIN reps b USING (pair_key)
             WHERE a.lang < b.lang
+        """,
+        "stupid_backoff": """
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en') AS ref,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            tri AS (
+              SELECT doc_id, ref,
+                     ('0x' || substr(md5(t[i.g-2] || chr(31) || t[i.g-1]
+                        || chr(31) || t[i.g] || '#5'), 1, 15))::BIGINT
+                       % 4096 AS tri_key,
+                     ('0x' || substr(md5(t[i.g-2] || chr(31) || t[i.g-1]
+                        || '#6'), 1, 15))::BIGINT % 4096 AS ctx2_key,
+                     ('0x' || substr(md5(t[i.g-1] || chr(31) || t[i.g]
+                        || '#6'), 1, 15))::BIGINT % 4096 AS bi_key,
+                     ('0x' || substr(md5(t[i.g-1] || '#7'), 1, 15))::BIGINT
+                       % 4096 AS w2_key,
+                     ('0x' || substr(md5(t[i.g] || '#7'), 1, 15))::BIGINT
+                       % 4096 AS w3_key
+              FROM toks, UNNEST(generate_series(3, len(t))) AS i(g)),
+            ref_bi AS (
+              SELECT ('0x' || substr(md5(t[i.g-1] || chr(31) || t[i.g]
+                        || '#6'), 1, 15))::BIGINT % 4096 AS bi_key
+              FROM toks, UNNEST(generate_series(2, len(t))) AS i(g)
+              WHERE ref),
+            ref_uni AS (
+              SELECT u.tok AS tok,
+                     ('0x' || substr(md5(u.tok || '#7'), 1, 15))::BIGINT
+                       % 4096 AS uni_key
+              FROM toks, UNNEST(t) AS u(tok) WHERE ref),
+            c3 AS (SELECT tri_key, count(*) AS c3
+                   FROM tri WHERE ref GROUP BY 1),
+            c2 AS (SELECT bi_key, count(*) AS c2
+                   FROM ref_bi GROUP BY 1),
+            c1 AS (SELECT uni_key, count(*) AS c1
+                   FROM ref_uni GROUP BY 1),
+            scal AS (SELECT count(*) AS n_ref,
+                            count(DISTINCT tok) AS v_size
+                     FROM ref_uni),
+            logs AS (
+              SELECT tri.doc_id,
+                     CASE WHEN c3.c3 IS NOT NULL
+                          THEN ln(c3.c3 / cx.c_ctx2)
+                          WHEN cb.c2 IS NOT NULL
+                          THEN ln((0.4 * cb.c2) / u2.c_w2)
+                          ELSE ln(((0.4 * 0.4)
+                                   * (coalesce(u3.c_w3, 0) + 1))
+                                  / (s.n_ref + s.v_size))
+                     END AS l
+              FROM tri
+              LEFT JOIN c3 USING (tri_key)
+              LEFT JOIN (SELECT bi_key AS ctx2_key, c2 AS c_ctx2
+                         FROM c2) cx USING (ctx2_key)
+              LEFT JOIN c2 cb USING (bi_key)
+              LEFT JOIN (SELECT uni_key AS w2_key, c1 AS c_w2
+                         FROM c1) u2 USING (w2_key)
+              LEFT JOIN (SELECT uni_key AS w3_key, c1 AS c_w3
+                         FROM c1) u3 USING (w3_key)
+              CROSS JOIN scal s),
+            per AS (
+              SELECT doc_id, count(*) AS n_trigrams,
+                     round(exp(-avg(l)), 6) AS sb_score
+              FROM logs GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(p.n_trigrams, 0) AS n_trigrams,
+                   p.sb_score
+            FROM (SELECT doc_id FROM toks) d
+            LEFT JOIN per p USING (doc_id)
         """,
         "mixture_execute": """
             WITH mass AS (

@@ -149,3 +149,138 @@ def bigram_lm_perplexity(
             "perplexity",
         )
     )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_reference: Column,
+    backoff: float = 0.4,
+    n_buckets: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document trigram score under a stupid-backoff LM (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    web-scale LM recipe: no discounting, no normalization, just counts
+    and a constant backoff factor) trained on the ``is_reference``
+    rows:
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)        if trigram seen
+                      = 0.4  * c(w2 w3) / c(w2)       elif bigram seen
+                      = 0.4² * (c(w3) + 1) / (N + V)  else (add-one
+                        floor so unseen words score > 0 — documented
+                        deviation from the paper's c(w)/N, which is 0
+                        on OOV)
+
+    score(d) = exp(-mean over d's trigram positions of ln S); docs
+    with < 3 tokens emit NULL (no trigram evidence), the same
+    convention as bigram_lm_perplexity.  Emits (id, n_trigrams,
+    sb_score).
+
+    Scale shape: identical to bigram_lm_perplexity — tokens
+    materialized once; trigram/bigram/unigram count tables come from
+    partial-aggregable groupBys over the reference slice; with
+    ``n_buckets`` every table hashes into a fixed md5 feature space
+    (seeds #5/#6/#7), stays BOUNDED, and re-enters as a broadcast, so
+    the corpus never shuffles on vocabulary; N and V are two broadcast
+    scalars.  One bigram table serves both the trigram denominator
+    (w1 w2) and the backoff numerator (w2 w3) — two lookups, one
+    table.  The backoff CASE is null-gated on the LEFT-join results,
+    branch-free per level.
+    """
+    did = F.col(id_col)
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        did.alias("id"),
+        is_reference.cast("boolean").alias("__ref"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    sep = "\x1f"
+
+    def _tri(t):  # trigram position structs, empty for n < 3
+        return F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(2), F.size(t) - 1),
+                lambda i: F.struct(
+                    t[i - 2].alias("w1"), t[i - 1].alias("w2"),
+                    t[i].alias("w3")),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string,w3:string>>"))
+
+    def _bi(t):  # bigram position structs, empty for n < 2
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(t[i - 1].alias("p"), t[i].alias("c")),
+            ),
+        ).otherwise(F.array().cast("array<struct<p:string,c:string>>"))
+
+    def _k(col: Column, seed: int) -> Column:
+        return (_bucket(col, seed=seed, buckets=n_buckets)
+                if n_buckets else col)
+
+    tri = toks.select(
+        "id", "__ref", F.explode(_tri(F.col("__toks"))).alias("g"),
+    ).select(
+        "id", "__ref",
+        _k(F.concat_ws(sep, "g.w1", "g.w2", "g.w3"), 5).alias("tri_key"),
+        _k(F.concat_ws(sep, "g.w1", "g.w2"), 6).alias("ctx2_key"),
+        _k(F.concat_ws(sep, "g.w2", "g.w3"), 6).alias("bi_key"),
+        _k(F.col("g.w2"), 7).alias("w2_key"),
+        _k(F.col("g.w3"), 7).alias("w3_key"),
+    )
+    ref_bi = toks.where(F.col("__ref")).select(
+        F.explode(_bi(F.col("__toks"))).alias("b"))
+    ref_uni = toks.where(F.col("__ref")).select(
+        F.explode("__toks").alias("t"))
+    c3 = tri.where(F.col("__ref")).groupBy("tri_key").agg(
+        F.count(F.lit(1)).alias("c3"))
+    c2 = ref_bi.select(
+        _k(F.concat_ws(sep, "b.p", "b.c"), 6).alias("bi_key"),
+    ).groupBy("bi_key").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = ref_uni.select(_k(F.col("t"), 7).alias("uni_key")).groupBy(
+        "uni_key").agg(F.count(F.lit(1)).alias("c1"))
+    scal = ref_uni.agg(
+        F.count(F.lit(1)).alias("n_ref"),
+        F.count_distinct("t").alias("v_size"))
+    if n_buckets:  # bounded tables -> broadcast; corpus never shuffles
+        c3, c2, c1 = F.broadcast(c3), F.broadcast(c2), F.broadcast(c1)
+
+    logs = (
+        tri.join(c3, "tri_key", "left")
+        .join(c2.select(F.col("bi_key").alias("ctx2_key"),
+                        F.col("c2").alias("c_ctx2")), "ctx2_key", "left")
+        .join(c2, "bi_key", "left")
+        .join(c1.select(F.col("uni_key").alias("w2_key"),
+                        F.col("c1").alias("c_w2")), "w2_key", "left")
+        .join(c1.select(F.col("uni_key").alias("w3_key"),
+                        F.col("c1").alias("c_w3")), "w3_key", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            F.when(F.col("c3").isNotNull(),
+                   F.log(F.col("c3") / F.col("c_ctx2")))
+            .when(F.col("c2").isNotNull(),
+                  F.log(backoff * F.col("c2") / F.col("c_w2")))
+            .otherwise(F.log(
+                (backoff * backoff)
+                * (F.coalesce(F.col("c_w3"), F.lit(0)) + 1)
+                / (F.col("n_ref") + F.col("v_size"))))
+            .alias("logs"),
+        )
+    )
+    per_doc = logs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.exp(-F.avg("logs")), round_to).alias("sb_score"))
+    all_ids = toks.select("id")
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            "sb_score",
+        )
+    )

@@ -154,6 +154,9 @@ PAST_WINDOW_ORACLED = {
     # unrecognized-segment drops, all-combos pairing in
     # tests/test_weburl.py)
     "bitext_candidates": "tests/test_weburl.py",
+    # r5 late: stupid-backoff trigram LM (hand-computed per-level
+    # scores + bucketed==exact property in tests/test_lm_c4.py)
+    "stupid_backoff": "tests/test_lm_c4.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -138,3 +138,48 @@ def test_perplexity_buckets_semantics(spark):
         # histogram-granular thirds: head is a prefix whose size is
         # >= n/3 only once the cutoff value's ties are included
         assert len(buckets["head"]) >= n / 3 - 1
+
+
+# ---------------------------------------------------------------------------
+# stupid_backoff_score: Brants et al. trigram LM with constant backoff
+# ---------------------------------------------------------------------------
+
+def _sb_docs(spark):
+    rows = [
+        # reference corpus: "a b c a b d"
+        (1, "a b c a b d", True),
+        # trigram hit: S = c3(a b c)/c2(a b) = 1/2 -> score 2
+        (2, "a b c", False),
+        # bigram backoff: S = 0.4 * c2(a b)/c1(a) = 0.4 -> score 2.5
+        (3, "x a b", False),
+        # unigram floor: S = 0.16 * (0+1)/(N=6 + V=4) = 0.016 -> 62.5
+        (4, "x y z", False),
+        # < 3 tokens: no trigram evidence -> NULL
+        (5, "a b", False),
+        (6, None, False),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, ref boolean")
+
+
+def test_stupid_backoff_hand_levels(spark):
+    from json_schema_spark.operators.lm import stupid_backoff_score
+
+    got = {r.id: r for r in stupid_backoff_score(
+        _sb_docs(spark), "doc_id", "text", F.col("ref")).collect()}
+    assert got[2].sb_score == 2.0 and got[2].n_trigrams == 1
+    assert got[3].sb_score == 2.5
+    assert got[4].sb_score == 62.5
+    assert got[5].sb_score is None and got[5].n_trigrams == 0
+    assert 6 not in got  # NULL text never enters
+
+
+def test_stupid_backoff_bucketed_matches_exact_when_collision_free(spark):
+    from json_schema_spark.operators.lm import stupid_backoff_score
+
+    docs = _sb_docs(spark)
+    exact = sorted(stupid_backoff_score(
+        docs, "doc_id", "text", F.col("ref")).collect())
+    bucketed = sorted(stupid_backoff_score(
+        docs, "doc_id", "text", F.col("ref"),
+        n_buckets=1_000_000).collect())
+    assert exact == bucketed
