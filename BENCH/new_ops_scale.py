@@ -132,6 +132,8 @@ def main() -> None:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_trigrams").alias("n_trigrams"),
             F.round(F.avg("sb_score"), 4).alias("mean_score"))),
+        # per-row argmax projection + one groupBy (|langs|^2 rows)
+        ("lang_confusion", None),
     ]
     only = set(sys.argv[2:])
     if only:

@@ -1106,6 +1106,67 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID audit: confusion matrix of the stopword-profile
+    lang_id heuristic vs the metadata lang label (crawl metadata and
+    content prediction disagree constantly — this is the standard
+    audit before trusting either for filtering). Prediction is a
+    per-row projection; the matrix is one partial-aggregable groupBy
+    (operators/textstats.py:lang_confusion). The oracle re-implements
+    the FULL argmax heuristic — per-profile hit ratios, tie-by-profile-
+    order, 'und' abstention — generated from the same LANG_PROFILES
+    constants."""
+    from json_schema_spark.operators.textstats import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir), "text", "lang")
+
+
+def _lang_confusion_sql() -> str:
+    from json_schema_spark.operators.textstats import LANG_PROFILES
+
+    score_exprs = []
+    for lang, words in LANG_PROFILES.items():
+        lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        score_exprs.append(
+            f"CASE WHEN len(t) > 0 THEN "
+            f"len(list_filter(t, x -> x IN ({lst}))) / len(t) "
+            f"ELSE 0.0 END AS s_{lang}")
+    scores_sql = ",\n                     ".join(score_exprs)
+    best = "greatest(" + ", ".join(
+        f"s_{lang}" for lang in LANG_PROFILES) + ")"
+    # Spark's lang_id resolves ties by profile order (first wins) and
+    # abstains with 'und' when the best score is 0 — mirror exactly
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
+        for lang in LANG_PROFILES) + " ELSE 'und' END"
+    return f"""
+            WITH toks AS (
+              SELECT lang AS label_lang,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)),
+                                                  '[\\s\\x0b]+') END AS t
+              FROM documents WHERE text IS NOT NULL),
+            scored AS (
+              SELECT label_lang,
+                     {scores_sql}
+              FROM toks),
+            pred AS (
+              SELECT label_lang, {case} AS pred_lang
+              FROM (SELECT *, {best} AS best FROM scored)),
+            cells AS (
+              SELECT label_lang, pred_lang, count(*) AS n_docs
+              FROM pred GROUP BY 1, 2),
+            tot AS (
+              SELECT label_lang, sum(n_docs) AS tot
+              FROM cells GROUP BY 1)
+            SELECT c.label_lang, c.pred_lang, c.n_docs,
+                   round(c.n_docs / t.tot, 6) AS share,
+                   (c.label_lang = c.pred_lang) AS is_match
+            FROM cells c JOIN tot t USING (label_lang)
+        """
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host link graph (power iteration,
     damping 0.85, 10 iterations, uniform dangling redistribution).
@@ -3388,6 +3449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_candidates": q_bitext_candidates,
         # r5: stupid-backoff trigram LM score (hashed count tables)
         "stupid_backoff": q_stupid_backoff,
+        # r5: lang_id-vs-label confusion matrix (argmax heuristic
+        # fully mirrored in the generated oracle)
+        "lang_confusion": q_lang_confusion,
     }
 
 
@@ -5130,6 +5194,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _readability_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
         "retrieval_eval": _retrieval_eval_sql(),
+        "lang_confusion": _lang_confusion_sql(),
         # independent derivation: residue lattice, never the pages
         "anchor_text": """
             WITH links AS (

@@ -507,3 +507,40 @@ def bitext_candidates(
         .where(F.col("lang_a") < F.col("lang_b"))
         .select("pair_key", "lang_a", "id_a", "lang_b", "id_b")
     )
+
+
+def lang_confusion(df: DataFrame, text_col: str, label_col: str,
+                   round_to: int = 6) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of the stopword-
+    profile ``lang_id`` prediction against the metadata language label
+    — (label_lang, pred_lang, n_docs, share, is_match), ``share``
+    normalized within each label row.
+
+    Why: crawl metadata lang and content-predicted lang disagree
+    constantly in web corpora; the per-label confusion matrix is the
+    standard audit before trusting either side for filtering or
+    mixture weighting ('und' = the heuristic abstained).
+
+    Scale shape: the prediction is a per-row codegen/HOF projection
+    (profile lists are literals — nothing broadcasts, nothing
+    shuffles); the matrix is ONE partial-aggregable groupBy on two
+    short keys, and the per-label normalizer is aggregate-sized,
+    re-entering as a broadcast. |langs|² output rows.
+    """
+    cells = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(label_col).alias("label_lang"),
+                lang_id(F.col(text_col)).alias("pred_lang"))
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = cells.groupBy("label_lang").agg(F.sum("n_docs").alias("__tot"))
+    return (
+        cells.join(F.broadcast(totals), "label_lang")
+        .select(
+            "label_lang", "pred_lang", "n_docs",
+            F.round(F.col("n_docs") / F.col("__tot"), round_to)
+            .alias("share"),
+            (F.col("label_lang") == F.col("pred_lang")).alias("is_match"),
+        )
+    )

@@ -157,6 +157,9 @@ PAST_WINDOW_ORACLED = {
     # r5 late: stupid-backoff trigram LM (hand-computed per-level
     # scores + bucketed==exact property in tests/test_lm_c4.py)
     "stupid_backoff": "tests/test_lm_c4.py",
+    # r5 late: lang_id-vs-label confusion matrix (known predictions,
+    # tie-by-profile-order, 'und' abstention in tests/test_weburl.py)
+    "lang_confusion": "tests/test_weburl.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

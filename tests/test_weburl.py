@@ -196,3 +196,31 @@ def test_bitext_candidates_pairs_all_lang_combos(spark):
         df, "doc_id", "url", langs=["de", "en", "fr"]).collect()}
     # one unordered pair per language combination, lang_a < lang_b
     assert got == {("de", "en"), ("de", "fr"), ("en", "fr")}
+
+
+# ---------------------------------------------------------------------------
+# lang_confusion: lang_id prediction vs metadata label
+# ---------------------------------------------------------------------------
+
+def test_lang_confusion_hand_fixture(spark):
+    from json_schema_spark.operators.textstats import lang_confusion
+
+    rows = [
+        (1, "the cat is in the house and it is big", "en"),   # -> en
+        (2, "der hund ist nicht mit der katze", "de"),        # -> de
+        (3, "la", "es"),       # fr/es tie: profile order -> fr
+        (4, "qqq zzz www", "en"),                             # -> und
+        (5, None, "fr"),                                      # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.label_lang, r.pred_lang): r
+           for r in lang_confusion(df, "text", "lang").collect()}
+    assert got[("en", "en")].n_docs == 1
+    assert got[("en", "und")].n_docs == 1
+    assert got[("en", "en")].share == 0.5 and got[("en", "en")].is_match
+    assert got[("de", "de")].n_docs == 1 and got[("de", "de")].share == 1.0
+    # tie between fr and es profiles resolves to fr (first in order)
+    assert got[("es", "fr")].n_docs == 1
+    assert not got[("es", "fr")].is_match
+    # NULL text never enters the matrix
+    assert not any(lbl == "fr" for lbl, _ in got)
