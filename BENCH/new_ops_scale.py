@@ -134,6 +134,8 @@ def main() -> None:
             F.round(F.avg("sb_score"), 4).alias("mean_score"))),
         # per-row argmax projection + one groupBy (|langs|^2 rows)
         ("lang_confusion", None),
+        # codegen key projection + TakeOrdered (100 rows)
+        ("weighted_sample", None),
     ]
     only = set(sys.argv[2:])
     if only:

@@ -1167,6 +1167,19 @@ def _lang_confusion_sql() -> str:
         """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis-Spirakis
+    u^(1/w) keys, md5-derived u so the draw is deterministic and
+    engine-reproducible): top-100 by n_chars weight. One codegen key
+    projection + TakeOrdered — no corpus shuffle
+    (operators/sampling.py:weighted_sample)."""
+    from json_schema_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", k=100,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host link graph (power iteration,
     damping 0.85, 10 iterations, uniform dangling redistribution).
@@ -3452,6 +3465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: lang_id-vs-label confusion matrix (argmax heuristic
         # fully mirrored in the generated oracle)
         "lang_confusion": q_lang_confusion,
+        # r5: Efraimidis-Spirakis weighted sample without replacement
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -5195,6 +5210,22 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _leakage_safe_split_sql(),
         "retrieval_eval": _retrieval_eval_sql(),
         "lang_confusion": _lang_confusion_sql(),
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                     pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                              || '#13'), 1, 15))::BIGINT + 1)
+                         / 1152921504606846976.0,
+                         1.0 / CAST(n_chars AS DOUBLE)) AS key
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0),
+            top AS (
+              SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 100)
+            SELECT doc_id, weight, round(key, 6) AS sample_key,
+                   CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+                        AS INT) AS "rank"
+            FROM top
+        """,
         # independent derivation: residue lattice, never the pages
         "anchor_text": """
             WITH links AS (

@@ -367,3 +367,53 @@ def leakage_safe_split(
         F.countDistinct("grp").alias("n_groups"),
     )
     return roll.crossJoin(F.broadcast(leak))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 13,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of size ``k``
+    (Efraimidis & Spirakis 2006): each row draws u = uniform(0,1] and
+    competes with key u^(1/w); the k largest keys are exactly a
+    w-proportional sample without replacement — the one-pass,
+    fully-distributed form of weighted subsampling (quality-weighted
+    corpus thinning, importance-weighted eval draws).
+
+    u is md5-derived from (id, seed) — 60 bits mapped to
+    ((h+1) / 2^60) ∈ (0, 1] — so the draw is deterministic,
+    engine-reproducible, and re-runnable (same seed → same sample;
+    bump the seed for a fresh epoch).  Rows with weight <= 0 or NULL
+    never enter (P=0 under the scheme; enforced explicitly so a zero
+    weight cannot produce 1/0).
+
+    Emits (id, weight, sample_key, rank), rank 1..k by key descending,
+    ties broken on id.
+
+    Scale shape: key computation is one codegen projection; the top-k
+    is TakeOrderedAndProject (per-partition heap of k + driver merge
+    of k rows — no global sort, no shuffle of the corpus); the rank
+    window runs on the k-row result.
+    """
+    did, w = F.col(id_col), F.col(weight_col).cast("double")
+    h = F.conv(F.substring(F.md5(F.concat(
+        did.cast("string"), F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(1 << 60))
+    key = F.pow(u, F.lit(1.0) / w)
+    top = (
+        df.where(w.isNotNull() & (w > 0))
+        .select(did.alias("id"), w.alias("weight"), key.alias("__key"))
+        .orderBy(F.desc("__key"), F.asc("id"))
+        .limit(k)
+    )
+    return top.select(
+        "id", "weight",
+        F.round(F.col("__key"), round_to).alias("sample_key"),
+        F.row_number().over(
+            Window.orderBy(F.desc("__key"), F.asc("id"))).alias("rank"),
+    )

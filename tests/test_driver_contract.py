@@ -160,6 +160,9 @@ PAST_WINDOW_ORACLED = {
     # r5 late: lang_id-vs-label confusion matrix (known predictions,
     # tie-by-profile-order, 'und' abstention in tests/test_weburl.py)
     "lang_confusion": "tests/test_weburl.py",
+    # r5 late: Efraimidis-Spirakis weighted sample (literal-Python key
+    # reference + seed reproducibility in tests/test_retrieval_sampling.py)
+    "weighted_sample": "tests/test_retrieval_sampling.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -401,3 +401,42 @@ def test_retrieval_eval_salted_equals_unsalted(tiny_docs):
         tiny_docs, "doc_id", "text", RE_QUERIES, k=2,
         salted=True, n_salts=4).collect())
     assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample: Efraimidis-Spirakis u^(1/w) without replacement
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_matches_reference_keys(spark):
+    import hashlib
+
+    from json_schema_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(i * 10)) for i in range(1, 21)] + [
+        (21, 0.0), (22, None), (23, -5.0)]  # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "doc_id", "w", k=5).collect()
+
+    def key(i, w):
+        h = int(hashlib.md5(f"{i}#13".encode()).hexdigest()[:15], 16)
+        return ((h + 1) / float(1 << 60)) ** (1.0 / w)
+
+    exp = sorted(((key(i, w), i, w) for i, w in rows[:20]),
+                 key=lambda t: (-t[0], t[1]))[:5]
+    assert [(r.id, r.weight, r.rank) for r in got] == [
+        (i, w, n + 1) for n, (_, i, w) in enumerate(exp)]
+    for r, (kv, _, _) in zip(got, exp):
+        assert r.sample_key == pytest.approx(round(kv, 6), abs=1e-12)
+
+
+def test_weighted_sample_is_seed_reproducible_and_epochs_differ(spark):
+    from json_schema_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(200)], "doc_id long, w double")
+    a = [r.id for r in weighted_sample(df, "doc_id", "w", k=10).collect()]
+    b = [r.id for r in weighted_sample(df, "doc_id", "w", k=10).collect()]
+    c = [r.id for r in weighted_sample(df, "doc_id", "w", k=10,
+                                       seed=14).collect()]
+    assert a == b          # same seed -> identical sample
+    assert a != c          # new seed -> fresh epoch
