@@ -136,6 +136,8 @@ def main() -> None:
         ("lang_confusion", None),
         # codegen key projection + TakeOrdered (100 rows)
         ("weighted_sample", None),
+        # page build + edge extract + distinct + self-join (21 rows)
+        ("cocitation", None),
     ]
     only = set(sys.argv[2:])
     if only:

@@ -1167,6 +1167,24 @@ def _lang_confusion_sql() -> str:
         """
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation related-host pairs over the lattice link graph
+    (hosts linked by many common sources are topically related — the
+    web-graph clustering signal). Distinct (src, dst) projection
+    first so edge weights cannot inflate counts; both self-join sides
+    are the same projection (reused exchange); the hub-source prune
+    path (stop-gram rule) is pytest-covered
+    (operators/html_extract.py:cocitation_pairs). Oracle re-derives
+    the pair table from the residue lattice."""
+    from json_schema_spark.operators.html_extract import (
+        cocitation_pairs, link_edges,
+    )
+
+    docs = _lattice_link_docs(spark, sf_dir)
+    edges = link_edges(docs, F.col("src_domain"), F.col("page"))
+    return cocitation_pairs(edges)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (Efraimidis-Spirakis
     u^(1/w) keys, md5-derived u so the draw is deterministic and
@@ -3467,6 +3485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         # r5: Efraimidis-Spirakis weighted sample without replacement
         "weighted_sample": q_weighted_sample,
+        # r5: co-citation related-host pairs (lattice oracle)
+        "cocitation": q_cocitation,
     }
 
 
@@ -5225,6 +5245,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY key DESC, doc_id)
                         AS INT) AS "rank"
             FROM top
+        """,
+        # independent derivation: residue lattice, never the pages
+        "cocitation": """
+            WITH e AS (
+              SELECT DISTINCT
+                     'example' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.com' AS src_d,
+                     'example' || CAST((doc_id + j) % 7 AS VARCHAR)
+                       || '.com' AS dst_d
+              FROM documents,
+                   unnest(range(1, CAST(doc_id % 3 AS BIGINT) + 2)) AS t(j)
+              WHERE text IS NOT NULL)
+            SELECT a.dst_d AS dst_a, b.dst_d AS dst_b,
+                   count(*) AS n_common_sources
+            FROM e a JOIN e b USING (src_d)
+            WHERE a.dst_d < b.dst_d
+            GROUP BY 1, 2
         """,
         # independent derivation: residue lattice, never the pages
         "anchor_text": """

@@ -531,3 +531,40 @@ def anchor_text_profile(
     return (out.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_m)
             .select("dst_d", "term", "n_refs", "rank"))
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    max_out_degree: int | None = None,
+) -> DataFrame:
+    """Co-citation similarity over the host edge table (src_d, dst_d,
+    n_links): pairs of target hosts ranked by how many DISTINCT
+    sources link to both — (dst_a, dst_b, n_common_sources) with
+    dst_a < dst_b.  The classic related-host signal (Small 1973,
+    applied to the web graph): hosts co-cited by many independent
+    sources are topically related, feeding domain clustering and
+    reputation propagation.
+
+    Scale shape: the self-join is keyed on src_d, and a source with
+    out-degree d contributes O(d²) pairs — the quadratic head is a
+    MEGA-HUB source (a link directory), not a signal.  With
+    ``max_out_degree`` set, hub sources above the cap are pruned
+    BEFORE the join (the dedup.py stop-gram rule: the head is
+    boilerplate, the tail is signal).  Distinct (src, dst) projection
+    first, so edge weights cannot inflate counts; the pair groupBy is
+    partial-aggregable; both join sides are the SAME pruned projection
+    so the exchange is reused.
+    """
+    e = edges.select("src_d", "dst_d").distinct()
+    if max_out_degree is not None:
+        deg = e.groupBy("src_d").agg(F.count(F.lit(1)).alias("__d"))
+        e = (e.join(F.broadcast(deg.where(F.col("__d") <= max_out_degree)),
+                    "src_d").drop("__d"))
+    a = e.select("src_d", F.col("dst_d").alias("dst_a"))
+    b = e.select("src_d", F.col("dst_d").alias("dst_b"))
+    return (
+        a.join(b, "src_d")
+        .where(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count(F.lit(1)).alias("n_common_sources"))
+    )

@@ -163,6 +163,9 @@ PAST_WINDOW_ORACLED = {
     # r5 late: Efraimidis-Spirakis weighted sample (literal-Python key
     # reference + seed reproducibility in tests/test_retrieval_sampling.py)
     "weighted_sample": "tests/test_retrieval_sampling.py",
+    # r5 late: co-citation related-host pairs (weight-blindness + hub
+    # prune fixtures in tests/test_html_extract.py)
+    "cocitation": "tests/test_html_extract.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -345,3 +345,37 @@ def test_anchor_text_profile_topm_and_salted(spark):
     assert all(r.rank <= 2 for r in plain)
     # the rank-3 a.com term is cut
     assert ("a.com", "dog") not in {(r.dst_d, r.term) for r in plain}
+
+
+# ---------------------------------------------------------------------------
+# cocitation_pairs: related hosts by common linking sources
+# ---------------------------------------------------------------------------
+
+def test_cocitation_hand_fixture(spark):
+    from json_schema_spark.operators.html_extract import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        [("s1", "a", 3), ("s1", "b", 1),          # s1 co-cites (a,b)
+         ("s2", "a", 1), ("s2", "b", 2), ("s2", "c", 1),
+         ("s3", "a", 9), ("s3", "a", 1)],         # duplicate edge: distinct
+        "src_d string, dst_d string, n_links long")
+    got = {(r.dst_a, r.dst_b): r.n_common_sources
+           for r in cocitation_pairs(edges).collect()}
+    # (a,b) co-cited by s1 and s2; (a,c)/(b,c) only by s2; edge
+    # WEIGHTS never inflate counts (s3's two a-edges add nothing)
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_cocitation_hub_prune(spark):
+    from json_schema_spark.operators.html_extract import cocitation_pairs
+
+    # hub links 50 hosts (a directory); s1 links 2 — with the cap the
+    # hub's quadratic pair head disappears and only s1's pair remains
+    rows = [("hub", f"h{i}", 1) for i in range(50)] + [
+        ("s1", "h0", 1), ("s1", "h1", 1)]
+    edges = spark.createDataFrame(rows, "src_d string, dst_d string, n_links long")
+    capped = {(r.dst_a, r.dst_b): r.n_common_sources
+              for r in cocitation_pairs(edges, max_out_degree=10).collect()}
+    assert capped == {("h0", "h1"): 1}
+    uncapped = cocitation_pairs(edges).count()
+    assert uncapped == 50 * 49 // 2  # the quadratic head the cap removes
