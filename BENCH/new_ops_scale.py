@@ -138,6 +138,11 @@ def main() -> None:
         ("weighted_sample", None),
         # page build + edge extract + distinct + self-join (21 rows)
         ("cocitation", None),
+        # xxhash fast twin of stupid_backoff (same shapes, JVM hash)
+        ("stupid_backoff_fast", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trigrams").alias("n_trigrams"),
+            F.round(F.avg("sb_score"), 4).alias("mean_score"))),
     ]
     only = set(sys.argv[2:])
     if only:

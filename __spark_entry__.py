@@ -1185,6 +1185,22 @@ def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation_pairs(edges)
 
 
+def q_stupid_backoff_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 fast twin of q_stupid_backoff (the dedup-family
+    fast-path recipe): identical model and plan shapes, bucket keys
+    via JVM xxhash64 instead of the 5 oracle-reproducible md5s per
+    position. Rows-only by nature (no SQL xxhash64 twin); pytest pins
+    collision-free-bucketed == exact on a hand corpus and the driver
+    row count matches the md5 twin by construction."""
+    from json_schema_spark.operators.lm import stupid_backoff_score
+
+    return stupid_backoff_score(
+        _docs(spark, sf_dir), "doc_id", "text",
+        is_reference=F.col("lang") == "en", n_buckets=4096,
+        hash_fn="xxhash",
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (Efraimidis-Spirakis
     u^(1/w) keys, md5-derived u so the draw is deterministic and
@@ -3487,6 +3503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         # r5: co-citation related-host pairs (lattice oracle)
         "cocitation": q_cocitation,
+        # r5: xxhash64 fast twin of stupid_backoff — rows-only by
+        # nature (no SQL xxhash64); md5 twin above is value-checked
+        "stupid_backoff_fast": q_stupid_backoff_fast,
     }
 
 

@@ -159,6 +159,7 @@ def stupid_backoff_score(
     backoff: float = 0.4,
     n_buckets: int | None = None,
     round_to: int = 6,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document trigram score under a stupid-backoff LM (Brants et
     al. 2007, "Large Language Models in Machine Translation" — the
@@ -188,7 +189,15 @@ def stupid_backoff_score(
     (w1 w2) and the backoff numerator (w2 w3) — two lookups, one
     table.  The backoff CASE is null-gated on the LEFT-join results,
     branch-free per level.
+
+    ``hash_fn``: 'md5' (default) is DuckDB-reproducible and feeds the
+    oracle; 'xxhash' swaps the five bucket keys to JVM xxhash64 — the
+    dedup family's fast-twin recipe (same model, same shapes, no SQL
+    twin) for production runs where the 5-md5-per-position cost
+    dominates.  Ignored in exact mode (n_buckets=None).
     """
+    if hash_fn not in ("md5", "xxhash"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash': {hash_fn}")
     did = F.col(id_col)
     toks = df.where(F.col(text_col).isNotNull()).select(
         did.alias("id"),
@@ -219,8 +228,11 @@ def stupid_backoff_score(
         ).otherwise(F.array().cast("array<struct<p:string,c:string>>"))
 
     def _k(col: Column, seed: int) -> Column:
-        return (_bucket(col, seed=seed, buckets=n_buckets)
-                if n_buckets else col)
+        if not n_buckets:
+            return col
+        if hash_fn == "xxhash":
+            return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_buckets))
+        return _bucket(col, seed=seed, buckets=n_buckets)
 
     tri = toks.select(
         "id", "__ref", F.explode(_tri(F.col("__toks"))).alias("g"),

@@ -20,6 +20,10 @@ ROWS_ONLY = {
         "(tests/test_variant_verdicts.py)",
     "dedup_minhash": "xxhash64 has no DuckDB twin; md5 twin is value-checked",
     "dedup_simhash": "xxhash64 has no DuckDB twin; md5 twin is value-checked",
+    "stupid_backoff_fast": "xxhash64 has no DuckDB twin; md5 twin "
+                           "(stupid_backoff) is value-checked; pytest "
+                           "pins collision-free bucketed == exact "
+                           "(tests/test_lm_c4.py)",
     "ann_ivf_topk": "driver-side numpy k-means quantizer; pytest recall gate",
     "drift_ks_tdigest": "t-digest CDF has no DuckDB twin; pytest pins "
                         "<0.05 vs exact ks_by_partition + incremental "

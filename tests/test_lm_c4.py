@@ -183,3 +183,18 @@ def test_stupid_backoff_bucketed_matches_exact_when_collision_free(spark):
         docs, "doc_id", "text", F.col("ref"),
         n_buckets=1_000_000).collect())
     assert exact == bucketed
+
+
+def test_stupid_backoff_xxhash_bucketed_matches_exact(spark):
+    from json_schema_spark.operators.lm import stupid_backoff_score
+
+    docs = _sb_docs(spark)
+    exact = sorted(stupid_backoff_score(
+        docs, "doc_id", "text", F.col("ref")).collect())
+    fast = sorted(stupid_backoff_score(
+        docs, "doc_id", "text", F.col("ref"),
+        n_buckets=1_000_000, hash_fn="xxhash").collect())
+    assert exact == fast
+    with pytest.raises(ValueError, match="hash_fn"):
+        stupid_backoff_score(docs, "doc_id", "text", F.col("ref"),
+                             hash_fn="bogus")
