@@ -143,6 +143,8 @@ def main() -> None:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_trigrams").alias("n_trigrams"),
             F.round(F.avg("sb_score"), 4).alias("mean_score"))),
+        # vocab-bounded merge chain + broadcast + two groupBys (|langs|)
+        ("tokenizer_fertility", None),
     ]
     only = set(sys.argv[2:])
     if only:

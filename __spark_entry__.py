@@ -2438,6 +2438,56 @@ def _bpe_token_counts_sql(merges: list[str]) -> str:
         """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language under the frozen BPE merges —
+    the multilingual-tokenizer equity audit (languages the merges were
+    not trained on fragment into more subtokens per word). Same scale
+    shape as bpe_token_counts: vocabulary-bounded merge chain re-enters
+    as a broadcast, corpus never rewritten
+    (operators/bpe.py:tokenizer_fertility)."""
+    from json_schema_spark.operators.bpe import tokenizer_fertility
+
+    return tokenizer_fertility(
+        _docs(spark, sf_dir), "doc_id", "text", "lang", BPE_FROZEN_MERGES)
+
+
+def _tokenizer_fertility_sql(merges: list[str]) -> str:
+    """Fertility rollup over the same fold chain as
+    _bpe_token_counts_sql (one source of truth for the merge fold)."""
+    s = "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>'"
+    for pr in merges:
+        a, b = pr.split(" ", 1)
+        esc = lambda t: "'" + t.replace("'", "''") + "'"
+        s = _bpe_fold_sql(s, esc(a), esc(b), esc(a + b))
+    return f"""
+            WITH dw AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(trim(lower(text)),
+                                               '[\\s\\x0b]+')) AS w
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            docw AS (SELECT doc_id, lang, w FROM dw WHERE w <> ''),
+            vocab AS (
+              SELECT w, len(string_split({s}, ' ')) AS n_sub
+              FROM (SELECT DISTINCT w FROM docw)),
+            per_doc AS (
+              SELECT d.doc_id, d.lang,
+                     count(*)::BIGINT AS n_words,
+                     sum(v.n_sub)::BIGINT AS n_subtokens,
+                     sum(length(d.w))::BIGINT AS word_chars
+              FROM docw d JOIN vocab v USING (w)
+              GROUP BY 1, 2)
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_words)::BIGINT AS n_words,
+                   sum(n_subtokens)::BIGINT AS n_subtokens,
+                   round(sum(n_subtokens) / sum(n_words), 6)
+                     AS subtokens_per_word,
+                   round(sum(word_chars) / sum(n_subtokens), 6)
+                     AS chars_per_subtoken
+            FROM per_doc GROUP BY 1
+        """
+
+
 def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (edit-distance) train/eval decontamination
     (quality.py:fuzzy_contamination): eval = every 41st document with
@@ -3506,6 +3556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: xxhash64 fast twin of stupid_backoff — rows-only by
         # nature (no SQL xxhash64); md5 twin above is value-checked
         "stupid_backoff_fast": q_stupid_backoff_fast,
+        # r5: tokenizer fertility by language (frozen BPE merges)
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -5235,6 +5287,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": _corpus_datacard_sql(),
         "bpe_train": _bpe_train_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_FROZEN_MERGES),
+        "tokenizer_fertility": _tokenizer_fertility_sql(BPE_FROZEN_MERGES),
         "fuzzy_contamination": _fuzzy_contamination_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "calibration_sweep": _calibration_sweep_sql(CALIBRATION_GRID),

@@ -193,3 +193,60 @@ def bpe_token_counts(
         .agg(F.count(F.lit(1)).alias("n_words"),
              F.sum("n_sub").alias("n_subtokens"))
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    merges: list[str],
+    round_to: int = 6,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenizer fertility audit by language: (lang, n_docs, n_words,
+    n_subtokens, subtokens_per_word, chars_per_subtoken) under a
+    frozen merge table — the standard multilingual-tokenizer equity
+    check (languages the merges were not trained on fragment into more
+    subtokens per word, inflating their effective sequence length and
+    training cost; fertility ≈ 1 means the vocabulary fits).
+
+    Scale shape: same as bpe_token_counts — the merge chain rewrites
+    only the DISTINCT-word vocabulary (bounded) and re-enters as a
+    broadcast; corpus-side work is one explode + two partial-
+    aggregable groupBys (per-doc, then per-lang); word chars sum as
+    length(w) in the same pass, so no second scan.
+    """
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    doc_words = (
+        df.where(F.col(text_col).isNotNull()
+                 & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("id"),
+                F.col(lang_col).alias("lang"),
+                F.explode(F.split(F.trim(text), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    sym = _char_symbols(F.col("w"))
+    for pair in merges:
+        sym = _apply_merge(sym, pair)
+    word_map = (
+        doc_words.select("w").distinct()
+        .select("w", F.size(F.split(sym, " ")).alias("n_sub"))
+    )
+    per_doc = (
+        doc_words.join(F.broadcast(word_map), "w")
+        .groupBy("id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum("n_sub").alias("n_subtokens"),
+             F.sum(F.length("w")).alias("word_chars"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_words").alias("n_words"),
+             F.sum("n_subtokens").alias("n_subtokens"),
+             F.round(F.sum("n_subtokens") / F.sum("n_words"), round_to)
+             .alias("subtokens_per_word"),
+             F.round(F.sum("word_chars") / F.sum("n_subtokens"), round_to)
+             .alias("chars_per_subtoken"))
+    )

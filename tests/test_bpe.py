@@ -160,3 +160,30 @@ def test_token_counts_zero_merges_is_charlen_plus_one(docs):
         ws = [w for w in (t or "").lower().split() if w]
         if ws:
             assert got[i] == sum(len(w) + 1 for w in ws)
+
+
+def test_tokenizer_fertility_hand_values(spark):
+    from json_schema_spark.operators.bpe import tokenizer_fertility
+
+    # merges: 'l o'->'lo', 'lo w'? no — keep one merge 'l o'
+    rows = [
+        (1, "low low", "en"),    # 'low' -> l o w </w> -> lo w </w> (3 subs)
+        (2, "lo", "en"),         # 'lo'  -> l o </w>   -> lo </w>  (2 subs)
+        (3, "xy", "de"),         # no merge applies: x y </w> (3 subs)
+        (4, "  ", "fr"),         # whitespace-only: excluded
+        (5, None, "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in tokenizer_fertility(
+        df, "doc_id", "text", "lang", ["l o"]).collect()}
+    en = got["en"]
+    # en: 3 words (low x2, lo), subtokens 3+3+2=8, chars 3+3+2=8
+    assert (en.n_docs, en.n_words, en.n_subtokens) == (2, 3, 8)
+    assert en.subtokens_per_word == round(8 / 3, 6)
+    assert en.chars_per_subtoken == 1.0
+    de = got["de"]
+    # de fragments worse: 3 subtokens for one 2-char word
+    assert (de.n_docs, de.n_words, de.n_subtokens) == (1, 1, 3)
+    assert de.subtokens_per_word == 3.0
+    assert de.subtokens_per_word > en.subtokens_per_word  # equity gap
+    assert "fr" not in got

@@ -170,6 +170,9 @@ PAST_WINDOW_ORACLED = {
     # r5 late: co-citation related-host pairs (weight-blindness + hub
     # prune fixtures in tests/test_html_extract.py)
     "cocitation": "tests/test_html_extract.py",
+    # r5 late: tokenizer fertility by language (hand merge-chain
+    # values + equity-gap fixture in tests/test_bpe.py)
+    "tokenizer_fertility": "tests/test_bpe.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
