@@ -145,6 +145,8 @@ def main() -> None:
             F.round(F.avg("sb_score"), 4).alias("mean_score"))),
         # vocab-bounded merge chain + broadcast + two groupBys (|langs|)
         ("tokenizer_fertility", None),
+        # corpus -> score histogram -> aggregate-sized cut (1 row)
+        ("budget_threshold", None),
     ]
     only = set(sys.argv[2:])
     if only:

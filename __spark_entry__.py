@@ -1201,6 +1201,24 @@ def q_stupid_backoff_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quality cut (FineWeb-style): the quality-score
+    threshold that fills a 10k-token training budget from the top
+    down, with the kept-docs/tokens/utilization audit in the same row.
+    One partial-aggregable groupBy collapses the corpus to a <=1001-
+    row score histogram; everything after is aggregate-sized
+    (operators/sampling.py:budget_threshold)."""
+    from json_schema_spark.operators.sampling import budget_threshold
+    from json_schema_spark.operators.textstats import (
+        quality_score, token_count,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return budget_threshold(
+        d, quality_score(F.col("text")), token_count(F.col("text")),
+        budget_tokens=10_000)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (Efraimidis-Spirakis
     u^(1/w) keys, md5-derived u so the draw is deterministic and
@@ -3558,6 +3576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff_fast": q_stupid_backoff_fast,
         # r5: tokenizer fertility by language (frozen BPE merges)
         "tokenizer_fertility": q_tokenizer_fertility,
+        # r5: token-budget quality cut (FineWeb-style threshold)
+        "budget_threshold": q_budget_threshold,
     }
 
 
@@ -5288,6 +5308,33 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_FROZEN_MERGES),
         "tokenizer_fertility": _tokenizer_fertility_sql(BPE_FROZEN_MERGES),
+        "budget_threshold": f"""
+            WITH scored AS (
+              SELECT round({_QUALITY_SQL}, 3) AS s,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                                      '[\\s\\x0b]+')) END
+                       AS tok
+              FROM documents WHERE text IS NOT NULL),
+            hist AS (
+              SELECT s, sum(tok) AS btok, count(*) AS bdocs
+              FROM scored GROUP BY 1),
+            cum AS (
+              SELECT s,
+                     sum(btok) OVER (ORDER BY s DESC) AS cum_tok,
+                     sum(bdocs) OVER (ORDER BY s DESC) AS cum_docs
+              FROM hist),
+            sel AS (SELECT * FROM cum WHERE cum_tok <= 10000)
+            SELECT CAST(10000 AS BIGINT) AS budget_tokens,
+                   min(s) AS threshold_score,
+                   CAST(coalesce(max(cum_docs), 0) AS BIGINT)
+                     AS kept_docs,
+                   CAST(coalesce(max(cum_tok), 0) AS BIGINT)
+                     AS kept_tokens,
+                   round(coalesce(max(cum_tok), 0) / 10000.0, 6)
+                     AS utilization
+            FROM sel
+        """,
         "fuzzy_contamination": _fuzzy_contamination_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "calibration_sweep": _calibration_sweep_sql(CALIBRATION_GRID),

@@ -417,3 +417,56 @@ def weighted_sample(
         F.row_number().over(
             Window.orderBy(F.desc("__key"), F.asc("id"))).alias("rank"),
     )
+
+
+def budget_threshold(
+    df: DataFrame,
+    score: Column,
+    tokens: Column,
+    budget_tokens: int,
+    score_round: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Token-budget quality cut (the FineWeb-style curation decision:
+    "keep the highest-quality documents until the training budget is
+    full"): find the score threshold such that taking whole score
+    buckets from the top down stays within ``budget_tokens``, and
+    report the cut — one row: (budget_tokens, threshold_score,
+    kept_docs, kept_tokens, utilization).
+
+    Semantics: scores round to ``score_round`` decimals (the bucket
+    granularity, which also bounds the under-fill: at most one
+    bucket's tokens are left on the table); buckets are taken greedily
+    in descending score order while the running token total stays
+    <= budget; ``threshold_score`` is the lowest score taken, so the
+    materialized keep-filter is ``score >= threshold_score``.  An
+    over-budget top bucket yields an empty cut (kept 0, threshold
+    NULL) rather than a partial bucket — deterministic and
+    engine-independent.
+
+    Scale shape: ONE partial-aggregable groupBy collapses the corpus
+    to the score histogram (<= 10^score_round + 1 rows); the
+    cumulative window and the final aggregate run on that
+    aggregate-sized table (the heaps_profile precedent — a global
+    window is fine over bucket-count rows, never over the corpus).
+    """
+    scored = df.select(F.round(score, score_round).alias("s"),
+                       tokens.alias("tok"))
+    hist = scored.groupBy("s").agg(
+        F.sum("tok").alias("btok"),
+        F.count(F.lit(1)).alias("bdocs"))
+    w = Window.orderBy(F.desc("s"))
+    cum = hist.select(
+        "s",
+        F.sum("btok").over(w).alias("cum_tok"),
+        F.sum("bdocs").over(w).alias("cum_docs"))
+    sel = cum.where(F.col("cum_tok") <= budget_tokens)
+    z = F.lit(0).cast("bigint")
+    return sel.agg(
+        F.lit(budget_tokens).cast("bigint").alias("budget_tokens"),
+        F.min("s").alias("threshold_score"),
+        F.coalesce(F.max("cum_docs"), z).alias("kept_docs"),
+        F.coalesce(F.max("cum_tok"), z).alias("kept_tokens"),
+        F.round(F.coalesce(F.max("cum_tok"), z)
+                / F.lit(float(budget_tokens)), round_to)
+        .alias("utilization"))

@@ -173,6 +173,9 @@ PAST_WINDOW_ORACLED = {
     # r5 late: tokenizer fertility by language (hand merge-chain
     # values + equity-gap fixture in tests/test_bpe.py)
     "tokenizer_fertility": "tests/test_bpe.py",
+    # r5 late: token-budget quality cut (greedy whole-bucket fill +
+    # over-budget-top-bucket edge in tests/test_retrieval_sampling.py)
+    "budget_threshold": "tests/test_retrieval_sampling.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -440,3 +440,35 @@ def test_weighted_sample_is_seed_reproducible_and_epochs_differ(spark):
                                        seed=14).collect()]
     assert a == b          # same seed -> identical sample
     assert a != c          # new seed -> fresh epoch
+
+
+# ---------------------------------------------------------------------------
+# budget_threshold: token-budget quality cut
+# ---------------------------------------------------------------------------
+
+def test_budget_threshold_hand_values(spark):
+    from json_schema_spark.operators.sampling import budget_threshold
+
+    # buckets: s=0.9 (100 tok, 1 doc), s=0.8 (200 tok, 2 docs),
+    #          s=0.7 (300 tok, 1 doc)
+    rows = [(0.9, 100), (0.8, 120), (0.8, 80), (0.7, 300)]
+    df = spark.createDataFrame(rows, "s double, tok long")
+    out = budget_threshold(df, F.col("s"), F.col("tok"),
+                           budget_tokens=350).collect()[0]
+    # greedy whole buckets: 0.9 (100) + 0.8 (200) = 300 <= 350; adding
+    # 0.7 would hit 600 -> threshold 0.8, one bucket under-filled
+    assert out.threshold_score == 0.8
+    assert out.kept_docs == 3 and out.kept_tokens == 300
+    assert out.utilization == round(300 / 350.0, 6)
+    assert out.budget_tokens == 350
+
+
+def test_budget_threshold_overbudget_top_bucket_is_empty_cut(spark):
+    from json_schema_spark.operators.sampling import budget_threshold
+
+    df = spark.createDataFrame([(0.9, 500)], "s double, tok long")
+    out = budget_threshold(df, F.col("s"), F.col("tok"),
+                           budget_tokens=100).collect()[0]
+    assert out.threshold_score is None
+    assert out.kept_docs == 0 and out.kept_tokens == 0
+    assert out.utilization == 0.0
