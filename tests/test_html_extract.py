@@ -379,3 +379,14 @@ def test_cocitation_hub_prune(spark):
     assert capped == {("h0", "h1"): 1}
     uncapped = cocitation_pairs(edges).count()
     assert uncapped == 50 * 49 // 2  # the quadratic head the cap removes
+
+
+def test_anchor_text_salted_plan_uses_window_group_limit(spark):
+    from json_schema_spark.operators.html_extract import anchor_text_profile
+
+    df = spark.createDataFrame(ANCHOR_PAGES, "id int, page string")
+    out = anchor_text_profile(df, F.col("page"), top_m=2,
+                              salted=True, n_salts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -198,3 +198,15 @@ def test_stupid_backoff_xxhash_bucketed_matches_exact(spark):
     with pytest.raises(ValueError, match="hash_fn"):
         stupid_backoff_score(docs, "doc_id", "text", F.col("ref"),
                              hash_fn="bogus")
+
+
+def test_stupid_backoff_bucketed_plan_is_all_broadcast(spark):
+    from json_schema_spark.operators.lm import stupid_backoff_score
+
+    out = stupid_backoff_score(
+        _sb_docs(spark), "doc_id", "text", F.col("ref"), n_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # all five count-table lookups + the scalar must be broadcasts —
+    # the corpus never shuffles on vocabulary
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan

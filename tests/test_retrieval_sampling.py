@@ -472,3 +472,48 @@ def test_budget_threshold_overbudget_top_bucket_is_empty_cut(spark):
     assert out.threshold_score is None
     assert out.kept_docs == 0 and out.kept_tokens == 0
     assert out.utilization == 0.0
+
+
+# ---------------------------------------------------------------------------
+# plan-shape guards for the session's operators (the 100 TB posture,
+# pinned so a regression in Catalyst usage fails loudly)
+# ---------------------------------------------------------------------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from json_schema_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(100)], "doc_id long, w double")
+    plan = _plan(weighted_sample(df, "doc_id", "w", k=5))
+    # the top-k must be a per-partition heap + driver merge, never a
+    # global Sort of the corpus
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_retrieval_eval_salted_plan_uses_window_group_limit(tiny_docs):
+    from json_schema_spark.operators.retrieval import retrieval_eval
+
+    plan = _plan(retrieval_eval(
+        tiny_docs, "doc_id", "text", RE_QUERIES, k=2,
+        salted=True, n_salts=4))
+    # Spark 4 bounds each window task's heap to k rows per key at both
+    # salted stages; no corpus-side cartesian anywhere
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_budget_threshold_plan_aggregates_before_window(spark):
+    from json_schema_spark.operators.sampling import budget_threshold
+
+    df = spark.createDataFrame(
+        [(0.5 + (i % 5) / 10.0, i) for i in range(100)],
+        "s double, tok long")
+    plan = _plan(budget_threshold(df, F.col("s"), F.col("tok"), 1000))
+    # the corpus collapses through a partial-aggregable HashAggregate
+    # BEFORE the (aggregate-sized) global window
+    assert "HashAggregate" in plan and "Window" in plan
+    assert "CartesianProduct" not in plan

@@ -224,3 +224,18 @@ def test_lang_confusion_hand_fixture(spark):
     assert not got[("es", "fr")].is_match
     # NULL text never enters the matrix
     assert not any(lbl == "fr" for lbl, _ in got)
+
+
+def test_bitext_candidates_plan_has_no_nested_loop(spark):
+    from json_schema_spark.operators.textstats import bitext_candidates
+
+    df = spark.createDataFrame(
+        [(i, f"https://s.com/{l}/p/{i % 3}") for i, l in
+         enumerate(["en", "de", "fr"] * 10)],
+        "doc_id long, url string")
+    out = bitext_candidates(df, "doc_id", "url", langs=["de", "en", "fr"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the pairing self-join is keyed on the normalized URL — never a
+    # nested loop or cartesian over candidates
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
