@@ -1219,6 +1219,19 @@ def q_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=10_000)
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity gate: modified-z (MAD) outlier flags on vector
+    L2 norms — the pre-ANN screen for corrupt vectors. Norm is the
+    module's zip_with/aggregate JVM fast path; median and MAD are two
+    single-row broadcast aggregates
+    (operators/similarity.py:embedding_outliers)."""
+    from json_schema_spark.operators.similarity import embedding_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_outliers(emb, "vec_id", "embedding"
+                              ).withColumnRenamed("id", "vec_id")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (Efraimidis-Spirakis
     u^(1/w) keys, md5-derived u so the draw is deterministic and
@@ -3578,6 +3591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         # r5: token-budget quality cut (FineWeb-style threshold)
         "budget_threshold": q_budget_threshold,
+        # r5: embedding-norm MAD outlier gate (pre-ANN sanity screen)
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -5334,6 +5349,29 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(max(cum_tok), 0) / 10000.0, 6)
                      AS utilization
             FROM sel
+        """,
+        "embedding_outliers": """
+            WITH norms AS (
+              SELECT vec_id,
+                     round(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * x))), 6) AS norm
+              FROM embeddings WHERE embedding IS NOT NULL),
+            med AS (SELECT round(median(norm), 6) AS med FROM norms),
+            mad AS (
+              SELECT round(median(abs(n.norm - m.med)), 6) AS mad
+              FROM norms n CROSS JOIN med m)
+            SELECT n.vec_id, n.norm,
+                   m.med AS med_norm, d.mad AS mad_norm,
+                   CASE WHEN d.mad > 0
+                        THEN round((0.6745 * (n.norm - m.med)) / d.mad, 6)
+                        ELSE 0.0 END AS z,
+                   CASE WHEN d.mad > 0
+                        THEN abs(CASE WHEN d.mad > 0
+                                 THEN round((0.6745 * (n.norm - m.med))
+                                            / d.mad, 6)
+                                 ELSE 0.0 END) > 3.5
+                        ELSE FALSE END AS is_outlier
+            FROM norms n CROSS JOIN med m CROSS JOIN mad d
         """,
         "fuzzy_contamination": _fuzzy_contamination_sql(),
         "crawl_frontier": _crawl_frontier_sql(),

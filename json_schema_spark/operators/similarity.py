@@ -567,3 +567,63 @@ def semdedup(
         })
 
     return assigned.groupBy("cluster_id").applyInPandas(mark, out_schema)
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    z_cut: float = 3.5,
+    exact: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding sanity gate: flag vectors whose L2 norm is a robust
+    outlier under the Iglewicz-Hoaglin modified z-score
+    (0.6745 * (norm - median) / MAD, cut at ``z_cut``) — the standard
+    pre-ANN screen for corrupt/degenerate vectors (zero embeddings,
+    overflow artifacts, wrong-scale batches), robust where mean/std
+    would be dragged by the very outliers it hunts.
+
+    Returns (id, norm, med_norm, mad_norm, z, is_outlier).  Norms
+    round to ``round_to`` BEFORE the medians so both engines take
+    medians of identical values; MAD deviations measure from the
+    ROUNDED median for the same reason; MAD == 0 (constant norms)
+    yields z = 0 and no outliers, defined.
+
+    Scale shape: the norm is one JVM higher-order projection (the
+    module's zip_with/aggregate fast path, zero Python); median and
+    MAD are TWO single-row aggregates re-entering as broadcasts.
+    ``exact=True`` uses Spark's exact median — a single-group sort
+    aggregate that funnels all norms through one buffer, fine up to
+    ~10^8 rows and required for the DuckDB oracle; at the 10^12
+    posture pass ``exact=False`` for percentile_approx (or feed the
+    stored t-digest path, operators/tdigest.py) — signal-grade,
+    identical plan otherwise.
+    """
+    med_fn = (F.median if exact
+              else (lambda c: F.percentile_approx(c, 0.5, 10_000)))
+    vec = F.col(vec_col)
+    dot = F.aggregate(
+        F.zip_with(vec, vec, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norms = (df.where(vec.isNotNull())
+             .select(F.col(id_col).alias("id"),
+                     F.round(F.sqrt(dot), round_to).alias("norm")))
+    med = norms.agg(F.round(med_fn(F.col("norm")), round_to).alias("med"))
+    withmed = norms.crossJoin(F.broadcast(med))
+    mad = withmed.agg(
+        F.round(med_fn(F.abs(F.col("norm") - F.col("med"))), round_to)
+        .alias("mad"))
+    z = F.when(F.col("mad") > 0,
+               F.round(0.6745 * (F.col("norm") - F.col("med"))
+                       / F.col("mad"), round_to)).otherwise(F.lit(0.0))
+    return (
+        withmed.crossJoin(F.broadcast(mad))
+        .select(
+            "id", "norm",
+            F.col("med").alias("med_norm"),
+            F.col("mad").alias("mad_norm"),
+            z.alias("z"),
+            (F.abs(z) > F.lit(z_cut)).alias("is_outlier"),
+        )
+    )

@@ -176,6 +176,10 @@ PAST_WINDOW_ORACLED = {
     # r5 late: token-budget quality cut (greedy whole-bucket fill +
     # over-budget-top-bucket edge in tests/test_retrieval_sampling.py)
     "budget_threshold": "tests/test_retrieval_sampling.py",
+    # r5 late: embedding-norm MAD outlier gate (hand med/MAD/z values,
+    # constant-norm edge, approx==exact flags in
+    # tests/test_semdedup_gopher.py)
+    "embedding_outliers": "tests/test_semdedup_gopher.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -128,3 +128,60 @@ def test_gopher_mean_word_len_hand_value(spark):
     assert r["word_count"] == 80
     assert r["n_stopwords"] == 2
     assert r["passes_gopher"]
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers: MAD / modified-z norm sanity gate
+# ---------------------------------------------------------------------------
+
+def test_embedding_outliers_hand_values(spark):
+    from json_schema_spark.operators.similarity import embedding_outliers
+
+    # 5 unit-ish norms and one corrupt 100x vector
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.1]), (3, [0.9, 0.0]),
+            (4, [1.0, 0.2]), (5, [0.0, 0.95]), (6, [100.0, 0.0]),
+            (7, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.id: r for r in embedding_outliers(
+        df, "vec_id", "embedding").collect()}
+    assert 7 not in got                       # NULL vector never enters
+    assert got[6].is_outlier and got[6].norm == 100.0
+    assert not any(got[i].is_outlier for i in (1, 2, 3, 4, 5))
+    # norms sorted: .9 .95 1.0 1.0198 1.1 100 -> med = (1.0+1.0198)/2
+    import math
+    n4 = round(math.sqrt(1.0 + 0.04), 6)
+    med = round((1.0 + n4) / 2, 6)
+    assert got[1].med_norm == med
+    # MAD from the rounded median; z uses rounded med and mad
+    devs = sorted(abs(round(x, 6) - med) for x in
+                  (1.0, 1.1, 0.9, n4, 0.95, 100.0))
+    mad = round((devs[2] + devs[3]) / 2, 6)
+    assert got[1].mad_norm == mad
+    assert got[6].z == round(0.6745 * (100.0 - med) / mad, 6)
+
+
+def test_embedding_outliers_constant_norms_no_flags(spark):
+    from json_schema_spark.operators.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    got = embedding_outliers(df, "vec_id", "embedding").collect()
+    # MAD == 0 -> defined: z = 0, no outliers
+    assert all(r.z == 0.0 and not r.is_outlier for r in got)
+    assert all(r.norm == 5.0 for r in got)
+
+
+def test_embedding_outliers_approx_mode_same_flags(spark):
+    from json_schema_spark.operators.similarity import embedding_outliers
+
+    rows = [(i, [1.0 + (i % 7) / 100.0, 0.0]) for i in range(200)] + [
+        (999, [50.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ex = {r.id: r.is_outlier for r in embedding_outliers(
+        df, "vec_id", "embedding", exact=True).collect()}
+    ap = {r.id: r.is_outlier for r in embedding_outliers(
+        df, "vec_id", "embedding", exact=False).collect()}
+    # the scale path (percentile_approx) flags the same gross outlier
+    assert ex[999] and ap[999]
+    assert sum(ex.values()) == sum(ap.values()) == 1
