@@ -147,6 +147,10 @@ def main() -> None:
         ("tokenizer_fertility", None),
         # corpus -> score histogram -> aggregate-sized cut (1 row)
         ("budget_threshold", None),
+        # shared gram pair stage, containment scoring
+        ("dedup_containment", lambda d: d.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("containment"), 6).alias("max_containment"))),
     ]
     only = set(sys.argv[2:])
     if only:

@@ -690,6 +690,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n=3, threshold=0.01, max_df=5)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram CONTAINMENT pairs (Broder): the asymmetric
+    subset-duplication signal symmetric Jaccard misses (a short doc
+    pasted inside a long one). Shares the jaccard family's pair stage
+    and stop-gram pruning (operators/dedup.py:ngram_containment_pairs)."""
+    from json_schema_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                   n=3, threshold=0.2, max_df=5)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components over the ngram-jaccard
     pair graph (threshold 0.4) — (node, grp) with grp = smallest doc id
@@ -3593,6 +3604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_threshold": q_budget_threshold,
         # r5: embedding-norm MAD outlier gate (pre-ANN sanity screen)
         "embedding_outliers": q_embedding_outliers,
+        # r5: asymmetric n-gram containment pairs (subset duplication)
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -4693,6 +4706,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.01
+        """,
+        "dedup_containment": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams0 AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT doc_id, array_to_string(t, ' ') AS gram
+              FROM toks WHERE len(t) < 3),
+            hot AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) > 5),
+            grams AS (
+              SELECT * FROM grams0
+              WHERE gram NOT IN (SELECT gram FROM hot)),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_inter,
+                   sa.n_grams AS n_a, sb.n_grams AS n_b,
+                   round(n_inter / least(sa.n_grams, sb.n_grams), 6)
+                     AS containment,
+                   round(n_inter / sa.n_grams, 6) AS frac_a_in_b,
+                   round(n_inter / sb.n_grams, 6) AS frac_b_in_a
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / least(sa.n_grams, sb.n_grams), 6) >= 0.2
         """,
         "dedup_groups": _DEDUP_GROUPS_CTE + """
             SELECT node, CAST(min(label) AS BIGINT) AS grp

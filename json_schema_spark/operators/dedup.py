@@ -382,20 +382,16 @@ def simhash_pairs(
 # exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _gram_pair_intersections(
     df: DataFrame, id_col: str, text_col: str,
-    n: int = 3, threshold: float = 0.5, max_df: int | None = 1000,
+    n: int, max_df: int | None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for every pair sharing at
-    least one (non-stop) gram: (doc_a, doc_b, jaccard).
-
-    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) — integer counts, so the
-    single double division is bit-identical across engines.
-
-    ``max_df`` drops grams present in more than that many documents
-    before the self-join (stop-gram pruning): on a skewed web corpus
-    boilerplate grams would otherwise dominate the join fan-out.
-    """
+    """Shared pair stage for the exact set-similarity family:
+    (doc_a, doc_b, n_inter, n_a, n_b) for every document pair sharing
+    at least one (non-stop) n-gram.  ``max_df`` drops grams present in
+    more than that many documents before the self-join (stop-gram
+    pruning): on a skewed web corpus boilerplate grams would otherwise
+    dominate the join fan-out."""
     # set size is carried WITH each gram row (computed in the same
     # projection, before the explode) — joining a separate per-doc
     # sizes aggregate back in re-scanned the source twice more.
@@ -416,7 +412,7 @@ def ngram_jaccard_pairs(
     g1, g2 = grams.alias("g1"), grams.alias("g2")
     # both join inputs shuffle on the same key and are identical
     # subplans -> Spark reuses one exchange for the other side.
-    inter = (
+    return (
         g1.join(g2, on=[F.col("g1.gram") == F.col("g2.gram"),
                         F.col("g1.doc") < F.col("g2.doc")])
         .groupBy(F.col("g1.doc").alias("doc_a"), F.col("g2.doc").alias("doc_b"))
@@ -424,6 +420,20 @@ def ngram_jaccard_pairs(
              F.first(F.col("g1.n_grams")).alias("n_a"),
              F.first(F.col("g2.n_grams")).alias("n_b"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, threshold: float = 0.5, max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for every pair sharing at
+    least one (non-stop) gram: (doc_a, doc_b, jaccard).
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) — integer counts, so the
+    single double division is bit-identical across engines.
+    Pair stage shared with :func:`ngram_containment_pairs`.
+    """
+    inter = _gram_pair_intersections(df, id_col, text_col, n, max_df)
     return (
         inter.withColumn(
             "jaccard",
@@ -431,6 +441,41 @@ def ngram_jaccard_pairs(
                     (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, threshold: float = 0.8, max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram CONTAINMENT (Broder): the asymmetric
+    near-dup signal symmetric Jaccard misses — a short document pasted
+    inside a much longer one scores Jaccard ≈ |A|/|B| (tiny) but
+    containment ≈ 1.  Thresholds on
+    containment = |A ∩ B| / min(|A|, |B|) (the smaller side's coverage)
+    and reports both directed fractions so callers can tell which side
+    is the contained one: (doc_a, doc_b, n_inter, n_a, n_b,
+    containment, frac_a_in_b, frac_b_in_a).
+
+    Same pair stage, pruning rule, and scale shape as
+    :func:`ngram_jaccard_pairs` (shared `_gram_pair_intersections`);
+    integer-count divisions rounded at 6 are bit-identical across
+    engines.
+    """
+    inter = _gram_pair_intersections(df, id_col, text_col, n, max_df)
+    return (
+        inter.withColumn(
+            "containment",
+            F.round(F.col("n_inter")
+                    / F.least(F.col("n_a"), F.col("n_b")), 6))
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_inter", "n_a", "n_b", "containment",
+            F.round(F.col("n_inter") / F.col("n_a"), 6)
+            .alias("frac_a_in_b"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6)
+            .alias("frac_b_in_a"),
+        )
     )
 
 

@@ -180,6 +180,9 @@ PAST_WINDOW_ORACLED = {
     # constant-norm edge, approx==exact flags in
     # tests/test_semdedup_gopher.py)
     "embedding_outliers": "tests/test_semdedup_gopher.py",
+    # r5 late: asymmetric n-gram containment (subset-pair-that-jaccard-
+    # misses + threshold/direction fixtures in tests/test_pipeline_ops.py)
+    "dedup_containment": "tests/test_pipeline_ops.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)

@@ -622,3 +622,44 @@ def test_script_profile_counts_and_dominance(spark):
     assert out[4]["dominant"] == "none"
     assert out[5]["dominant"] is None and out[5]["n_latin"] is None
     assert out[6]["n_arabic"] == 6 and out[6]["dominant"] == "arabic"
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment_pairs: asymmetric subset-duplication signal
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from json_schema_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, short + " " + filler), (3, "totally other words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r.doc_a, r.doc_b): r for r in ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.8, max_df=None).collect()}
+    # the short doc's 3 trigrams all appear in the long doc... the
+    # boundary trigrams bridging short+filler exist only in doc 2, so
+    # containment of doc1 in doc2 is exactly 1.0
+    r = cont[(1, 2)]
+    assert r.containment == 1.0 and r.frac_a_in_b == 1.0
+    assert r.n_a == 3 and r.frac_b_in_a < 0.05
+    # symmetric jaccard misses the same pair at any realistic threshold
+    jac = {(x.doc_a, x.doc_b): x.jaccard for x in ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_df=None).collect()}
+    assert jac[(1, 2)] < 0.04
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_containment_threshold_and_direction(spark):
+    from json_schema_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [(1, "a b c d e"), (2, "a b c z z")]  # 3 grams each, 1 shared
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_containment_pairs(df, "doc_id", "text", n=3,
+                                  threshold=0.5, max_df=None).collect()
+    assert got == []  # 1/3 < 0.5
+    got = ngram_containment_pairs(df, "doc_id", "text", n=3,
+                                  threshold=0.3, max_df=None).collect()
+    assert len(got) == 1 and got[0].containment == round(1 / 3, 6)
