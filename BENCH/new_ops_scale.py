@@ -151,6 +151,8 @@ def main() -> None:
         ("dedup_containment", lambda d: d.agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(F.max("containment"), 6).alias("max_containment"))),
+        # one count_distinct groupBy on the determinant (13 keys)
+        ("fd_check", None),
     ]
     only = set(sys.argv[2:])
     if only:

@@ -701,6 +701,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    n=3, threshold=0.2, max_df=5)
 
 
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency constraint A -> B (the consistency check
+    between uniqueness and free-form columns; §2.4 family): planted
+    fixture — determinant h{doc_id%13} maps to v{doc_id%13}
+    consistently EXCEPT docs with doc_id%89==0 inject an 'odd' value,
+    so exactly the groups containing such a doc violate. One
+    partial-aggregable groupBy, no join
+    (operators/referential.py:fd_violations)."""
+    from json_schema_spark.operators.referential import fd_violations
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(13))
+                 .cast("string")).alias("det"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(89)) == 0, F.lit("odd"))
+        .otherwise(F.concat(F.lit("v"),
+                            F.pmod(F.col("doc_id"), F.lit(13))
+                            .cast("string"))).alias("dep"),
+    )
+    return fd_violations(d, "det", "dep")
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components over the ngram-jaccard
     pair graph (threshold 0.4) — (node, grp) with grp = smallest doc id
@@ -3606,6 +3627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         # r5: asymmetric n-gram containment pairs (subset duplication)
         "dedup_containment": q_dedup_containment,
+        # r5: functional-dependency constraint (planted-violation
+        # lattice fixture)
+        "fd_check": q_fd_check,
     }
 
 
@@ -4738,6 +4762,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter / least(sa.n_grams, sb.n_grams), 6) >= 0.2
+        """,
+        "fd_check": """
+            WITH d AS (
+              SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) AS det,
+                     CASE WHEN doc_id % 89 = 0 THEN 'odd'
+                          ELSE 'v' || CAST(doc_id % 13 AS VARCHAR)
+                     END AS dep
+              FROM documents)
+            SELECT det,
+                   count(DISTINCT dep)
+                     + max(CASE WHEN dep IS NULL THEN 1 ELSE 0 END)
+                     AS n_dep_values,
+                   count(*) AS n_rows
+            FROM d WHERE det IS NOT NULL
+            GROUP BY det
+            HAVING count(DISTINCT dep)
+                     + max(CASE WHEN dep IS NULL THEN 1 ELSE 0 END) > 1
         """,
         "dedup_groups": _DEDUP_GROUPS_CTE + """
             SELECT node, CAST(min(label) AS BIGINT) AS grp

@@ -428,6 +428,8 @@ class ValidationRunner:
 
             "dataset": {"unique": ["url"],
                         "ref":   [{"column","table","key"}, ...],
+                        "fd":    [{"determinant","dependent",
+                                   "max_violating_frac"}, ...],
                         "drift": [{"column","test","by"}, ...],
                         "dedup": [{"column","id","method","max_dup_frac"}, ...],
                         "blocklist": [{"column","domains"|"table",
@@ -466,6 +468,21 @@ class ValidationRunner:
             row = referential_verdict(df, dim, ref["column"], ref["key"]).collect()[0]
             results.append((row["check"], bool(row["pass"]),
                             int(row["n_violations"]), float(row["n_violations"])))
+
+        for fd in block.get("fd", []):
+            # functional dependency A -> B (operators/referential.py):
+            # the consistency constraint between uniqueness (A -> whole
+            # row) and free-form columns; ONE partial-aggregable
+            # groupBy, verdict vs a tolerated violating-key fraction
+            from json_schema_spark.operators.referential import fd_verdict
+
+            row = fd_verdict(df, fd["determinant"], fd["dependent"]) \
+                .collect()[0]
+            cap = float(fd.get("max_violating_frac", 0.0))
+            results.append((row["check"],
+                            float(row["violating_key_frac"]) <= cap,
+                            int(row["n_violations"]),
+                            float(row["violating_key_frac"])))
 
         for d in block.get("drift", []):
             by = d["by"]

@@ -222,3 +222,51 @@ def test_dataset_block_unknown_quality_signal_raises(spark, tmp_path):
     runner = ValidationRunner(spark, spec, str(tmp_path / "q3"), run_id="q3")
     with pytest.raises(ValueError, match="vibes"):
         runner.run_dataset_checks(df)
+
+
+# ---------------------------------------------------------------------------
+# dataset.fd: functional-dependency constraint A -> B
+# ---------------------------------------------------------------------------
+
+def test_fd_violations_and_verdict_hand_fixture(spark):
+    from json_schema_spark.operators.referential import (
+        fd_verdict, fd_violations,
+    )
+
+    rows = [
+        ("a", "x"), ("a", "x"),            # consistent key
+        ("b", "x"), ("b", "y"),            # 2 values -> violating
+        ("c", "x"), ("c", None),           # value + NULL -> violating
+        (None, "z"),                       # NULL determinant excluded
+        ("d", None), ("d", None),          # only NULL -> 1 value, ok
+    ]
+    df = spark.createDataFrame(rows, "det string, dep string")
+    got = {r.det: r for r in fd_violations(df, "det", "dep").collect()}
+    assert set(got) == {"b", "c"}
+    assert got["b"].n_dep_values == 2 and got["b"].n_rows == 2
+    assert got["c"].n_dep_values == 2   # 'x' + NULL counts as distinct
+    v = fd_verdict(df, "det", "dep").collect()[0]
+    assert v.check == "fd(det->dep)"
+    assert not v["pass"] and v.n_violations == 2
+    assert v.violating_key_frac == 0.5  # 2 of 4 non-null keys
+
+
+def test_fd_spec_block_verdict_row(spark, tmp_path):
+    from json_schema_spark.plans.runner import ValidationRunner
+
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k1", "v1"), ("k2", "v1"), ("k2", "v2")],
+        "det string, dep string")
+    spec = {"type": "object",
+            "dataset": {"fd": [
+                {"determinant": "det", "dependent": "dep"},
+                {"determinant": "det", "dependent": "dep",
+                 "max_violating_frac": 0.6},
+            ]}}
+    runner = ValidationRunner(spark, spec, str(tmp_path / "fd"),
+                              run_id="fd")
+    rows = runner.run_dataset_checks(df).collect()
+    strict, tolerant = rows[0], rows[1]
+    assert strict.check == "fd(det->dep)" and not strict["pass"]
+    assert strict.n_violations == 1 and strict.metric == 0.5
+    assert tolerant["pass"]  # 0.5 <= 0.6 tolerated

@@ -183,6 +183,9 @@ PAST_WINDOW_ORACLED = {
     # r5 late: asymmetric n-gram containment (subset-pair-that-jaccard-
     # misses + threshold/direction fixtures in tests/test_pipeline_ops.py)
     "dedup_containment": "tests/test_pipeline_ops.py",
+    # r5 late: functional-dependency constraint (NULL semantics +
+    # spec-block verdict/tolerance in tests/test_dataset_block.py)
+    "fd_check": "tests/test_dataset_block.py",
     # r5: cross-snapshot incremental dedup via the fingerprint ledger
     # (incremental == global keep-first pinned in
     # tests/test_incremental_dedup.py + the oracle test below)
