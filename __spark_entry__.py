@@ -3390,7 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with a value-checked md5/exact twin or a pytest recall gate) go
     # last so a sample window never silently drops a value-checkable
     # query. tests/test_driver_contract.py enforces this ordering.
-    return {
+    base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- oracled queries (everything here has an oracle_sql() row) ---
         "constraint_summary": q_constraint_summary,
         "constraint_violations": q_constraint_violations,
@@ -3631,6 +3631,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lattice fixture)
         "fd_check": q_fd_check,
     }
+    return {
+        name: _align_oracle_dtypes(name, fn) for name, fn in base.items()
+    }
+
+
+# Driver-hash dtype alignment (VERDICT r5 #1/#2). The driver's result
+# hash is value-REPRESENTATION sensitive: a DuckDB bare integer sum()
+# is HUGEINT, which pandas delivers as float64 ("25.0"), while Spark's
+# long sum arrives as int64 ("25") — bit-equal values, red hash
+# (CORRECTNESS_r05: dup_span_coverage / contamination_check /
+# sequence_packing). int32-vs-int64 is provably tolerated (ann_topk,
+# repetition_profile were driver-green for 5 rounds), but the strict
+# in-tree gate (tools/check_oracle.py) aligns those too so in-tree
+# green always implies driver green. The cast happens at the declared-
+# query boundary — operators keep their semantic types; values are
+# unchanged (counts are far below 2^53, exactly representable).
+_ORACLE_DTYPE_ALIGN: dict[str, dict[str, str]] = {
+    # DuckDB HUGEINT sum() -> pandas float64: Spark side must be double
+    "dup_span_coverage": {"dup_spans": "double"},
+    "contamination_check": {"hit_spans": "double"},
+    "sequence_packing": {"pack_tokens": "double"},
+    "line_dedup": {"removed_lines": "double"},
+    "html_extract": {"n_byte_identical": "double",
+                     "sum_html_chars": "double",
+                     "sum_text_chars": "double"},
+    "html_metadata": {"n_noindex": "double", "n_canonical": "double",
+                      "n_title_ok": "double", "sum_anchors": "double",
+                      "sum_anchor_chars": "double",
+                      "sum_content_chars": "double"},
+    "snapshot_diff": {"chars_delta": "double"},
+    "mixture_execute": {"chars_kept": "double"},
+    "corpus_datacard": {"n_null_text": "double", "total_chars": "double"},
+    "retrieval_eval": {"n_rel": "double", "hits_at_k": "double"},
+    # int32 (Spark size()/row_number()/length()) vs DuckDB int64
+    "ann_topk": {"rank": "long"},
+    "repetition_profile": {"n_grams": "long"},
+    "window_running": {"price_rank": "long"},
+    "domain_cap": {"rank_in_domain": "long"},
+    "quality_classifier": {"n_grams": "long"},
+    "dup_span_removal": {"n_tokens": "long", "removed_tokens": "long"},
+    "pipeline_web_curation": {"rank_in_domain": "long",
+                              "n_chars_kept": "long"},
+    "warc_ingest": {"payload_chars": "long"},
+    "doc_chunking": {"start_tok": "long", "n_tokens": "long"},
+    "crawl_frontier": {"rank_in_domain": "long"},
+    "winnow_fingerprint": {"pos": "long"},
+    "nfc_audit": {"chars_before": "long", "chars_after": "long",
+                  "bytes_before": "long", "bytes_after": "long"},
+    "anchor_text": {"rank": "long"},
+    "token_entropy": {"n_tokens": "long"},
+}
+
+
+def _align_oracle_dtypes(name, fn):
+    casts = _ORACLE_DTYPE_ALIGN.get(name)
+    if not casts:
+        return fn
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        return df.select(*[
+            F.col(c).cast(casts[c]).alias(c) if c in casts else c
+            for c in df.columns
+        ])
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 # ---------------------------------------------------------------------------

@@ -332,15 +332,17 @@ def test_bench_contract_line_stays_under_capture_window():
 
 @pytest.mark.parametrize("name", sorted(PAST_WINDOW_ORACLED))
 def test_rotated_out_queries_match_duckdb_oracle(spark, name):
-    """The exact driver comparison for the five queries rotated OUT of
-    the 50-slot sample window in r5 (driver-green in CORRECTNESS
-    r01..r04): rows + columns + order-insensitive values vs DuckDB at
-    the driver's sf0.01."""
+    """The exact driver comparison for the queries rotated OUT of the
+    50-slot sample window (driver-green in CORRECTNESS r01..r05): rows
+    + columns + order-insensitive values vs DuckDB at the driver's
+    sf0.01 — PLUS the strict dtype gate (VERDICT r5 #2): the driver's
+    result hash distinguishes int64 from float64, so a dtype mismatch
+    here is a future driver red even when every value is bit-equal."""
     import duckdb
     import pandas as pd
 
     from json_schema_spark.sources.tables import TPCH_TABLES
-    from tools.check_oracle import canon
+    from tools.check_oracle import canon, dtype_mismatches
 
     sf = "/root/testdata/sf0.01"
     sdf = em.queries()[name](spark, sf).toPandas()
@@ -350,8 +352,36 @@ def test_rotated_out_queries_match_duckdb_oracle(spark, name):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     odf = con.execute(em.oracle_sql()[name]).df()
     assert len(sdf) > 0 and len(sdf) == len(odf)
+    assert dtype_mismatches(sdf, odf) == []
     pd.testing.assert_frame_equal(canon(sdf), canon(odf),
                                   check_dtype=False)
+
+
+def test_dtype_gate_reproduces_r5_driver_failures():
+    """Regression pin for VERDICT r5 #1/#2: the strict dtype gate must
+    flag exactly the drift class that made dup_span_coverage /
+    contamination_check / sequence_packing driver-red in r5 (Spark
+    int64 vs DuckDB HUGEINT-as-float64) while tolerating nothing else
+    numeric — so the in-tree replica can never again report green
+    where the driver reports red."""
+    import pandas as pd
+
+    from tools.check_oracle import dtype_mismatches
+
+    spark_side = pd.DataFrame({"doc_id": pd.array([1, 2], dtype="int64"),
+                               "dup_spans": pd.array([3, 4], dtype="int64")})
+    duck_side = pd.DataFrame({"doc_id": pd.array([1, 2], dtype="int64"),
+                              "dup_spans": pd.array([3.0, 4.0],
+                                                    dtype="float64")})
+    assert dtype_mismatches(spark_side, duck_side) == [
+        "dup_spans: spark=int64 duck=float64"]
+    # int32-vs-int64 is ALSO flagged (strictness), and the documented
+    # datetime64-resolution collapse is the only numeric-free pass
+    a = pd.DataFrame({"r": pd.array([1], dtype="int32"),
+                      "t": pd.to_datetime(["2026-01-01"]).as_unit("ns")})
+    b = pd.DataFrame({"r": pd.array([1], dtype="int64"),
+                      "t": pd.to_datetime(["2026-01-01"]).as_unit("us")})
+    assert dtype_mismatches(a, b) == ["r: spark=int32 duck=int64"]
 
 
 def test_bench_conditions_probes():
