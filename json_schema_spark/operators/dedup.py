@@ -498,22 +498,57 @@ def connected_components(
     partition-parallel; `localCheckpoint` truncates the lineage so the
     plan does not grow with iterations (the driver-loop here is over
     ROUNDS, never over rows).
+
+    Job-count shape (r6, guide §2.4): every checkpoint is LAZY
+    (``eager=False``) so the round's convergence action — the label-sum
+    collect — materializes it in the SAME job; one job per round
+    instead of two, with the expressions (and therefore the labels)
+    byte-identical to the eager version.  AQE is scoped OFF for the
+    label loop only: the loop's partitioning is already hand-sized
+    from the measured edge count (``p`` below), so adaptive
+    re-planning has nothing left to adapt — it only turns every
+    exchange into its own materialization job (measured at sf0.1:
+    ~4-6 driver-side jobs per round for single-task stages).  The
+    corpus-scale pair generation upstream executes under the edge
+    count BEFORE the switch, so it keeps AQE skew handling; labels
+    are integer mins, so loop results are exact regardless of
+    partitioning.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(eager=False)
     # size the loop's parallelism to the GRAPH, not the session default:
     # near-dup graphs are usually tiny relative to the corpus, and at 32
     # shuffle partitions the per-round fixed task overhead dominates.
-    # (count() is free — edges just materialized.)
+    # (count() doubles as the lazy checkpoint's materializer — and runs
+    # the upstream pair generation with AQE still ON.)
     n_edges = edges.count()
-    p = max(1, min(32, n_edges // 100_000))
-    edges = edges.repartition(p, "b").localCheckpoint()
+    spark = pairs.sparkSession
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # parallelism sized to the GRAPH and capped by the session's
+    # configured parallelism (not a local-mode constant): with AQE off
+    # inside the loop, every join/groupBy shuffle runs at this width,
+    # so it must be the hand-derived width AQE would have coalesced to
+    p = max(1, min(int(sp_before), n_edges // 100_000))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        return _cc_label_loop(edges, p, max_iter)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
+
+
+def _cc_label_loop(edges: DataFrame, p: int, max_iter: int) -> DataFrame:
+    """The min-label propagation loop of :func:`connected_components`
+    (split out so the AQE scope above stays a try/finally)."""
+    edges = edges.repartition(p, "b").localCheckpoint(eager=False)
     # round-0 fused into the init: label = min(self, direct neighbors)
     labels = (
         edges.groupBy(F.col("a").alias("node"))
         .agg(F.least(F.min("b"), F.first("a")).alias("label"))
-        .repartition(p).localCheckpoint()
+        .repartition(p).localCheckpoint(eager=False)
     )
     # labels only ever DECREASE, so for NUMERIC ids sum(label) strictly
     # decreases while anything changes — convergence is one cheap
@@ -549,7 +584,7 @@ def connected_components(
                 F.least(labels["label"],
                         F.coalesce(nbr_min["nlabel"], labels["label"])).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if numeric_ids:
             cur_sum = _sum(new_labels)

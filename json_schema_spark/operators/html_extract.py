@@ -328,36 +328,69 @@ def pagerank_hosts(edges: DataFrame, damping: float = 0.85,
     # otherwise re-execute the upstream extraction pipeline — measured
     # ~50 rebuilds of the page-regex scan for a 10-iteration run. The
     # edge table is pair-of-domains-cardinality: aggregate-sized.
-    edges = edges.localCheckpoint()
+    # Lazy (r6, guide §2.4): the nodes.count() below materializes it in
+    # the same job — and runs the upstream extraction with AQE still ON.
+    edges = edges.localCheckpoint(eager=False)
+    # nodes and out-weights are iteration-invariant: checkpoint them
+    # once (lazily; the count / first dangling job materializes them)
+    # instead of re-deriving union+distinct and the groupBy from the
+    # edge table inside every iteration's plan (r6, guide §2.4).
     nodes = (edges.select(F.col("src_d").alias("domain"))
              .union(edges.select(F.col("dst_d").alias("domain")))
-             .distinct())
+             .distinct().localCheckpoint(eager=False))
     n = nodes.count()
-    out_w = edges.groupBy("src_d").agg(F.sum("n_links").alias("out_w"))
+    out_w = edges.groupBy("src_d").agg(F.sum("n_links").alias("out_w")) \
+        .localCheckpoint(eager=False)
     ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
-        dangling = (
-            ranks.join(out_w, ranks.domain == out_w.src_d, "left_anti")
-            .agg(F.sum("rank")).first()[0] or 0.0
-        )
-        contrib = (
-            edges.join(out_w, "src_d")
-            .join(ranks.withColumnRenamed("domain", "src_d"), "src_d")
-            .groupBy(F.col("dst_d").alias("domain"))
-            .agg(F.sum(F.col("rank") * F.col("n_links") / F.col("out_w"))
-                 .alias("in_c"))
-        )
-        ranks = (
-            nodes.join(contrib, "domain", "left")
-            .select(
-                "domain",
-                (F.lit((1.0 - damping) / n)
-                 + F.lit(damping)
-                 * (F.coalesce(F.col("in_c"), F.lit(0.0))
-                    + F.lit(dangling / n))).alias("rank"),
+    # AQE scoped OFF for the power iteration (r6, guide §2.4): every
+    # table in the loop is aggregate-sized and already materialized or
+    # derived from a checkpoint, so adaptive re-planning has nothing to
+    # adapt — it only turns each iteration's exchanges into separate
+    # materialization jobs (measured: 120 -> ~45 driver-side jobs for a
+    # 10-iteration run at sf0.1). Rank arithmetic is unchanged.
+    spark = edges.sparkSession
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # loop shuffle width sized to the NODE table and capped by the
+    # session's configured parallelism (scale-adaptive, not a local
+    # constant): with AQE off these shuffles are not coalesced, so the
+    # width must be the one AQE would have chosen for aggregate-sized
+    # rank/contribution tables
+    p = max(1, min(int(sp_before), n // 100_000))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        for _ in range(iters):
+            dangling = (
+                ranks.join(out_w, ranks.domain == out_w.src_d, "left_anti")
+                .agg(F.sum("rank")).first()[0] or 0.0
             )
-            .localCheckpoint()
-        )
+            contrib = (
+                edges.join(out_w, "src_d")
+                .join(ranks.withColumnRenamed("domain", "src_d"), "src_d")
+                .groupBy(F.col("dst_d").alias("domain"))
+                .agg(F.sum(F.col("rank") * F.col("n_links") / F.col("out_w"))
+                     .alias("in_c"))
+            )
+            ranks = (
+                nodes.join(contrib, "domain", "left")
+                .select(
+                    "domain",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping)
+                     * (F.coalesce(F.col("in_c"), F.lit(0.0))
+                        + F.lit(dangling / n))).alias("rank"),
+                )
+                # lazy (r6, guide §2.4): the NEXT iteration's dangling-
+                # mass aggregate (or the caller's action, for the last
+                # round) materializes this checkpoint in the same job —
+                # one job per iteration instead of two, identical rank
+                # expressions.
+                .localCheckpoint(eager=False)
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
     return ranks.select("domain", F.round("rank", 6).alias("pagerank")) \
                 .orderBy("domain")
 

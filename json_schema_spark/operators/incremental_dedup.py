@@ -118,7 +118,12 @@ def incremental_dedup_snapshot(
     list eagerly), so the lazy stats read a consistent ledger era even
     after later snapshots commit.
     """
-    day = _snapshot_rollup(new_df, id_col, text_col, normalized)
+    # lazy checkpoint (r6, guide §2.4/§5): the rollup feeds BOTH the
+    # ledger write and the stats probe — without it the fingerprint
+    # aggregation over the snapshot executes twice (once in the commit
+    # job, once at the caller's action). The commit job materializes it.
+    day = _snapshot_rollup(new_df, id_col, text_col, normalized) \
+        .localCheckpoint(eager=False)
     # metadata-pruned probe: only manifests/files of snap < s planned
     history = ledger.scan([("snap", "<", int(snap))]).select("fp")
 
@@ -236,7 +241,13 @@ def incremental_minhash_snapshot(
     sig = minhash_signatures(
         new_df.select(F.col(id_col), F.col(text_col)),
         id_col, text_col, n=n, k=k, hash_fn=hash_fn)
-    banded = band_buckets(sig, k, bands).select("doc", "band", "bucket")
+    # lazy checkpoint (r6, guide §2.4/§5): the banded buckets feed BOTH
+    # the ledger write and the history probe — without it the whole
+    # minhash-signature pass over the snapshot's text executes twice
+    # (once in the commit job, once at the caller's action). The commit
+    # job materializes it; band+bucket rows are 12 bytes/doc/band.
+    banded = band_buckets(sig, k, bands).select("doc", "band", "bucket") \
+        .localCheckpoint(eager=False)
     history = ledger.scan([("snap", "<", int(snap))]) \
         .select("band", "bucket")
 
