@@ -506,8 +506,13 @@ def q_stream_drift_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_dir = os.path.join(base, "in")
     feed = docs.select("source", "n_chars")
     # history arrives first across several files, the new day last —
-    # with maxFilesPerTrigger=2 the stream sees multiple micro-batches
-    feed.where(F.col("source") != "src0").repartition(4) \
+    # with maxFilesPerTrigger=2 the stream sees multiple micro-batches.
+    # r6: 2 history files (not 4) — still >=2 micro-batches with the
+    # new day strictly last, but one fewer digest+commit cycle; the
+    # stored digests MERGE to the same per-value count table in the
+    # exact regime, so the KS output is bit-identical (the
+    # streaming==batch pin in tests/test_runner_streaming.py).
+    feed.where(F.col("source") != "src0").repartition(2) \
         .write.mode("overwrite").parquet(input_dir)
     feed.where(F.col("source") == "src0").coalesce(1) \
         .write.mode("append").parquet(input_dir)
@@ -1725,12 +1730,27 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
     name = "dedup_" + os.path.basename(base).replace("stream_dedup_", "")
-    q = (streaming_dedup_first_seen(stream, "doc_id", "text")
-         .writeStream.format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(base, "ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    n_input = docs.count() + 100  # original corpus + the replay slice
+    # state-store width sized to the KEY VOLUME, capped by the session's
+    # configured parallelism (r6, guide §2): each state partition is a
+    # provider instance with fixed per-batch open/commit/maintenance
+    # cost, so width targets >=50k keys per partition instead of
+    # spinning the session's full width for a small corpus. The dedup
+    # rule is keyed per text-hash, so the emitted rows are identical at
+    # any width; this query creates a fresh checkpoint every run, so
+    # the width is free to scale with the input.
+    n_docs = docs.count()
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+    state_p = max(8, min(int(sp_before), n_docs // 50_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_p))
+    try:
+        q = (streaming_dedup_first_seen(stream, "doc_id", "text")
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
+    n_input = n_docs + 100  # original corpus + the replay slice
     return spark.table(name).agg(
         F.lit(n_input).cast("long").alias("n_input"),
         F.count(F.lit(1)).alias("n_emitted"),
