@@ -1586,10 +1586,19 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         is_reference=F.col("lang") == "en", alpha=1.0, n_buckets=4096,
     ).withColumnRenamed("id", "doc_id")
+    # lazy checkpoint (r6, guide §7.2): j feeds BOTH the cutoff
+    # histogram and the final assignment join — without the barrier
+    # Catalyst inlines the whole LM-scoring subtree (explode + md5
+    # bucketing + count-table joins) into each branch and the corpus
+    # is scored TWICE per run (plan audit: the scoring chain's
+    # Generate/bucket-join subtree appeared 2x — 16 Generate nodes,
+    # 46 exchanges — in the executed plan; behind the barrier it
+    # executes once). Materializes ~20 bytes/row, linear.
     j = (
         d.select("doc_id", "lang")
         .join(ppl.where(F.col("perplexity").isNotNull()), "doc_id")
         .select("doc_id", "lang", "perplexity")
+        .localCheckpoint(eager=False)
     )
     hist = j.groupBy(
         "lang", F.round("perplexity", 2).alias("pv")).agg(

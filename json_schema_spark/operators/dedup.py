@@ -244,7 +244,14 @@ def minhash_candidates(
     """
     assert k % bands == 0
     sig = minhash_signatures(df, id_col, text_col, n, k)
-    banded = band_buckets(sig, k, bands)
+    # lazy reuse barrier (r6, guide §7.2): both sides of the bucket
+    # self-join (and the max_bucket size scan) consume `banded`; the
+    # shuffle-side exchange reuse that saves ngram_jaccard_pairs does
+    # NOT fire here because the planner builds one side as a
+    # BroadcastExchange of the same subtree — so without the barrier
+    # the whole shingle+minhash signature pass executes once per side.
+    # Materializes (doc, sig, band, bucket) rows — linear, bands/doc.
+    banded = band_buckets(sig, k, bands).localCheckpoint(eager=False)
 
     if max_bucket is not None:
         # Bucket sizes need the signatures, so the size scan is one
