@@ -1140,6 +1140,10 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_score(
         _docs(spark, sf_dir), "doc_id", "text",
         is_reference=F.col("lang") == "en", n_buckets=4096,
+        # pinned md5: this is the ORACLE TWIN (DuckDB reproduces every
+        # bucket); the operator's production default is xxhash (r6,
+        # VERDICT r5 #5) — q_stupid_backoff_fast exercises it
+        hash_fn="md5",
     ).withColumnRenamed("id", "doc_id")
 
 

@@ -132,25 +132,44 @@ def bpe_train(
     spark = df.sparkSession
     vocab = word_frequencies(df, text_col, lowercase=lowercase)
     vocab = vocab.localCheckpoint(eager=False)
+    # count materializes the vocabulary checkpoint (the corpus-scale
+    # word-frequency groupBy runs under AQE) and sizes the merge loop's
+    # shuffle width to the VOCABULARY, capped by the session's
+    # configured parallelism. AQE is scoped OFF for the loop (r6,
+    # guide §2.4): every round runs on the bounded word-type table, so
+    # adaptive re-planning has nothing to adapt and only multiplies
+    # driver jobs per round. Counts/merges are exact integers/strings
+    # with a deterministic tie-break — results are width-independent.
+    n_vocab = vocab.count()
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    p = max(1, min(int(sp_before), n_vocab // 100_000))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
 
     rows: list[tuple[int, str, str, int]] = []
-    for r in range(n_merges):
-        top = (
-            vocab.select(F.explode(_adjacent_pairs(F.col("s"))).alias("pr"),
-                         "freq")
-            .groupBy("pr")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pr"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        pair, cnt = top[0]["pr"], int(top[0]["cnt"])
-        rows.append((r, pair, pair.replace(" ", ""), cnt))
-        vocab = vocab.select(
-            _apply_merge(F.col("s"), pair).alias("s"), "freq"
-        ).localCheckpoint(eager=False)
+    try:
+        for r in range(n_merges):
+            top = (
+                vocab.select(
+                    F.explode(_adjacent_pairs(F.col("s"))).alias("pr"),
+                    "freq")
+                .groupBy("pr")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pr"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0]["pr"], int(top[0]["cnt"])
+            rows.append((r, pair, pair.replace(" ", ""), cnt))
+            vocab = vocab.select(
+                _apply_merge(F.col("s"), pair).alias("s"), "freq"
+            ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
 
     return spark.createDataFrame(
         rows,

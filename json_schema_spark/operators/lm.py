@@ -159,7 +159,7 @@ def stupid_backoff_score(
     backoff: float = 0.4,
     n_buckets: int | None = None,
     round_to: int = 6,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """Per-document trigram score under a stupid-backoff LM (Brants et
     al. 2007, "Large Language Models in Machine Translation" — the
@@ -190,11 +190,13 @@ def stupid_backoff_score(
     table.  The backoff CASE is null-gated on the LEFT-join results,
     branch-free per level.
 
-    ``hash_fn``: 'md5' (default) is DuckDB-reproducible and feeds the
-    oracle; 'xxhash' swaps the five bucket keys to JVM xxhash64 — the
-    dedup family's fast-twin recipe (same model, same shapes, no SQL
-    twin) for production runs where the 5-md5-per-position cost
-    dominates.  Ignored in exact mode (n_buckets=None).
+    ``hash_fn``: 'xxhash' (the default since r6 — VERDICT r5 #5: md5
+    burns 5 digests per trigram position and measured 2.6x slower at
+    the 1M soak) keys the five bucket tables with JVM xxhash64 — the
+    dedup family's fast-path recipe (same model, same plan shapes, no
+    SQL twin); 'md5' is the DuckDB-reproducible ORACLE TWIN that
+    q_stupid_backoff pins explicitly.  Ignored in exact mode
+    (n_buckets=None).
     """
     if hash_fn not in ("md5", "xxhash"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash': {hash_fn}")

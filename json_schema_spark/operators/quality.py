@@ -59,8 +59,11 @@ __all__ = [
     "duplicate_span_coverage",
     "duplicate_span_removal",
     "cross_contamination",
+    "fuzzy_contamination",
     "line_boilerplate_dedup",
     "compression_ratio",
+    "gopher_rules",
+    "c4_rules",
     "token_entropy",
     "PII_PATTERNS",
     "pii_counts",
@@ -241,6 +244,11 @@ def duplicate_span_coverage(
                             lambda g: _gram_key(g, hash_bits))).alias("__g"),
         )
         .where(F.col("__g").isNotNull())
+        # lazy reuse barrier (r6, guide §7.2): pos feeds both the
+        # gram-doc-count branch and the coverage join — without it the
+        # tokenize + gram-hash explode runs once per consumer.
+        # Materializes (id, hash) = ~16 bytes/position, linear.
+        .localCheckpoint(eager=False)
     )
     doc_gram = pos.select(id_col, "__g").distinct()
     gram_docs = doc_gram.groupBy("__g").agg(
@@ -311,6 +319,11 @@ def duplicate_span_removal(
             .alias("__p", "__g"),
         )
         .where(F.col("__g").isNotNull())
+        # lazy reuse barrier (r6, guide §7.2): pos feeds both the
+        # dup-vocabulary branch and the position join — without it the
+        # tokenize + gram-hash explode runs once per consumer.
+        # Materializes (id, pos, hash) = ~20 bytes/position, linear.
+        .localCheckpoint(eager=False)
     )
     doc_gram = pos.select(id_col, "__g").distinct()
     dup_grams = (

@@ -181,7 +181,7 @@ def test_stupid_backoff_bucketed_matches_exact_when_collision_free(spark):
         docs, "doc_id", "text", F.col("ref")).collect())
     bucketed = sorted(stupid_backoff_score(
         docs, "doc_id", "text", F.col("ref"),
-        n_buckets=1_000_000).collect())
+        n_buckets=1_000_000, hash_fn="md5").collect())
     assert exact == bucketed
 
 
