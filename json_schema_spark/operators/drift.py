@@ -56,6 +56,11 @@ def _partition_vs_rest_grid(
         df.where(value.isNotNull() & partition.isNotNull())
         .groupBy(partition.alias("partition"), value.alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # lazy reuse barrier (r6, guide §7.2): cells has FOUR consumers
+        # (three marginals + the grid join) — without it the corpus
+        # groupBy scan executes once per consumer. partition x value
+        # rows, aggregate-sized by construction.
+        .localCheckpoint(eager=False)
     )
     parts = cells.groupBy("partition").agg(F.sum("cnt").alias("n_part"))
     vals = cells.groupBy("v").agg(F.sum("cnt").alias("n_v"))
@@ -142,7 +147,10 @@ def ks_stat(
     per_value = tagged.groupBy("v").agg(
         F.sum("is_a").alias("cnt_a"),
         F.sum(1 - F.col("is_a")).alias("cnt_b"),
-    )
+    # lazy reuse barrier (r6, guide §7.2): the CDF feeds both the
+    # totals aggregate and the final max — without it the corpus scan
+    # + groupBy executes twice. |domain| rows, aggregate-sized.
+    ).localCheckpoint(eager=False)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cdf = per_value.select(
         (F.sum("cnt_a").over(w)).alias("cum_a"),
@@ -226,7 +234,10 @@ def ks_stat_binned(
     )
     per_bin = binned.groupBy("v").agg(
         F.sum("is_a").alias("cnt_a"), F.sum(1 - F.col("is_a")).alias("cnt_b")
-    )
+    # lazy reuse barrier (r6, guide §7.2): the CDF below is consumed
+    # twice (crossJoin with its own totals) — without it the bounds +
+    # bin + groupBy chain over the corpus executes twice. n_bins rows.
+    ).localCheckpoint(eager=False)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cdf = per_bin.select(
         F.sum("cnt_a").over(w).alias("cum_a"), F.sum("cnt_b").over(w).alias("cum_b")

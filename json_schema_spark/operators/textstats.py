@@ -533,6 +533,11 @@ def lang_confusion(df: DataFrame, text_col: str, label_col: str,
                 lang_id(F.col(text_col)).alias("pred_lang"))
         .groupBy("label_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        # lazy reuse barrier (r6, guide §7.2): cells feeds both the
+        # per-label normalizer and the output join — without it the
+        # corpus-scale lang_id projection (per-language stopword HOFs)
+        # executes once per consumer. |langs|² rows, aggregate-sized.
+        .localCheckpoint(eager=False)
     )
     totals = cells.groupBy("label_lang").agg(F.sum("n_docs").alias("__tot"))
     return (
