@@ -168,7 +168,10 @@ def dsir_weights(
     vocab = ex.groupBy("feat").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.count_if(F.col("__tgt")).alias("c_tgt"),
-    )
+    # lazy reuse barrier (r6, guide §7.2): vocab feeds both the totals
+    # aggregate and the ratio crossJoin — without it the corpus token
+    # explode + groupBy executes twice. n_buckets rows, bounded.
+    ).localCheckpoint(eager=False)
     totals = vocab.agg(
         F.sum("c_raw").alias("r_total"),
         F.sum("c_tgt").alias("t_total"),
@@ -356,7 +359,11 @@ def leakage_safe_split(
             bk < bound, F.lit(name))
     expr = (expr.otherwise(F.lit(splits[-1][0]))
             if expr is not None else F.lit(splits[-1][0]))
-    s = assigned.select(id_col, "grp", expr.alias("split"))
+    # lazy reuse barrier (r6, guide §7.2): s feeds both the leak audit
+    # and the per-split rollup — without it the group-assignment join
+    # over the corpus executes twice. (id, grp, split) rows, narrow.
+    s = assigned.select(id_col, "grp", expr.alias("split")) \
+        .localCheckpoint(eager=False)
     leak = (
         s.groupBy("grp").agg(F.countDistinct("split").alias("__ns"))
         .agg(F.coalesce(F.sum((F.col("__ns") > 1).cast("long")),

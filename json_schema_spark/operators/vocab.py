@@ -129,7 +129,10 @@ def zipf_profile(df: DataFrame, text_col: str, topk: int = 100) -> DataFrame:
         .alias("term_rank"),
         F.col("tok").alias("token"),
         "freq",
-    )
+    # lazy reuse barrier (r6, guide §7.2): ranked feeds both the slope
+    # regression and the output crossJoin — without it the corpus
+    # explode + groupBy + top-k executes twice. topk rows.
+    ).localCheckpoint(eager=False)
     slope = ranked.agg(
         F.round(
             F.regr_slope(F.log(F.col("freq")), F.log(F.col("term_rank"))), 6
@@ -370,6 +373,11 @@ def pmi_collocations(
     toks = (
         df.where(F.col(text_col).isNotNull())
         .select(ws_tokens(F.lower(F.col(text_col))).alias("__toks"))
+        # lazy reuse barrier (r6, guide §7.2): three consumers (unigram
+        # counts, bigram pairs, corpus scalars) — without it the
+        # tokenize projection scans the corpus once per consumer.
+        # Materializes the token arrays once, ~text-sized, linear.
+        .localCheckpoint(eager=False)
     )
     uni = (
         toks.select(F.explode("__toks").alias("tok"))
