@@ -73,7 +73,11 @@ def bigram_lm_perplexity(
         did.alias("id"),
         is_reference.cast("boolean").alias("__ref"),
         ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
-    )
+    # lazy reuse barrier (r6, guide §7.2 — the docstring's "persist
+    # the tokenized projection" note, now done): toks feeds the bigram
+    # explode, the vocabulary scalar and the id spine — three corpus
+    # tokenize scans without it. Token arrays, ~text-sized, linear.
+    ).localCheckpoint(eager=False)
     # bigram positions: (prev, cur) for i in [0, n-2]; empty for n < 2
     pairs = toks.select(
         "id", "__ref",
@@ -100,8 +104,12 @@ def bigram_lm_perplexity(
     else:
         pk = F.concat_ws("\x1f", F.col("prev"), F.col("cur"))
         ck = F.col("prev")
+    # lazy reuse barrier (r6, guide §7.2): the keyed positions feed the
+    # two reference count tables AND the scoring join — without it the
+    # bigram explode plus its two md5 bucketings per position execute
+    # three times. (id, ref, 2 keys) ≈ 26 bytes/position, linear.
     pairs = pairs.select("id", "__ref", pk.alias("pair_key"),
-                         ck.alias("ctx_key"))
+                         ck.alias("ctx_key")).localCheckpoint(eager=False)
 
     ref = pairs.where(F.col("__ref"))
     pair_counts = ref.groupBy("pair_key").agg(
@@ -205,7 +213,10 @@ def stupid_backoff_score(
         did.alias("id"),
         is_reference.cast("boolean").alias("__ref"),
         ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
-    )
+    # lazy reuse barrier (r6, guide §7.2): toks feeds the trigram
+    # explode, the reference bigram/unigram explodes and the id spine —
+    # four corpus tokenize scans without it. Token arrays, linear.
+    ).localCheckpoint(eager=False)
     sep = "\x1f"
 
     def _tri(t):  # trigram position structs, empty for n < 3
@@ -245,7 +256,12 @@ def stupid_backoff_score(
         _k(F.concat_ws(sep, "g.w2", "g.w3"), 6).alias("bi_key"),
         _k(F.col("g.w2"), 7).alias("w2_key"),
         _k(F.col("g.w3"), 7).alias("w3_key"),
-    )
+    # lazy reuse barrier (r6, guide §7.2): tri feeds the reference
+    # trigram count table AND the scoring join — without it the
+    # trigram explode with its five bucket hashes per position (the
+    # measured cost center of this operator) executes twice.
+    # (id, ref, 5 keys) ≈ 50 bytes/position, linear.
+    ).localCheckpoint(eager=False)
     ref_bi = toks.where(F.col("__ref")).select(
         F.explode(_bi(F.col("__toks"))).alias("b"))
     ref_uni = toks.where(F.col("__ref")).select(
