@@ -69,7 +69,11 @@ def bm25_topk(
     toks = df.where(F.col(text_col).isNotNull()).select(
         did.alias("id"),
         ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
-    ).select("id", "__toks", F.size("__toks").alias("dl"))
+    ).select("id", "__toks", F.size("__toks").alias("dl")) \
+        .localCheckpoint(eager=False)
+    # ^ lazy reuse barrier (r6, guide §7.2): toks feeds the corpus
+    # scalars and the term-filtered explode — two tokenize scans
+    # without it. Token arrays, ~text-sized, linear.
     # corpus scalars: one partially-aggregated pass, re-enters as a
     # broadcast 1-row table (never a collect)
     corpus = toks.agg(
@@ -190,7 +194,10 @@ def retrieval_eval(
     toks = df.where(F.col(text_col).isNotNull()).select(
         did.alias("id"),
         ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
-    ).select("id", "__toks", F.size("__toks").alias("dl"))
+    ).select("id", "__toks", F.size("__toks").alias("dl")) \
+        .localCheckpoint(eager=False)
+    # ^ lazy reuse barrier (r6, guide §7.2): same two-consumer shape
+    # as bm25_topk (corpus scalars + the panel-filtered explode)
     corpus = toks.agg(
         F.count(F.lit(1)).alias("n_corpus"),
         F.avg("dl").alias("avgdl"),

@@ -218,7 +218,11 @@ def embedding_near_duplicates(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
         l2norm(F.col(vec_col)).alias("norm"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    # lazy reuse barrier (r6, guide §7.2): base feeds the multiprobe
+    # side AND the build side of the bucket join — without it the
+    # norm + n_planes-dot-product bucket projection runs twice over
+    # the corpus. Vector-width rows, linear.
+    ).localCheckpoint(eager=False)
     probed = base.select(
         "doc", "vec", "norm",
         F.explode(F.array(
@@ -608,7 +612,12 @@ def embedding_outliers(
         F.lit(0.0), lambda acc, x: acc + x)
     norms = (df.where(vec.isNotNull())
              .select(F.col(id_col).alias("id"),
-                     F.round(F.sqrt(dot), round_to).alias("norm")))
+                     F.round(F.sqrt(dot), round_to).alias("norm"))
+             # lazy reuse barrier (r6, guide §7.2): norms feeds the
+             # median aggregate, the MAD aggregate and the output —
+             # without it the higher-order dot-product projection runs
+             # once per consumer. (id, norm) = 16 bytes/row.
+             .localCheckpoint(eager=False))
     med = norms.agg(F.round(med_fn(F.col("norm")), round_to).alias("med"))
     withmed = norms.crossJoin(F.broadcast(med))
     mad = withmed.agg(
