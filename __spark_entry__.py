@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1602,7 +1603,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang")
         .join(ppl.where(F.col("perplexity").isNotNull()), "doc_id")
         .select("doc_id", "lang", "perplexity")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     hist = j.groupBy(
         "lang", F.round("perplexity", 2).alias("pv")).agg(
@@ -2337,8 +2338,12 @@ def q_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir)
+    # lazy reuse barrier (r6, guide §7.2): rates feeds both the mix
+    # filter and the target-share join — without it the corpus mass
+    # groupBy executes twice. One row per source, aggregate-sized.
     rates = temperature_mix_rates(d, "source", tau=0.7,
-                                  weight=F.col("n_chars"))
+                                  weight=F.col("n_chars")) \
+        .localCheckpoint(eager=False)
     kept = execute_mix(d, rates, "source", key_col="doc_id", seed=13)
     rep = kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),

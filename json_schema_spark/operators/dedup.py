@@ -244,14 +244,17 @@ def minhash_candidates(
     """
     assert k % bands == 0
     sig = minhash_signatures(df, id_col, text_col, n, k)
-    # lazy reuse barrier (r6, guide §7.2): both sides of the bucket
-    # self-join (and the max_bucket size scan) consume `banded`; the
-    # shuffle-side exchange reuse that saves ngram_jaccard_pairs does
-    # NOT fire here because the planner builds one side as a
-    # BroadcastExchange of the same subtree — so without the barrier
-    # the whole shingle+minhash signature pass executes once per side.
-    # Materializes (doc, sig, band, bucket) rows — linear, bands/doc.
-    banded = band_buckets(sig, k, bands).localCheckpoint(eager=False)
+    # NO reuse barrier here, deliberately (r6): a lazy localCheckpoint
+    # on `banded` was tried and REVERTED — it halves the signature
+    # compute at small scale (where the planner broadcasts one side of
+    # the self-join and exchange reuse cannot fire), but the
+    # checkpointed (doc, sig[k], band, bucket) rows store deserialized
+    # in-heap (~bands x k x 8 B/doc amplified 3-5x by object headers)
+    # and OOM'd the 1M-doc skew soak in an 8 GB heap. At scale both
+    # sides plan as shuffle exchanges over the identical subtree and
+    # Spark reuses one exchange, so the signature pass already runs
+    # once where it matters.
+    banded = band_buckets(sig, k, bands)
 
     if max_bucket is not None:
         # Bucket sizes need the signatures, so the size scan is one

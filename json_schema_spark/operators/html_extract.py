@@ -588,7 +588,13 @@ def cocitation_pairs(
     partial-aggregable; both join sides are the SAME pruned projection
     so the exchange is reused.
     """
-    e = edges.select("src_d", "dst_d").distinct()
+    # lazy reuse barrier (r6, guide §7.2): shuffle-exchange reuse
+    # across the self-join sides only fires when BOTH sides plan as
+    # shuffle exchanges — a broadcast-eligible side rebuilds the whole
+    # upstream link-extraction subtree instead (the minhash_candidates
+    # lesson). The barrier guarantees one compute either way; edge
+    # rows, aggregate-sized.
+    e = edges.select("src_d", "dst_d").distinct().localCheckpoint(eager=False)
     if max_out_degree is not None:
         deg = e.groupBy("src_d").agg(F.count(F.lit(1)).alias("__d"))
         e = (e.join(F.broadcast(deg.where(F.col("__d") <= max_out_degree)),

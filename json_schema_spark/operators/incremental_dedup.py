@@ -48,6 +48,7 @@ suppress-across-time semantics is ``streaming/stateful.py``.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -123,7 +124,7 @@ def incremental_dedup_snapshot(
     # aggregation over the snapshot executes twice (once in the commit
     # job, once at the caller's action). The commit job materializes it.
     day = _snapshot_rollup(new_df, id_col, text_col, normalized) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # metadata-pruned probe: only manifests/files of snap < s planned
     history = ledger.scan([("snap", "<", int(snap))]).select("fp")
 
@@ -247,7 +248,7 @@ def incremental_minhash_snapshot(
     # (once in the commit job, once at the caller's action). The commit
     # job materializes it; band+bucket rows are 12 bytes/doc/band.
     banded = band_buckets(sig, k, bands).select("doc", "band", "bucket") \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     history = ledger.scan([("snap", "<", int(snap))]) \
         .select("band", "bucket")
 

@@ -24,6 +24,7 @@ the pair and exists for small-corpus / oracle work.  md5 bucketing
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,7 +78,7 @@ def bigram_lm_perplexity(
     # the tokenized projection" note, now done): toks feeds the bigram
     # explode, the vocabulary scalar and the id spine — three corpus
     # tokenize scans without it. Token arrays, ~text-sized, linear.
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # bigram positions: (prev, cur) for i in [0, n-2]; empty for n < 2
     pairs = toks.select(
         "id", "__ref",
@@ -109,7 +110,7 @@ def bigram_lm_perplexity(
     # bigram explode plus its two md5 bucketings per position execute
     # three times. (id, ref, 2 keys) ≈ 26 bytes/position, linear.
     pairs = pairs.select("id", "__ref", pk.alias("pair_key"),
-                         ck.alias("ctx_key")).localCheckpoint(eager=False)
+                         ck.alias("ctx_key")).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     ref = pairs.where(F.col("__ref"))
     pair_counts = ref.groupBy("pair_key").agg(
@@ -216,7 +217,7 @@ def stupid_backoff_score(
     # lazy reuse barrier (r6, guide §7.2): toks feeds the trigram
     # explode, the reference bigram/unigram explodes and the id spine —
     # four corpus tokenize scans without it. Token arrays, linear.
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     sep = "\x1f"
 
     def _tri(t):  # trigram position structs, empty for n < 3
@@ -261,7 +262,7 @@ def stupid_backoff_score(
     # trigram explode with its five bucket hashes per position (the
     # measured cost center of this operator) executes twice.
     # (id, ref, 5 keys) ≈ 50 bytes/position, linear.
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     ref_bi = toks.where(F.col("__ref")).select(
         F.explode(_bi(F.col("__toks"))).alias("b"))
     ref_uni = toks.where(F.col("__ref")).select(

@@ -45,6 +45,7 @@ Spark shapes (the 100 TB posture):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -248,7 +249,7 @@ def duplicate_span_coverage(
         # gram-doc-count branch and the coverage join — without it the
         # tokenize + gram-hash explode runs once per consumer.
         # Materializes (id, hash) = ~16 bytes/position, linear.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     doc_gram = pos.select(id_col, "__g").distinct()
     gram_docs = doc_gram.groupBy("__g").agg(
@@ -323,7 +324,7 @@ def duplicate_span_removal(
         # dup-vocabulary branch and the position join — without it the
         # tokenize + gram-hash explode runs once per consumer.
         # Materializes (id, pos, hash) = ~20 bytes/position, linear.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     doc_gram = pos.select(id_col, "__g").distinct()
     dup_grams = (
@@ -387,7 +388,10 @@ def line_boilerplate_dedup(
         F.col(id_col),
         F.posexplode_outer(F.split(F.col(text_col), "\n", -1))
         .alias("__pos", "__line"),
-    )
+    # lazy reuse barrier (r6, guide §7.2): lines feeds the hot-line
+    # vocabulary and the marking join — without it the line explode
+    # over the corpus executes twice. Line rows, ~text-sized, linear.
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     norm = F.trim(F.col("__line"))
     hot = (
         lines.where(norm != "")

@@ -32,6 +32,7 @@ surface layered on the same engine.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,7 +71,7 @@ def bm25_topk(
         did.alias("id"),
         ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).select("id", "__toks", F.size("__toks").alias("dl")) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # ^ lazy reuse barrier (r6, guide §7.2): toks feeds the corpus
     # scalars and the term-filtered explode — two tokenize scans
     # without it. Token arrays, ~text-sized, linear.
@@ -195,7 +196,7 @@ def retrieval_eval(
         did.alias("id"),
         ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).select("id", "__toks", F.size("__toks").alias("dl")) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # ^ lazy reuse barrier (r6, guide §7.2): same two-consumer shape
     # as bm25_topk (corpus scalars + the panel-filtered explode)
     corpus = toks.agg(

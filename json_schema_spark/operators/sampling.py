@@ -15,6 +15,7 @@ per-stratum variant broadcasts only the rate table.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -363,7 +364,7 @@ def leakage_safe_split(
     # and the per-split rollup — without it the group-assignment join
     # over the corpus executes twice. (id, grp, split) rows, narrow.
     s = assigned.select(id_col, "grp", expr.alias("split")) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     leak = (
         s.groupBy("grp").agg(F.countDistinct("split").alias("__ns"))
         .agg(F.coalesce(F.sum((F.col("__ns") > 1).cast("long")),

@@ -26,6 +26,7 @@ import struct
 # up in module globals at decoration time)
 import pandas as pd  # noqa: F401
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -222,7 +223,7 @@ def embedding_near_duplicates(
     # side AND the build side of the bucket join — without it the
     # norm + n_planes-dot-product bucket projection runs twice over
     # the corpus. Vector-width rows, linear.
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     probed = base.select(
         "doc", "vec", "norm",
         F.explode(F.array(

@@ -36,6 +36,7 @@ oracles value-check each operator end to end.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -377,7 +378,7 @@ def pmi_collocations(
         # counts, bigram pairs, corpus scalars) — without it the
         # tokenize projection scans the corpus once per consumer.
         # Materializes the token arrays once, ~text-sized, linear.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     uni = (
         toks.select(F.explode("__toks").alias("tok"))
