@@ -74,6 +74,9 @@ def main() -> None:
                       "w") as f:
                 f.write(buf.getvalue())
         coll, noop = [], []
+        if args.reps == 0:  # plan capture only
+            results[name] = {}
+            continue
         for r in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name}: collect rep {r}")
             t0 = time.perf_counter()
@@ -96,7 +99,8 @@ def main() -> None:
         results[name] = entry
         print(name, json.dumps(entry), flush=True)
 
-    total = round(sum(r["collect_median"] for r in results.values()), 3)
+    total = round(sum(r.get("collect_median", 0.0)
+                      for r in results.values()), 3)
     print(json.dumps({"n": len(results), "sum_collect_median": total}))
     if args.out:
         with open(args.out, "w") as f:
