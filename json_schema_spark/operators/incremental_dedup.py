@@ -119,12 +119,15 @@ def incremental_dedup_snapshot(
     list eagerly), so the lazy stats read a consistent ledger era even
     after later snapshots commit.
     """
-    # lazy checkpoint (r6, guide §2.4/§5): the rollup feeds BOTH the
-    # ledger write and the stats probe — without it the fingerprint
-    # aggregation over the snapshot executes twice (once in the commit
-    # job, once at the caller's action). The commit job materializes it.
-    day = _snapshot_rollup(new_df, id_col, text_col, normalized) \
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # NO reuse barrier on the rollup, deliberately (r6): a lazy
+    # localCheckpoint here was tried and REVERTED — the exact-
+    # fingerprint rollup is one cheap hash-aggregate, and forcing the
+    # commit job to materialize+serialize it cost a consistent
+    # ~0.3-0.5 s per bench run while the probe's recompute rides a job
+    # that is running anyway. (Contrast incremental_minhash_snapshot
+    # below, where the recomputed pass is a full shingle+minhash
+    # signature scan and the barrier pays for itself.)
+    day = _snapshot_rollup(new_df, id_col, text_col, normalized)
     # metadata-pruned probe: only manifests/files of snap < s planned
     history = ledger.scan([("snap", "<", int(snap))]).select("fp")
 
