@@ -1427,6 +1427,13 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_minhash_snapshot,
     )
 
+    from pyspark import StorageLevel
+
+    from json_schema_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+    )
+
     docs = (
         _docs(spark, sf_dir)
         .where(F.col("text").isNotNull())
@@ -1436,11 +1443,28 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mh_ledger_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     ledger = create_minhash_ledger(spark, root)
+    # ONE corpus-wide signature pass sliced per snapshot (r6, guide
+    # §2.4) instead of a separate scan+shingle+minhash job per
+    # snapshot: signatures are per-doc, so slicing the union by
+    # snap = doc_id % 3 yields bit-identical banded rows, and the
+    # first commit job materializes the whole pass once (lazy
+    # serialized checkpoint). Ledger commits stay sequential —
+    # incrementality semantics untouched.
+    sig = minhash_signatures(docs.select("doc_id", "text"),
+                             "doc_id", "text", n=3, k=8, hash_fn="md5")
+    banded_all = (
+        band_buckets(sig, 8, 4)
+        .select("doc", "band", "bucket",
+                (F.col("doc") % 3).cast("int").alias("snap"))
+        .localCheckpoint(eager=False,
+                         storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     out = None
     for s in range(3):
         flags = incremental_minhash_snapshot(
             docs.where(F.col("snap") == s).drop("snap"),
-            ledger, "doc_id", "text", s, n=3, k=8, bands=4, hash_fn="md5")
+            ledger, "doc_id", "text", s, n=3, k=8, bands=4, hash_fn="md5",
+            banded=banded_all.where(F.col("snap") == s))
         out = flags if out is None else out.unionByName(flags)
     return out
 

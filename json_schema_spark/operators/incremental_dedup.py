@@ -211,6 +211,7 @@ def incremental_minhash_snapshot(
     hash_fn: str = "xxhash64",
     min_bands: int = 1,
     update_ledger: bool = True,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Flag each document of snapshot ``s`` as a near-duplicate of
     PRIOR snapshots iff at least ``min_bands`` of its LSH band buckets
@@ -242,16 +243,28 @@ def incremental_minhash_snapshot(
     """
     from .dedup import band_buckets, minhash_signatures
 
-    sig = minhash_signatures(
-        new_df.select(F.col(id_col), F.col(text_col)),
-        id_col, text_col, n=n, k=k, hash_fn=hash_fn)
-    # lazy checkpoint (r6, guide §2.4/§5): the banded buckets feed BOTH
-    # the ledger write and the history probe — without it the whole
-    # minhash-signature pass over the snapshot's text executes twice
-    # (once in the commit job, once at the caller's action). The commit
-    # job materializes it; band+bucket rows are 12 bytes/doc/band.
-    banded = band_buckets(sig, k, bands).select("doc", "band", "bucket") \
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    if banded is None:
+        sig = minhash_signatures(
+            new_df.select(F.col(id_col), F.col(text_col)),
+            id_col, text_col, n=n, k=k, hash_fn=hash_fn)
+        # lazy checkpoint (r6, guide §2.4/§5): the banded buckets feed
+        # BOTH the ledger write and the history probe — without it the
+        # whole minhash-signature pass over the snapshot's text
+        # executes twice (once in the commit job, once at the caller's
+        # action). The commit job materializes it; band+bucket rows
+        # are 12 bytes/doc/band.
+        banded = band_buckets(sig, k, bands) \
+            .select("doc", "band", "bucket") \
+            .localCheckpoint(eager=False,
+                             storageLevel=StorageLevel.MEMORY_AND_DISK)
+    else:
+        # caller-precomputed (doc, band, bucket) rows for THIS
+        # snapshot's docs (r6, guide §2.4): a multi-snapshot driver can
+        # run ONE corpus-wide signature pass and slice it per snapshot
+        # instead of paying a separate scan+explode job per snapshot;
+        # values are per-doc, so sliced-from-union == computed-per-
+        # snapshot identically.
+        banded = banded.select("doc", "band", "bucket")
     history = ledger.scan([("snap", "<", int(snap))]) \
         .select("band", "bucket")
 
